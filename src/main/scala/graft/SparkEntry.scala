@@ -9,6 +9,8 @@ object SparkEntry {
   /** All operator modules; each contributes (query, oracle) pairs. */
   private def modules: Seq[QueryModule] = Seq(
     DashboardAnalytics,
+    Relational,
+    Windowed,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / analytic functions + gap-based sessionization.
+  *
+  * Determinism: every window orders by a unique key tuple; cumulative
+  * sums run over exact decimals; timestamps compared at micros (both
+  * engines see identical BIGINT epoch-micros).
+  *
+  * Scale: each query shuffles once on the partition key (event_type /
+  * user_id) and streams the window — no driver-side state. Sessionize is
+  * the batch twin of streaming.EventsStreaming's state machine.
+  */
+object Windowed extends QueryModule {
+  import Det._
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_window_running_total",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val daily = e.groupBy(col("event_type"), col("ts").cast("date").as("date"))
+          .agg(sum(col("value").cast(Money)).as("daily_dec"))
+        val w = Window.partitionBy("event_type").orderBy("date")
+        daily
+          .withColumn("running_value", sum(col("daily_dec")).over(w).cast("double"))
+          .select(col("event_type"), col("date"),
+                  col("daily_dec").cast("double").as("daily_value"), col("running_value"))
+          .orderBy("event_type", "date")
+      },
+      Some("""SELECT event_type, date,
+             |CAST(daily_dec AS DOUBLE) AS daily_value,
+             |CAST(SUM(daily_dec) OVER (PARTITION BY event_type ORDER BY date) AS DOUBLE) AS running_value
+             |FROM (SELECT event_type, CAST(ts AS DATE) AS date,
+             |      SUM(CAST(value AS DECIMAL(18,2))) AS daily_dec
+             |      FROM events GROUP BY 1,2)
+             |ORDER BY event_type, date""".stripMargin),
+    ),
+    QueryDef(
+      "q_window_moving_avg",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val daily = e.groupBy(col("ts").cast("date").as("date"))
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.orderBy("date").rowsBetween(-6, 0)
+        daily.withColumn("ma7", round(avg(col("n_events")).over(w), 4))
+          .orderBy("date")
+      },
+      Some("""SELECT date, n_events,
+             |ROUND(AVG(n_events) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS ma7
+             |FROM (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n_events
+             |      FROM events GROUP BY 1)
+             |ORDER BY date""".stripMargin),
+    ),
+    QueryDef(
+      "q_window_topn_per_group",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val joined = t.orders.join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy("c_mktsegment").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        joined.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+                  col("o_totalprice"), col("rn"))
+          .orderBy("segment", "rn")
+      },
+      Some("""SELECT c_mktsegment AS segment, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+             |  FROM orders JOIN customer ON o_custkey = c_custkey)
+             |WHERE rn <= 3 ORDER BY segment, rn""".stripMargin),
+    ),
+    QueryDef(
+      "q_window_lag_delta",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val daily = e.groupBy(col("user_id"), col("ts").cast("date").as("date"))
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.partitionBy("user_id").orderBy("date")
+        daily.withColumn("delta", col("n_events") - lag(col("n_events"), 1).over(w))
+          .orderBy("user_id", "date")
+      },
+      Some("""SELECT user_id, date, n_events,
+             |n_events - LAG(n_events, 1) OVER (PARTITION BY user_id ORDER BY date) AS delta
+             |FROM (SELECT user_id, CAST(ts AS DATE) AS date, COUNT(*) AS n_events
+             |      FROM events GROUP BY 1,2)
+             |ORDER BY user_id, date""".stripMargin),
+    ),
+    // gap-based sessionization (6h inactivity closes a session)
+    QueryDef(
+      "q_sessionize",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("user_id"), col("event_id"),
+                  unix_micros(col("ts")).as("ts_us"), col("value"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val gapUs = 6L * 3600 * 1000000
+        val flagged = e
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        flagged.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min(col("ts_us")).as("start_us"),
+               max(col("ts_us")).as("end_us"),
+               moneySum(col("value")).as("total_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us, value
+             |  FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM base)),
+             |sessions AS (
+             |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
+             |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
+    ),
+  )
+}
