@@ -11,6 +11,9 @@ object SparkEntry {
     DashboardAnalytics,
     Relational,
     Windowed,
+    TextAnalysis,
+    Dedup,
+    Similarity,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)

@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact hash dedup,
+  * MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (SURVEY §5): LSH candidate generation is the only
+  * all-pairs-shaped step and it never goes O(n²) — docs meet only inside
+  * (band, min-hash) buckets; verification runs on candidate pairs only.
+  * Hashing uses md5 (identical across engines) so every step is
+  * oracle-checkable in DuckDB.
+  */
+object Dedup extends QueryModule {
+
+  private val Bands = 4
+
+  /** distinct 3-word shingles of `text` (whole text if < 3 tokens) */
+  private val shinglesExpr =
+    """CASE WHEN size(split(text, ' ')) >= 3
+      |THEN array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+      |     i -> concat_ws(' ', element_at(split(text, ' '), i),
+      |                         element_at(split(text, ' '), i + 1),
+      |                         element_at(split(text, ' '), i + 2))))
+      |ELSE array(text) END""".stripMargin
+
+  private val shinglesSqlDuck =
+    """CASE WHEN len(string_split(text,' ')) >= 3
+      |THEN list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+      |ELSE [text] END""".stripMargin
+
+  private def shingleDocs(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), expr(shinglesExpr).as("sh"))
+
+  /** Jaccard over two pre-distinct string arrays, rounded. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    round(inter.cast("double") / (size(a) + size(b) - inter), 4)
+  }
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "d_dedup_exact",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.groupBy(md5(col("text")).as("text_hash"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+          .orderBy("text_hash")
+      },
+      Some("""SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+             |MIN(doc_id) AS keeper
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    QueryDef(
+      "d_minhash_lsh",
+      (s, dir) => {
+        val docs = shingleDocs(Tables(s, dir)).cache()
+        val bandCols = (0 until Bands).map { j =>
+          expr(s"array_min(transform(sh, x -> md5(concat('$j|', x))))")
+        }
+        val bands = docs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+                col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+                  col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val bandSql = (0 until Bands).map { j =>
+          s"SELECT doc_id, $j AS j, list_min(list_transform(sh, x -> md5('$j|' || x))) AS mh FROM sh"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+           |bands AS ($bandSql),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+           |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+    ),
+    QueryDef(
+      "d_simhash",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val toks = d.select(col("doc_id"),
+          expr("array_distinct(split(text, ' '))").as("toks"))
+        val bitTerms = (1 to 16).map { j =>
+          val sumJ = s"""aggregate(transform(toks, w ->
+            CASE WHEN (instr('0123456789abcdef', substring(md5(w), $j, 1)) - 1) % 2 = 1
+            THEN 1 ELSE -1 END), 0, (a, x) -> a + x)"""
+          s"(CASE WHEN $sumJ > 0 THEN ${1 << (j - 1)} ELSE 0 END)"
+        }
+        toks.select(col("doc_id"),
+                    expr(s"CAST(${bitTerms.mkString(" + ")} AS INT)").as("simhash"),
+                    expr("CAST(size(toks) AS BIGINT)").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitTerms = (1 to 16).map { j =>
+          val sumJ = s"""list_sum(list_transform(toks, w ->
+            CASE WHEN (strpos('0123456789abcdef', substr(md5(w), $j, 1)) - 1) % 2 = 1
+            THEN 1 ELSE -1 END))"""
+          s"(CASE WHEN $sumJ > 0 THEN ${1 << (j - 1)} ELSE 0 END)"
+        }
+        s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents)
+           |SELECT doc_id, CAST(${bitTerms.mkString(" + ")} AS INT) AS simhash,
+           |CAST(len(toks) AS BIGINT) AS n_tokens
+           |FROM t ORDER BY doc_id""".stripMargin
+      },
+    ),
+    QueryDef(
+      "d_ngram_jaccard",
+      (s, dir) => {
+        val d = Tables(s, dir).documents.filter(col("doc_id") < 50)
+        val grams = d.select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))").as("g"))
+        grams.as("a").join(grams.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                  jaccard(col("a.g"), col("b.g")).as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |  list_distinct(list_transform(generate_series(1, length(text) - 3),
+             |    i -> substr(text, i, 4))) AS g
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
+             |FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) >= 0.2
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (Array[Float], dim 64).
+  *
+  * Cross-engine determinism: every dot product / norm is a sequential
+  * left-fold of element products promoted to double — `aggregate(
+  * zip_with(...))` on Spark, `list_reduce(list_transform(...))` in the
+  * DuckDB oracle — so both engines produce bit-identical doubles.
+  *
+  * Scale: queries broadcast against the corpus (corpus never shuffles);
+  * top-k runs per-partition then global. The IVF variant prunes the
+  * corpus to nprobe centroid buckets before scoring.
+  */
+object Similarity extends QueryModule {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  private def withNorm(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("nrm", expr(s"sqrt(${dot(vec, vec)})"))
+
+  override def entries: Seq[QueryDef] = Seq(
+    // brute-force cosine top-k: the exact baseline every ANN variant is
+    // judged against
+    QueryDef(
+      "s_cosine_topk",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val corpus = withNorm(e.select(col("vec_id"), col("embedding")), "embedding")
+        val queries = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+        val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(expr(dot("q_vec", "embedding")) / (col("nrm") * col("q_nrm")), 4))
+        val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding,
+              |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM c WHERE vec_id < 10),
+              |scored AS (SELECT q_id, vec_id,
+              |  ROUND(${duckDot("q_vec", "embedding")} / (nrm * q_nrm), 4) AS cos
+              |  FROM c, q WHERE vec_id <> q_id),
+              |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER
+              |  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rn FROM scored)
+              |SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
+              |ORDER BY q_id, rn""".stripMargin),
+    ),
+    // near-duplicate pairs by cosine over a bounded probe set
+    QueryDef(
+      "d_embedding_neardup",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val corpus = withNorm(e.select(col("vec_id"), col("embedding")), "embedding")
+        val probe = corpus.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+        corpus.join(broadcast(probe), col("a_id") < col("vec_id"))
+          .withColumn("cos", round(expr(dot("a_vec", "embedding")) / (col("a_nrm") * col("nrm")), 4))
+          .filter(col("cos") >= 0.45)
+          .select(col("a_id"), col("vec_id").as("b_id"), col("cos"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding,
+              |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+              |p AS (SELECT vec_id AS a_id, embedding AS a_vec, nrm AS a_nrm FROM c WHERE vec_id < 200)
+              |SELECT a_id, vec_id AS b_id,
+              |ROUND(${duckDot("a_vec", "embedding")} / (a_nrm * nrm), 4) AS cos
+              |FROM c, p WHERE a_id < vec_id
+              |  AND ROUND(${duckDot("a_vec", "embedding")} / (a_nrm * nrm), 4) >= 0.45
+              |ORDER BY a_id, b_id""".stripMargin),
+    ),
+    // IVF-style ANN: assign corpus to centroid buckets (centroids = label
+    // means), probe the 2 nearest buckets per query. Rows-only: the
+    // recall/structure is spec-tested against the brute-force baseline.
+    QueryDef(
+      "s_ivf_topk",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val centroids = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i").agg(avg(col("x")).as("m"))
+          .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("m"))))
+            .getField("m").as("centroid"))
+        val corpus = withNorm(e.select(col("vec_id"), col("embedding"), col("label")), "embedding")
+        val queries = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+        // rank centroids per query, keep nprobe=2 buckets
+        val qc = queries.crossJoin(broadcast(centroids))
+          .withColumn("c_dot", expr(dot("q_vec", "centroid")))
+        val wq = Window.partitionBy("q_id").orderBy(desc("c_dot"), asc("label"))
+        val probes = qc.withColumn("cr", row_number().over(wq)).filter(col("cr") <= 2)
+          .select(col("q_id"), col("q_vec"), col("q_nrm"), col("label"))
+        val scored = corpus.join(broadcast(probes), Seq("label"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(expr(dot("q_vec", "embedding")) / (col("nrm") * col("q_nrm")), 4))
+        val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      None,
+    ),
+  )
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token stats,
+  * quality scoring, document fingerprinting, corpus top terms, and an
+  * n-gram language-ID heuristic (rows-only; the synthetic corpus has no
+  * real cross-language signal).
+  *
+  * Everything stays inside `org.apache.spark.sql.functions` higher-order
+  * array expressions — no UDFs — so Catalyst sees every subexpression.
+  * Integer widths are pinned to BIGINT to match DuckDB's len()/count().
+  */
+object TextAnalysis extends QueryModule {
+
+  private val Stop = "('the','a','of','and','to','in','is','it')"
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "t_token_count",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.select(col("lang"), col("n_chars"),
+                 expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tokens")).as("total_tokens"),
+               round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+               max(col("n_chars")).as("max_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+             |ROUND(CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*),4) AS avg_tokens,
+             |MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    QueryDef(
+      "t_quality_score",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.select(
+            col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+            expr(s"CAST(size(filter(split(text, ' '), w -> w IN $Stop)) AS BIGINT)").as("n_stop"),
+            expr("CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT)").as("n_alpha"),
+            length(col("text")).cast("bigint").as("n_len"))
+          .select(
+            col("doc_id"), col("n_tokens"),
+            round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+            round(col("n_alpha").cast("double") / col("n_len"), 4).as("alpha_ratio"),
+            round(least(lit(1.0), col("n_tokens").cast("double") / 200.0) * 0.5 +
+              (col("n_stop").cast("double") / col("n_tokens")) * 0.2 +
+              (col("n_alpha").cast("double") / col("n_len")) * 0.3, 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (SELECT doc_id,
+              |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_filter(string_split(text,' '), w -> w IN $Stop)) AS BIGINT) AS n_stop,
+              |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+              |  CAST(length(text) AS BIGINT) AS n_len
+              |  FROM documents)
+              |SELECT doc_id, n_tokens,
+              |ROUND(CAST(n_stop AS DOUBLE)/n_tokens, 4) AS stop_ratio,
+              |ROUND(CAST(n_alpha AS DOUBLE)/n_len, 4) AS alpha_ratio,
+              |ROUND(LEAST(1.0, CAST(n_tokens AS DOUBLE)/200.0)*0.5
+              |  + (CAST(n_stop AS DOUBLE)/n_tokens)*0.2
+              |  + (CAST(n_alpha AS DOUBLE)/n_len)*0.3, 4) AS quality
+              |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "t_fingerprint",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.select(col("doc_id"),
+                 md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy("fp")
+      },
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+             |COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    QueryDef(
+      "t_top_terms",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("term"))
+          .limit(20)
+      },
+      Some("""SELECT term, COUNT(*) AS n FROM (
+             |  SELECT unnest(string_split(text,' ')) AS term FROM documents)
+             |WHERE term <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin),
+    ),
+    // n-gram heuristic language ID: score text against per-language
+    // stopword profiles; rows-only (synthetic corpus carries no real
+    // language signal — the spec checks shape + determinism).
+    QueryDef(
+      "t_lang_id",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val profiles = Map(
+          "en" -> Seq("the", "and", "of"), "de" -> Seq("der", "und", "das"),
+          "es" -> Seq("el", "de", "la"), "fr" -> Seq("le", "et", "la"),
+          "zh" -> Seq("zh0", "zh1", "zh2"),
+        )
+        val scored = profiles.foldLeft(d.select(col("doc_id"), col("lang"),
+            expr("split(text, ' ')").as("ws"))) { case (df, (l, words)) =>
+          val inList = words.map(w => s"'$w'").mkString("(", ",", ")")
+          df.withColumn(s"score_$l",
+            expr(s"CAST(size(filter(ws, w -> w IN $inList)) AS DOUBLE) / size(ws)"))
+        }
+        val best = profiles.keys.toSeq.sorted
+          .map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+        scored
+          .withColumn("pred", greatest(best: _*).getField("lang"))
+          .select(col("doc_id"), col("lang").as("actual"), col("pred"),
+                  (col("pred") === col("lang")).as("hit"))
+          .orderBy("doc_id")
+      },
+      None,
+    ),
+  )
+}
