@@ -14,6 +14,7 @@ object SparkEntry {
     TextAnalysis,
     Dedup,
     Similarity,
+    DmarcIngest,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)

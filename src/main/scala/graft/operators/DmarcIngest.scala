@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.sources.DmarcReader
+import org.apache.spark.sql.functions._
+
+/** Rows-only query entries exercising the DMARC ingestion pipeline on the
+  * reference's own sample corpus (read-only). These have no SQL oracle —
+  * the driver records rows>0; the ScalaTest specs pin exact field values
+  * against the reference's documented semantics.
+  */
+object DmarcIngest extends QueryModule {
+
+  private val Samples = "/root/reference/samples"
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "p_aggregate_xml",
+      (s, _) =>
+        DmarcReader.aggregateReports(s, s"$Samples/aggregate", "*.xml")
+          .toDF()
+          .select(col("reportId"), col("orgName"), col("domain"), col("p"),
+                  col("sp"), col("pct"), size(col("records")).as("n_records"))
+          .orderBy("reportId"),
+      None,
+    ),
+    QueryDef(
+      "p_records_flatten",
+      (s, _) =>
+        DmarcReader.aggregateRecords(s, s"$Samples/aggregate")
+          .toDF()
+          .orderBy("report_id", "source_ip_address"),
+      None,
+    ),
+    QueryDef(
+      "p_compressed",
+      (s, _) =>
+        DmarcReader.aggregateReports(s, s"$Samples/extract_report", "*.{gz,zip,xml}")
+          .toDF()
+          .select(col("reportId"), col("domain"), size(col("records")).as("n_records"))
+          .orderBy("reportId"),
+      None,
+    ),
+    QueryDef(
+      "p_forensic_arf",
+      (s, _) =>
+        DmarcReader.forensicReports(s, s"$Samples/forensic", "*.eml")
+          .toDF()
+          .select(col("feedbackType"), col("reportedDomain"), col("deliveryResult"),
+                  col("source.ipAddress").as("source_ip"), col("authFailure"))
+          .orderBy("reportedDomain", "source_ip"),
+      None,
+    ),
+    QueryDef(
+      "p_smtp_tls_json",
+      (s, _) => {
+        val reports = DmarcReader.tlsReports(s, s"$Samples/smtp_tls").toDF()
+        reports.select(
+            col("organizationName"), col("reportId"),
+            explode(col("policies")).as("policy"))
+          .select(col("organizationName"), col("reportId"),
+                  col("policy.policyDomain").as("policy_domain"),
+                  col("policy.policyType").as("policy_type"),
+                  col("policy.successfulSessionCount").as("ok_sessions"),
+                  col("policy.failedSessionCount").as("fail_sessions"),
+                  size(col("policy.failureDetails")).as("n_failures"))
+          .orderBy("reportId", "policy_domain")
+      },
+      None,
+    ),
+  )
+}
