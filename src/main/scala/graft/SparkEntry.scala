@@ -15,6 +15,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     DmarcIngest,
+    Enrichment,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.NetFunctions._
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries exercising the enrichment functions on derived
+  * hostname / IP columns (testdata has no hostname column, so both
+  * engines build identical inputs from nation/customer keys).
+  */
+object Enrichment extends QueryModule {
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "f_base_domain",
+      (s, dir) => {
+        val n = Tables(s, dir).nation
+        val key = col("n_nationkey")
+        val host = when(key % 5 === 0, concat(lit("mail.sub"), key, lit(".example.com")))
+          .when(key % 5 === 1, concat(lit("e"), key, lit(".c.akamaiedge.net")))
+          .when(key % 5 === 2, concat(lit("d"), key, lit(".cloudfront.net")))
+          .when(key % 5 === 3, lit("example.com"))
+          .otherwise(lit("localhost"))
+        n.select(key, host.as("host"))
+          .withColumn("base_domain", baseDomain(col("host")))
+          .orderBy("n_nationkey")
+      },
+      Some {
+        val hostSql =
+          """CASE WHEN n_nationkey % 5 = 0 THEN 'mail.sub' || CAST(n_nationkey AS VARCHAR) || '.example.com'
+            |WHEN n_nationkey % 5 = 1 THEN 'e' || CAST(n_nationkey AS VARCHAR) || '.c.akamaiedge.net'
+            |WHEN n_nationkey % 5 = 2 THEN 'd' || CAST(n_nationkey AS VARCHAR) || '.cloudfront.net'
+            |WHEN n_nationkey % 5 = 3 THEN 'example.com'
+            |ELSE 'localhost' END""".stripMargin
+        s"""SELECT n_nationkey, host, ${baseDomainSqlDuck("host")} AS base_domain
+           |FROM (SELECT n_nationkey, $hostSql AS host FROM nation)
+           |ORDER BY n_nationkey""".stripMargin
+      },
+    ),
+    QueryDef(
+      "f_is_valid_ip",
+      (s, dir) => {
+        val c = Tables(s, dir).customer
+        val ip = concat((col("c_custkey") * 7 % 300).cast("string"), lit("."),
+                        (col("c_nationkey") * 13 % 300).cast("string"), lit(".10.1"))
+        c.select(ip.as("ip"))
+          .agg(sum(when(isValidIpv4(col("ip")), 1L).otherwise(0L)).as("n_valid"),
+               sum(when(isValidIpv4(col("ip")), 0L).otherwise(1L)).as("n_invalid"))
+      },
+      Some(s"""SELECT
+              |CAST(SUM(CASE WHEN regexp_matches(ip, '${graft.functions.NetFunctions.Ipv4Regex}') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+              |CAST(SUM(CASE WHEN regexp_matches(ip, '${graft.functions.NetFunctions.Ipv4Regex}') THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+              |FROM (SELECT CAST(c_custkey * 7 % 300 AS VARCHAR) || '.' ||
+              |             CAST(c_nationkey * 13 % 300 AS VARCHAR) || '.10.1' AS ip
+              |      FROM customer)""".stripMargin),
+    ),
+  )
+}
