@@ -16,6 +16,7 @@ object SparkEntry {
     Similarity,
     DmarcIngest,
     Enrichment,
+    Streaming,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.Tables
+import graft.streaming.{EventsStreaming, RawEvent}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Rows-only entries exercising the Structured Streaming pipelines end to
+  * end (AvailableNow trigger → memory sink). Their batch twins
+  * (q_daily_volume, q_sessionize) are DuckDB-oracled; StreamingSpec
+  * asserts stream/batch parity.
+  */
+object Streaming extends QueryModule {
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "st_windowed_agg",
+      (s, dir) => {
+        val name = s"st_win_${System.nanoTime()}"
+        val q = EventsStreaming.windowedAgg(EventsStreaming.readEventStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        s.table(name).orderBy("window_start", "event_type")
+      },
+      None,
+    ),
+    QueryDef(
+      "st_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables(s, dir).events
+          .select("event_id", "ts", "user_id", "event_type", "value").as[RawEvent]
+        EventsStreaming.sessionize(events, 6L * 3600 * 1000000)
+          .toDF()
+          .orderBy("user_id", "session_id")
+      },
+      None,
+    ),
+  )
+}
