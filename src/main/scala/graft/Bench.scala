@@ -1,17 +1,38 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: headline queries (SURVEY §6) at the driver-selected
+  * scale factor, one JSON line to stdout.
+  */
 object Bench {
+
+  /** Representative slice: wide-scan agg, join+topN, star join, time
+    * bucketing, join+rate table, window sessionization, LSH dedup,
+    * vector top-k.
+    */
+  val Headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q_daily_volume", "q_org_compliance", "q_sessionize",
+    "d_minhash_lsh", "s_cosine_topk",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queries = SparkEntry.queries
+    // JVM+Spark warmup on the smallest SF so steady-state throughput is
+    // measured, not first-call codegen/classloading.
+    Headline.foreach(n => queries(n)(spark, "/root/testdata/sf0.001").count())
+    val results = Headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -17,6 +17,7 @@ object SparkEntry {
     DmarcIngest,
     Enrichment,
     Streaming,
+    Multimodal,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)

@@ -17,13 +17,20 @@ object Dedup extends QueryModule {
 
   private val Bands = 4
 
-  /** distinct 3-word shingles of `text` (whole text if < 3 tokens) */
+  /** distinct 3-word shingles of `text` (whole text if < 3 tokens).
+    * Formulated as slice+zip_with — never index the token array inside a
+    * lambda (`element_at(split(text), i)` re-splits per element, turning
+    * shingling O(tokens²)).
+    */
   private val shinglesExpr =
     """CASE WHEN size(split(text, ' ')) >= 3
-      |THEN array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-      |     i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |                         element_at(split(text, ' '), i + 1),
-      |                         element_at(split(text, ' '), i + 2))))
+      |THEN array_distinct(
+      |  zip_with(
+      |    zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 2),
+      |             slice(split(text, ' '), 2, size(split(text, ' ')) - 2),
+      |             (a, b) -> concat(a, ' ', b)),
+      |    slice(split(text, ' '), 3, size(split(text, ' ')) - 2),
+      |    (ab, c) -> concat(ab, ' ', c)))
       |ELSE array(text) END""".stripMargin
 
   private val shinglesSqlDuck =
