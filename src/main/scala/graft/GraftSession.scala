@@ -16,6 +16,7 @@ object GraftSession {
   def build(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

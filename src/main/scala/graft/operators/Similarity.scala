@@ -1,32 +1,29 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (Array[Float], dim 64).
   *
-  * Cross-engine determinism: every dot product / norm is a sequential
-  * left-fold of element products promoted to double — `aggregate(
-  * zip_with(...))` on Spark, `list_reduce(list_transform(...))` in the
-  * DuckDB oracle — so both engines produce bit-identical doubles.
+  * The Spark side scores with the native codegen'd `cosine_similarity`
+  * expression (graft.plans.CosineSimilarity, registered via
+  * SparkSessionExtensions) — no interpreted higher-order functions on
+  * the hot path. Its arithmetic (sequential double left-fold,
+  * dot / (sqrt(na)*sqrt(nb))) is bit-identical to the DuckDB oracle's
+  * `list_reduce(list_transform(...))` formulation.
   *
   * Scale: queries broadcast against the corpus (corpus never shuffles);
-  * top-k runs per-partition then global. The IVF variant prunes the
-  * corpus to nprobe centroid buckets before scoring.
+  * top-k is a per-partition window then global merge. The IVF variant
+  * prunes the corpus to nprobe centroid buckets before scoring.
   */
 object Similarity extends QueryModule {
-
-  /** Sequential-fold dot product of two float arrays, in double. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
 
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
-  private def withNorm(df: DataFrame, vec: String): DataFrame =
-    df.withColumn("nrm", expr(s"sqrt(${dot(vec, vec)})"))
+  private val cos = "round(cosine_similarity(q_vec, embedding), 4)"
 
   override def entries: Seq[QueryDef] = Seq(
     // brute-force cosine top-k: the exact baseline every ANN variant is
@@ -34,12 +31,11 @@ object Similarity extends QueryModule {
     QueryDef(
       "s_cosine_topk",
       (s, dir) => {
-        val e = Tables(s, dir).embeddings
-        val corpus = withNorm(e.select(col("vec_id"), col("embedding")), "embedding")
-        val queries = corpus.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
-        val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("cos", round(expr(dot("q_vec", "embedding")) / (col("nrm") * col("q_nrm")), 4))
+        val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", expr(cos))
         val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
         scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
@@ -61,12 +57,11 @@ object Similarity extends QueryModule {
     QueryDef(
       "d_embedding_neardup",
       (s, dir) => {
-        val e = Tables(s, dir).embeddings
-        val corpus = withNorm(e.select(col("vec_id"), col("embedding")), "embedding")
-        val probe = corpus.filter(col("vec_id") < 200)
-          .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
-        corpus.join(broadcast(probe), col("a_id") < col("vec_id"))
-          .withColumn("cos", round(expr(dot("a_vec", "embedding")) / (col("a_nrm") * col("nrm")), 4))
+        val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        val probe = e.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("a_id"), col("embedding").as("q_vec"))
+        e.join(broadcast(probe), col("a_id") < col("vec_id"))
+          .withColumn("cos", expr(cos))
           .filter(col("cos") >= 0.45)
           .select(col("a_id"), col("vec_id").as("b_id"), col("cos"))
           .orderBy("a_id", "b_id")
@@ -81,8 +76,8 @@ object Similarity extends QueryModule {
               |ORDER BY a_id, b_id""".stripMargin),
     ),
     // IVF-style ANN: assign corpus to centroid buckets (centroids = label
-    // means), probe the 2 nearest buckets per query. Rows-only: the
-    // recall/structure is spec-tested against the brute-force baseline.
+    // means), probe the 2 nearest buckets per query. Rows-only: recall
+    // and structure are spec-tested against the brute-force baseline.
     QueryDef(
       "s_ivf_topk",
       (s, dir) => {
@@ -92,18 +87,18 @@ object Similarity extends QueryModule {
           .groupBy("label", "i").agg(avg(col("x")).as("m"))
           .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("m"))))
             .getField("m").as("centroid"))
-        val corpus = withNorm(e.select(col("vec_id"), col("embedding"), col("label")), "embedding")
+          .select(col("label"), expr("transform(centroid, x -> CAST(x AS FLOAT))").as("centroid"))
+        val corpus = e.select(col("vec_id"), col("embedding"), col("label"))
         val queries = corpus.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
-        // rank centroids per query, keep nprobe=2 buckets
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val qc = queries.crossJoin(broadcast(centroids))
-          .withColumn("c_dot", expr(dot("q_vec", "centroid")))
-        val wq = Window.partitionBy("q_id").orderBy(desc("c_dot"), asc("label"))
+          .withColumn("c_cos", expr("cosine_similarity(q_vec, centroid)"))
+        val wq = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("label"))
         val probes = qc.withColumn("cr", row_number().over(wq)).filter(col("cr") <= 2)
-          .select(col("q_id"), col("q_vec"), col("q_nrm"), col("label"))
+          .select(col("q_id"), col("q_vec"), col("label"))
         val scored = corpus.join(broadcast(probes), Seq("label"))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", round(expr(dot("q_vec", "embedding")) / (col("nrm") * col("q_nrm")), 4))
+          .withColumn("cos", expr(cos))
         val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
           .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))

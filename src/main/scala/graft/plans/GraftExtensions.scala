@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** SparkSessionExtensions entry point registering graft's native
+  * expressions. Usable both programmatically
+  * (`builder.withExtensions(new GraftExtensions)`) and via
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` on a
+  * cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      CosineSimilarity.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "cosine_similarity expects 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      },
+    ))
+  }
+}
