@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan audit: the properties that make these queries survive a
+  * 100x scale-up must be visible in the plan, not assumed — parquet
+  * filter pushdown, column pruning, broadcast of dimension tables, and
+  * no cartesian products outside the intentionally bounded probes.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_filter_pushdown pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate") && p.contains("l_quantity"))
+    // projection pruned to the 3 referenced columns
+    assert(!p.contains("l_comment") && !p.contains("l_orderkey#"))
+  }
+
+  test("q1 scan reads only the referenced columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_suppkey"), readSchema)
+  }
+
+  test("dimension joins broadcast (q_top_groups, q5, q3)") {
+    assert(plan("q_top_groups").contains("BroadcastHashJoin"))
+    val q5 = plan("q5_local_supplier")
+    assert(q5.contains("BroadcastHashJoin"))
+    // the only non-broadcast join permitted is fact-fact on orderkey
+    assert(!q5.contains("CartesianProduct"))
+    assert(plan("q3_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("q_sort_limit uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan("q_daily_volume")
+    assert(p.contains("HashAggregate") && p.contains("Exchange hashpartitioning"))
+    // partial_ functions appear before the exchange in Spark's plan text
+    assert(p.contains("partial_"), p)
+  }
+
+  test("whole-stage codegen active on the scan-agg path") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    df.collect() // materialize THIS plan so AQE finalizes + codegens stages
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // WholeStageCodegen stage markers
+  }
+
+  test("similarity scoring broadcasts the probe side only") {
+    val p = plan("s_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cosine_similarity"), p)
+  }
+
+  test("minhash candidate join is a hash join on (band, minhash), not all-pairs") {
+    val p = plan("d_minhash_lsh")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+}
