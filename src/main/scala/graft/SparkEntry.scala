@@ -10,6 +10,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     DashboardAnalytics,
     Relational,
+    Relational2,
     Windowed,
     TextAnalysis,
     Dedup,

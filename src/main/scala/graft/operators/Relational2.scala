@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational slice: set operations, correlated subqueries (via
+  * the first-class spark.sql surface), the rank family, time bucketing
+  * (ClickHouse toStartOfInterval), string functions, approx quantiles.
+  */
+object Relational2 extends QueryModule {
+  import Det._
+
+  override def entries: Seq[QueryDef] = Seq(
+    // INTERSECT / EXCEPT / UNION ALL
+    QueryDef(
+      "q_set_ops",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cust = t.customer.select(col("c_nationkey").cast("int").as("k"))
+        val supp = t.supplier.select(col("s_nationkey").cast("int").as("k"))
+        val both = cust.intersect(supp).withColumn("src", lit("both"))
+        val custOnly = cust.except(supp).withColumn("src", lit("cust_only"))
+        both.unionByName(custOnly)
+          .select("src", "k")
+          .orderBy("src", "k")
+      },
+      Some("""SELECT 'both' AS src, k FROM
+             |  (SELECT CAST(c_nationkey AS INT) AS k FROM customer
+             |   INTERSECT SELECT CAST(s_nationkey AS INT) FROM supplier)
+             |UNION ALL
+             |SELECT 'cust_only', k FROM
+             |  (SELECT CAST(c_nationkey AS INT) AS k FROM customer
+             |   EXCEPT SELECT CAST(s_nationkey AS INT) FROM supplier)
+             |ORDER BY src, k""".stripMargin),
+    ),
+    // correlated scalar subquery through spark.sql (decimal-exact sums
+    // keep the cross-engine comparison deterministic)
+    QueryDef(
+      "q_correlated_subquery",
+      (s, dir) => {
+        Tables(s, dir).customer.createOrReplaceTempView("customer")
+        s.sql("""SELECT c_nationkey, COUNT(*) AS n_heavy
+                |FROM customer c1
+                |WHERE c_acctbal > (
+                |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+                |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n_heavy
+             |FROM customer c1
+             |WHERE c_acctbal > (
+             |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
+    // rank family (tie-stable across engines: ranks depend only on the
+    // order-by value, rows identified by key)
+    QueryDef(
+      "q_window_ranks",
+      (s, dir) => {
+        val o = Tables(s, dir).orders
+        val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"))
+        o.select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+                 col("o_totalprice"),
+                 rank().over(w).as("rnk"),
+                 dense_rank().over(w).as("drnk"),
+                 round(percent_rank().over(w), 6).as("prnk"))
+          .filter(col("rnk") <= 5)
+          .orderBy("priority", "rnk", "o_orderkey")
+      },
+      Some("""SELECT priority, o_orderkey, o_totalprice, rnk, drnk, prnk FROM (
+             |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+             |  CAST(RANK() OVER w AS INT) AS rnk,
+             |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+             |  ROUND(PERCENT_RANK() OVER w, 6) AS prnk
+             |  FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC))
+             |WHERE rnk <= 5 ORDER BY priority, rnk, o_orderkey""".stripMargin),
+    ),
+    // ClickHouse toStartOfInterval(ts, 15 min) — engine-neutral epoch
+    // floor math so bucket origins can't diverge
+    QueryDef(
+      "q_time_bucket_15m",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val bucket = (unix_micros(col("ts")) / 900000000L).cast("long") * 900000000L
+        e.groupBy(bucket.as("bucket_us"))
+          .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+          .filter(col("n_events") >= 3)
+          .orderBy("bucket_us")
+      },
+      Some("""SELECT (EPOCH_US(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000 AS bucket_us,
+             |COUNT(*) AS n_events,
+             |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin),
+    ),
+    // string function battery over part
+    QueryDef(
+      "q_string_funcs",
+      (s, dir) => {
+        val p = Tables(s, dir).part
+        p.select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_upper"),
+            regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+            substring(col("p_name"), 1, 8).as("name_prefix"),
+            length(col("p_name")).cast("bigint").as("name_len"),
+            replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, UPPER(p_brand) AS brand_upper,
+             |CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
+             |substr(p_name, 1, 8) AS name_prefix,
+             |CAST(length(p_name) AS BIGINT) AS name_len,
+             |replace(p_type, ' ', '_') AS type_snake,
+             |p_brand || '|' || p_type AS brand_type
+             |FROM part ORDER BY p_partkey""".stripMargin),
+    ),
+    // approximate quantiles (t-digest-style sketch) — rows-only: DuckDB's
+    // approx_quantile uses a different sketch
+    QueryDef(
+      "q_approx_quantiles",
+      (s, dir) => {
+        val l = Tables(s, dir).lineitem
+        l.agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").as("price_quartiles"),
+              expr("approx_percentile(l_quantity, 0.5, 1000)").as("qty_median"))
+      },
+      None,
+    ),
+  )
+}
