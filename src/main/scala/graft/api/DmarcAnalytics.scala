@@ -1,0 +1,115 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's dashboard analytics as a library API over the real
+  * DMARC record tables (graft.sources.DmarcReader output) — what a
+  * parsedmarc-go + Grafana user calls after switching to this engine.
+  * Each method mirrors one panel of
+  * grafana/clickhouse/dashboard-dmarc-overview.json /
+  * dashboard-dmarc-forensic.json, re-expressed as a declarative
+  * DataFrame transform (Catalyst prunes/pushes/broadcasts).
+  *
+  * All methods take the flattened `dmarc_aggregate_records` /
+  * `dmarc_forensic_reports` shape; on a cluster those are parquet tables
+  * partitioned by month(begin_date) so the `since` filters prune
+  * partitions.
+  */
+object DmarcAnalytics {
+
+  private def aligned: Column = col("dmarc_aligned").cast("int")
+
+  /** overview p0: daily message volume. */
+  def dailyVolume(records: DataFrame): DataFrame =
+    records.groupBy(col("begin_date").cast("date").as("date"))
+      .agg(sum(col("count")).as("total_messages"))
+      .orderBy("date")
+
+  /** overview p1: total messages in window. */
+  def totalMessages(records: DataFrame, since: String): DataFrame =
+    records.filter(col("begin_date") >= lit(since))
+      .agg(sum(col("count")).as("total"))
+
+  /** overview p2: DMARC compliance rate (%). */
+  def complianceRate(records: DataFrame): DataFrame =
+    records.agg(round(sum(aligned * col("count")) * 100.0 / sum(col("count")), 2)
+      .as("compliance_rate"))
+
+  /** overview p3: pass/fail breakdown. */
+  def passFailBreakdown(records: DataFrame): DataFrame =
+    records.groupBy(when(col("dmarc_aligned"), "Pass").otherwise("Fail").as("status"))
+      .agg(sum(col("count")).as("messages"))
+      .orderBy(desc("messages"))
+
+  /** overview p4: disposition breakdown. */
+  def dispositionBreakdown(records: DataFrame): DataFrame =
+    records.groupBy("disposition")
+      .agg(sum(col("count")).as("messages"))
+      .orderBy(desc("messages"), asc("disposition"))
+
+  /** overview p5: top source countries (Unknown excluded). */
+  def topCountries(records: DataFrame, n: Int = 10): DataFrame =
+    records.filter(col("source_country") =!= "Unknown")
+      .groupBy("source_country")
+      .agg(sum(col("count")).as("messages"))
+      .orderBy(desc("messages"), asc("source_country"))
+      .limit(n)
+
+  /** overview p6: per-reporting-org volume + compliance. */
+  def orgCompliance(records: DataFrame, n: Int = 20): DataFrame =
+    records.groupBy("org_name")
+      .agg(sum(col("count")).as("messages"),
+           round(sum(aligned * col("count")) * 100.0 / sum(col("count")), 2)
+             .as("compliance_rate"))
+      .orderBy(desc("messages"), asc("org_name"))
+      .limit(n)
+
+  /** overview p7: top sources with volume floor. */
+  def topSources(records: DataFrame, minMessages: Long = 100, n: Int = 50): DataFrame =
+    records.groupBy("source_ip_address", "source_reverse_dns", "source_country")
+      .agg(sum(col("count")).as("messages"),
+           round(sum(aligned * col("count")) * 100.0 / sum(col("count")), 2)
+             .as("dmarc_pass_rate"))
+      .filter(col("messages") > minMessages)
+      .orderBy(desc("messages"), asc("source_ip_address"))
+      .limit(n)
+
+  /** forensic p4: reports per day. */
+  def forensicPerDay(forensic: DataFrame): DataFrame =
+    forensic.groupBy(col("arrivalDate").cast("date").as("date"))
+      .agg(count(lit(1)).as("reports"))
+      .orderBy("date")
+
+  /** forensic p5: feedback-type breakdown. */
+  def feedbackTypeBreakdown(forensic: DataFrame): DataFrame =
+    forensic.groupBy("feedbackType")
+      .agg(count(lit(1)).as("reports"))
+      .orderBy(desc("reports"), asc("feedbackType"))
+
+  /** forensic p6: delivery-result breakdown. */
+  def deliveryResultBreakdown(forensic: DataFrame): DataFrame =
+    forensic.groupBy("deliveryResult")
+      .agg(count(lit(1)).as("reports"))
+      .orderBy(desc("reports"), asc("deliveryResult"))
+
+  /** forensic p8: most-reported domains with distinct source breadth. */
+  def topReportedDomains(forensic: DataFrame, n: Int = 20): DataFrame =
+    forensic.groupBy(col("reportedDomain"))
+      .agg(count(lit(1)).as("report_count"),
+           countDistinct(col("source.ipAddress")).as("unique_ips"),
+           array_sort(collect_set(col("authFailure"))).as("auth_failures"))
+      .orderBy(desc("report_count"), asc("reportedDomain"))
+      .limit(n)
+
+  /** forensic p9: top source IPs with last-seen. */
+  def topForensicSources(forensic: DataFrame, n: Int = 50): DataFrame =
+    forensic.groupBy(col("source.ipAddress").as("source_ip"),
+                     col("source.reverseDns").as("reverse_dns"),
+                     col("source.country").as("country"))
+      .agg(count(lit(1)).as("report_count"),
+           countDistinct(col("reportedDomain")).as("unique_domains"),
+           max(col("arrivalDate")).as("last_seen"))
+      .orderBy(desc("report_count"), asc("source_ip"))
+      .limit(n)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.api.DmarcAnalytics._
+import graft.sources.DmarcReader
+import org.apache.spark.sql.DataFrame
+
+/** Dashboard API over real parsed sample reports: invariants every panel
+  * must satisfy.
+  */
+class DmarcAnalyticsSpec extends SparkSpec {
+
+  private lazy val records: DataFrame =
+    DmarcReader.aggregateRecords(spark, "/root/reference/samples/aggregate").toDF().cache()
+  private lazy val forensic: DataFrame =
+    DmarcReader.forensicReports(spark, "/root/reference/samples/forensic", "*.eml").toDF().cache()
+
+  test("daily volume sums to total message count") {
+    val daily = dailyVolume(records).agg(org.apache.spark.sql.functions.sum("total_messages"))
+      .collect().head.getLong(0)
+    val total = records.agg(org.apache.spark.sql.functions.sum("count"))
+      .collect().head.getLong(0)
+    assert(daily == total && total > 0)
+  }
+
+  test("compliance rate within [0,100] and consistent with pass/fail split") {
+    val rate = complianceRate(records).collect().head.getDouble(0)
+    assert(rate >= 0.0 && rate <= 100.0)
+    val pf = passFailBreakdown(records).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pass = pf.getOrElse("Pass", 0L); val fail = pf.getOrElse("Fail", 0L)
+    val expected = math.rint(pass * 10000.0 / (pass + fail)) / 100
+    assert(math.abs(rate - expected) < 0.01)
+  }
+
+  test("disposition breakdown covers all messages") {
+    val d = dispositionBreakdown(records)
+      .agg(org.apache.spark.sql.functions.sum("messages")).collect().head.getLong(0)
+    val total = records.agg(org.apache.spark.sql.functions.sum("count"))
+      .collect().head.getLong(0)
+    assert(d == total)
+  }
+
+  test("org compliance: one row per org, rates bounded") {
+    val rows = orgCompliance(records).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 100))
+  }
+
+  test("topSources respects the volume floor") {
+    val rows = topSources(records, minMessages = 1, n = 50).collect()
+    assert(rows.forall(_.getLong(3) > 1))
+  }
+
+  test("forensic panels run on parsed ARF corpus") {
+    assert(forensicPerDay(forensic).count() > 0)
+    val ft = feedbackTypeBreakdown(forensic).collect()
+    assert(ft.map(_.getLong(1)).sum == forensic.count())
+    assert(deliveryResultBreakdown(forensic).count() > 0)
+    val domains = topReportedDomains(forensic).collect()
+    assert(domains.nonEmpty && domains.forall(_.getLong(1) > 0))
+    assert(topForensicSources(forensic).count() > 0)
+  }
+}
