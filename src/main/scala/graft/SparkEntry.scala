@@ -19,6 +19,7 @@ object SparkEntry {
     Enrichment,
     Streaming,
     Multimodal,
+    Scale,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
