@@ -1,0 +1,54 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks natively, composed from operators it has.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the most recent right row
+    * with rightTs <= leftTs (per key). Implemented as union + single
+    * window pass — no range-join explosion, no per-key driver loop; the
+    * only shuffle is the hash partition on the key, so it scales like a
+    * groupBy, not like an inequality join.
+    *
+    * The matched right row travels as one struct (no column tearing when
+    * right payloads contain nulls). Left rows with no prior right row
+    * get a null struct (left-outer as-of semantics).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      asofCol: String = "asof",
+  ): DataFrame = {
+    val rightPayload = right.columns.filterNot(_ == key).toSeq
+
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn(asofCol,
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType, nullable = true)))))
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key), col("_ts"), col("_side"),
+        struct(rightPayload.map(col): _*).as(asofCol)) ++
+        left.columns.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    // right rows sort before left rows at equal ts → rightTs <= leftTs
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn(asofCol, last(col(asofCol), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_ts", "_side")
+  }
+}
