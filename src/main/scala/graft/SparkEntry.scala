@@ -11,6 +11,7 @@ object SparkEntry {
     DashboardAnalytics,
     Relational,
     Relational2,
+    Relational3,
     Windowed,
     TextAnalysis,
     Dedup,
