@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.Try
+import scala.xml.XML
+
+final case class ValidationResult(
+    valid: Boolean, errors: Seq[String], warnings: Seq[String])
+
+/** Report validation mirroring
+  * /root/reference/internal/validation/validator.go — structural XML
+  * checks, required fields, email/domain/IP/policy formats, date-range
+  * rules, per-record warnings — plus a distributed variant that
+  * validates a whole archive into a DataFrame (the shape a 100 TB intake
+  * audit needs).
+  */
+object ReportValidator {
+
+  private val EmailRe = """^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$""".r
+  private val DomainRe = """^([a-zA-Z0-9]([a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?\.)+[a-zA-Z]{2,}$""".r
+  private val ValidPolicies = Set("none", "quarantine", "reject")
+
+  def isValidEmail(s: String): Boolean = EmailRe.matches(s)
+  def isValidDomain(s: String): Boolean = s.nonEmpty && DomainRe.matches(s)
+  def isValidIpLiteral(s: String): Boolean =
+    Try(java.net.InetAddress.getByName(s)).isSuccess &&
+      (s.contains(".") || s.contains(":"))
+  def isValidPolicy(p: String): Boolean = ValidPolicies(p)
+
+  /** validator.go ValidateXMLReport: structural + semantic checks with
+    * the reference's error/warning split.
+    */
+  def validateAggregate(data: Array[Byte]): ValidationResult = {
+    val errors = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    val raw = Extract.utf8(Extract.decompress(data))
+
+    Try(XML.loadString(raw)).toOption match {
+      case None =>
+        ValidationResult(valid = false, Seq("Invalid XML format"), Seq.empty)
+      case Some(root) =>
+        def txt(n: scala.xml.NodeSeq): String = n.text.trim
+        val meta = root \ "report_metadata"
+        val pol = root \ "policy_published"
+
+        if (txt(meta \ "org_name").isEmpty) errors += "Missing organization name"
+        if (txt(meta \ "report_id").isEmpty) errors += "Missing report ID"
+        val email = txt(meta \ "email")
+        if (email.nonEmpty && !isValidEmail(email)) warnings += "Invalid email format"
+        val domain = txt(pol \ "domain")
+        if (domain.isEmpty) errors += "Missing domain in policy published"
+        else if (!isValidDomain(domain)) errors += "Invalid domain format in policy published"
+        if (!isValidPolicy(txt(pol \ "p"))) errors += "Invalid DMARC policy value"
+
+        val begin = Try(txt(meta \ "date_range" \ "begin").toLong).toOption
+        val end = Try(txt(meta \ "date_range" \ "end").toLong).toOption
+        (begin, end) match {
+          case (Some(b), Some(e)) =>
+            if (e < b) errors += "Invalid date range: end date is before begin date"
+            else if (e - b > 48L * 3600) errors += "Invalid date range: exceeds 48 hours"
+          case _ => errors += "Invalid date range: unparseable timestamps"
+        }
+
+        val records = root \ "record"
+        if (records.isEmpty) warnings += "No records found in report"
+        records.zipWithIndex.foreach { case (rec, i) =>
+          val count = Try(txt(rec \ "row" \ "count").toInt).getOrElse(0)
+          if (count <= 0) warnings += s"Record ${i + 1} has invalid count: $count"
+          val ip = txt(rec \ "row" \ "source_ip")
+          if (!isValidIpLiteral(ip)) errors += s"Record ${i + 1} has invalid source IP: $ip"
+          val hf = txt(rec \ "identifiers" \ "header_from")
+          if (hf.isEmpty) warnings += s"Record ${i + 1} missing header_from"
+          else if (!isValidDomain(hf)) warnings += s"Record ${i + 1} has invalid header_from domain: $hf"
+        }
+
+        val errs = errors.result()
+        ValidationResult(errs.isEmpty, errs, warnings.result())
+    }
+  }
+
+  def validateReportId(id: String): ValidationResult = {
+    val errors = Seq.newBuilder[String]
+    if (id.isEmpty) errors += "Report ID cannot be empty"
+    if (id.length > 255) errors += "Report ID too long (max 255 characters)"
+    if (id.exists(c => c < ' ' || "<>\"'&;".contains(c)))
+      errors += "Report ID contains potentially dangerous characters"
+    val errs = errors.result()
+    ValidationResult(errs.isEmpty, errs, Seq.empty)
+  }
+
+  def validateSize(size: Long, maxSize: Long): ValidationResult = {
+    val errors = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    if (size <= 0) errors += "Empty report content"
+    if (maxSize > 0 && size > maxSize)
+      errors += s"Report size ($size bytes) exceeds maximum allowed size ($maxSize bytes)"
+    if (size > 10L * 1024 * 1024)
+      warnings += "Report size is very large, consider using compression"
+    val errs = errors.result()
+    ValidationResult(errs.isEmpty, errs, warnings.result())
+  }
+
+  /** Distributed archive audit: every file validated on executors. */
+  def validateDirectory(spark: SparkSession, path: String, glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val r = validateAggregate(bytes)
+        (p, r.valid, r.errors, r.warnings)
+      }
+      .toDF("path", "valid", "errors", "warnings")
+  }
+}
