@@ -1,0 +1,70 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style ANN index: k-means over the embedding column, corpus
+  * assigned to centroid buckets, queries probe only the nprobe nearest
+  * buckets. Everything is DataFrame ops — assignment is a broadcast
+  * cross join (centroids are tiny), centroid update is a
+  * posexplode/groupBy mean — so the index build is k·iters passes over
+  * the corpus with no shuffle larger than a groupBy(cluster), and scales
+  * to a 100 TB corpus the same way any aggregation does.
+  */
+object AnnIndex {
+
+  private val sqDist =
+    "aggregate(zip_with(embedding, centroid, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+
+  /** (cluster, centroid float array); deterministic init from the first
+    * k vectors by id.
+    */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    var centroids = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("embedding").as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = assign(corpus, centroids)
+      centroids = assigned
+        .join(corpus, "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("cluster", "i").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).getField("m").as("c"))
+        .select(col("cluster"), expr("transform(c, x -> CAST(x AS FLOAT))").as("centroid"))
+      centroids = centroids.localCheckpoint() // cut the growing lineage
+    }
+    centroids
+  }
+
+  /** Nearest centroid per corpus vector (squared L2, codegen-free but
+    * centroid side broadcast — one pass, no shuffle).
+    */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("d", expr(sqDist))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"))
+
+  /** Top-k by cosine probing the nprobe nearest buckets per query. */
+  def search(
+      corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val assigned = assign(corpus, centroids).join(corpus, "vec_id")
+    val qProbes = queries.crossJoin(broadcast(centroids))
+      .withColumn("d", expr(sqDist.replace("embedding", "q_vec")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("d"), asc("cluster"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    val scored = assigned.join(broadcast(qProbes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr("cosine_similarity(q_vec, embedding)"), 4))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+  }
+}

@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  private val Bands = 4
+  /** b bands × r rows: a pair becomes a candidate iff BOTH minhashes of
+    * some band agree — P(candidate) = 1-(1-j^r)^b, so at j=0.5 recall is
+    * ~0.90 while the j≈0.05 noise floor (which r=1 banding admitted by
+    * the hundreds) almost never collides.
+    */
+  private val Bands = 8
+  private val Rows = 2
+  private val JaccardTau = 0.5
 
   /** distinct 3-word shingles of `text` (whole text if < 3 tokens).
     * Formulated as slice+zip_with — never index the token array inside a
@@ -66,7 +73,11 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val docs = shingleDocs(Tables(s, dir)).cache()
         val bandCols = (0 until Bands).map { j =>
-          expr(s"array_min(transform(sh, x -> md5(concat('$j|', x))))")
+          val rows = (0 until Rows).map { k =>
+            val seed = j * Rows + k
+            s"array_min(transform(sh, x -> md5(concat('$seed|', x))))"
+          }
+          expr(s"md5(concat(${rows.mkString(", ")}))")
         }
         val bands = docs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
         val cand = bands.as("a")
@@ -79,11 +90,16 @@ object Dedup extends QueryModule {
           .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .filter(col("jaccard") >= JaccardTau)
           .orderBy("doc_a", "doc_b")
       },
       Some {
         val bandSql = (0 until Bands).map { j =>
-          s"SELECT doc_id, $j AS j, list_min(list_transform(sh, x -> md5('$j|' || x))) AS mh FROM sh"
+          val rows = (0 until Rows).map { k =>
+            val seed = j * Rows + k
+            s"list_min(list_transform(sh, x -> md5('$seed|' || x)))"
+          }
+          s"SELECT doc_id, $j AS j, md5(${rows.mkString(" || ")}) AS mh FROM sh"
         }.mkString("\nUNION ALL\n")
         s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
            |bands AS ($bandSql),
@@ -93,6 +109,8 @@ object Dedup extends QueryModule {
            |ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
            |  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
            |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+           |WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= $JaccardTau
            |ORDER BY doc_a, doc_b""".stripMargin
       },
     ),
@@ -125,6 +143,29 @@ object Dedup extends QueryModule {
            |CAST(len(toks) AS BIGINT) AS n_tokens
            |FROM t ORDER BY doc_id""".stripMargin
       },
+    ),
+    // at-scale simhash dedup: native 64-bit simhash64 expression, 4×16-bit
+    // band bucketing (a pair within hamming 3 shares ≥1 exact band), then
+    // hamming verification — rows-only (murmur3 has no DuckDB twin)
+    QueryDef(
+      "d_simhash64",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val hashed = d.selectExpr("doc_id",
+          "simhash64(array_distinct(split(text, ' '))) AS h")
+        val bands = hashed.select(col("doc_id"), col("h"),
+          posexplode(expr("transform(sequence(0, 3), i -> (h >> (i * 16)) & 65535)"))
+            .as(Seq("band_i", "band_v")))
+        bands.as("a").join(bands.as("b"),
+            col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                  expr("bit_count(a.h ^ b.h)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+          .orderBy("doc_a", "doc_b")
+      },
+      None,
     ),
     QueryDef(
       "d_ngram_jaccard",

@@ -75,33 +75,18 @@ object Similarity extends QueryModule {
               |  AND ROUND(${duckDot("a_vec", "embedding")} / (a_nrm * nrm), 4) >= 0.45
               |ORDER BY a_id, b_id""".stripMargin),
     ),
-    // IVF-style ANN: assign corpus to centroid buckets (centroids = label
-    // means), probe the 2 nearest buckets per query. Rows-only: recall
-    // and structure are spec-tested against the brute-force baseline.
+    // IVF-style ANN: k-means bucketing (graft.api.AnnIndex), queries
+    // probe the 3 nearest of 8 buckets. Rows-only: recall and structure
+    // are spec-tested against the brute-force baseline.
     QueryDef(
       "s_ivf_topk",
       (s, dir) => {
         val e = Tables(s, dir).embeddings
-        val centroids = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-          .groupBy("label", "i").agg(avg(col("x")).as("m"))
-          .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("m"))))
-            .getField("m").as("centroid"))
-          .select(col("label"), expr("transform(centroid, x -> CAST(x AS FLOAT))").as("centroid"))
-        val corpus = e.select(col("vec_id"), col("embedding"), col("label"))
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val centroids = graft.api.AnnIndex.kmeans(corpus, k = 8, iters = 3)
         val queries = corpus.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val qc = queries.crossJoin(broadcast(centroids))
-          .withColumn("c_cos", expr("cosine_similarity(q_vec, centroid)"))
-        val wq = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("label"))
-        val probes = qc.withColumn("cr", row_number().over(wq)).filter(col("cr") <= 2)
-          .select(col("q_id"), col("q_vec"), col("label"))
-        val scored = corpus.join(broadcast(probes), Seq("label"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", expr(cos))
-        val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+        graft.api.AnnIndex.search(corpus, centroids, queries, nprobe = 3, topK = 5)
           .orderBy("q_id", "rn")
       },
       None,

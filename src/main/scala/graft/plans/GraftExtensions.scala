@@ -19,5 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       },
     ))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      Simhash64.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "simhash64 expects 1 argument")
+        Simhash64(children.head)
+      },
+    ))
   }
 }
