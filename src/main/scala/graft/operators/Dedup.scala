@@ -151,8 +151,10 @@ object Dedup extends QueryModule {
       "d_simhash64",
       (s, dir) => {
         val d = Tables(s, dir).documents
-        val hashed = d.selectExpr("doc_id",
-          "simhash64(array_distinct(split(text, ' '))) AS h")
+        // shingle-level simhash: token-level collapses on a shared-vocab
+        // corpus (every doc uses the same ~30 words)
+        val hashed = d.select(col("doc_id"), expr(shinglesExpr).as("sh"))
+          .selectExpr("doc_id", "simhash64(sh) AS h")
         val bands = hashed.select(col("doc_id"), col("h"),
           posexplode(expr("transform(sequence(0, 3), i -> (h >> (i * 16)) & 65535)"))
             .as(Seq("band_i", "band_v")))
@@ -162,7 +164,7 @@ object Dedup extends QueryModule {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
                   expr("bit_count(a.h ^ b.h)").as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 12)
+          .filter(col("hamming") <= 6)
           .orderBy("doc_a", "doc_b")
       },
       None,
