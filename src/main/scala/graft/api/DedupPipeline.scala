@@ -1,0 +1,60 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus deduplication: near-dup PAIRS (from MinHash/SimHash/
+  * embedding similarity) → duplicate CLUSTERS → deduped corpus keeping
+  * one representative per cluster.
+  *
+  * Clustering is min-label propagation over the pair graph — each
+  * iteration is two hash-join/groupBy passes (no driver-side graph), and
+  * iterations are bounded by the graph diameter, which for near-dup
+  * clusters is tiny (dup groups are near-cliques). This is the standard
+  * scalable connected-components shape for 100 TB dedup jobs.
+  */
+object DedupPipeline {
+
+  /** pairs(doc_a, doc_b) → (doc_id, cluster_id) where cluster_id is the
+    * smallest doc_id reachable through the pair graph. Docs not in any
+    * pair are omitted (they are their own cluster).
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .cache()
+    // labels start as each node's smallest neighbor (or itself)
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(least(min(col("b")), first(col("a"))).as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("label")).as("n_label"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.withColumnRenamed("label", "new_label")
+        .join(labels, Seq("doc_id"))
+        .filter(col("new_label") =!= col("label")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** corpus + near-dup pairs → corpus with one representative (smallest
+    * id) per duplicate cluster.
+    */
+  def dedup(corpus: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(pairs)
+    val losers = cl.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+}

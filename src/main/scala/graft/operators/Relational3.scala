@@ -79,6 +79,33 @@ object Relational3 extends QueryModule {
              |FROM part ORDER BY p_partkey""".stripMargin),
     ),
     QueryDef(
+      "q_quantiles_by_group",
+      (s, dir) => {
+        val l = Tables(s, dir).lineitem
+        l.groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_median"),
+               round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"),
+               count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS qty_median,
+             |ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS price_p90,
+             |COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    QueryDef(
+      "q_histogram",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        e.groupBy(floor(col("value") / 20).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(FLOOR(value / 20) AS INT) AS bucket, COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    QueryDef(
       "q_date_funcs",
       (s, dir) => {
         val o = Tables(s, dir).orders
