@@ -71,15 +71,26 @@ object Dedup extends QueryModule {
     QueryDef(
       "d_minhash_lsh",
       (s, dir) => {
+        // 16 minhash functions from FOUR md5s per shingle: 4×32 hex chars
+        // give exactly 16 disjoint 8-hex chunks, each an independent
+        // uniform 32-bit hash. Shingles explode to rows so hashing and
+        // the 16 mins run as codegen'd projections + hash aggregate
+        // (map-side combined) instead of interpreted array lambdas —
+        // the shape that survives 100 TB.
         val docs = shingleDocs(Tables(s, dir)).cache()
-        val bandCols = (0 until Bands).map { j =>
-          val rows = (0 until Rows).map { k =>
-            val seed = j * Rows + k
-            s"array_min(transform(sh, x -> md5(concat('$seed|', x))))"
-          }
-          expr(s"md5(concat(${rows.mkString(", ")}))")
+        val hashed = docs
+          .select(col("doc_id"), explode(col("sh")).as("x"))
+          .select(col("doc_id"),
+                  concat((0 until 4).map(s =>
+                    md5(concat(lit(s"$s|"), col("x")))): _*).as("y"))
+        val minCols = (0 until Bands * Rows).map { i =>
+          min(substring(col("y"), 1 + 8 * i, 8)).as(s"h$i")
         }
-        val bands = docs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
+        val mins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val bandCols = (0 until Bands).map { j =>
+          md5(concat((0 until Rows).map(k => col(s"h${j * Rows + k}")): _*))
+        }
+        val bands = mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
         val cand = bands.as("a")
           .join(bands.as("b"),
                 col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
@@ -94,14 +105,18 @@ object Dedup extends QueryModule {
           .orderBy("doc_a", "doc_b")
       },
       Some {
+        val minsSql = (0 until Bands * Rows).map { i =>
+          s"min(substr(y, ${1 + 8 * i}, 8)) AS h$i"
+        }.mkString(", ")
         val bandSql = (0 until Bands).map { j =>
-          val rows = (0 until Rows).map { k =>
-            val seed = j * Rows + k
-            s"list_min(list_transform(sh, x -> md5('$seed|' || x)))"
-          }
-          s"SELECT doc_id, $j AS j, md5(${rows.mkString(" || ")}) AS mh FROM sh"
+          val key = (0 until Rows).map(k => s"h${j * Rows + k}").mkString(" || ")
+          s"SELECT doc_id, $j AS j, md5($key) AS mh FROM mins"
         }.mkString("\nUNION ALL\n")
         s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+           |hashed AS (SELECT doc_id,
+           |  md5('0|' || x) || md5('1|' || x) || md5('2|' || x) || md5('3|' || x) AS y
+           |  FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),
+           |mins AS (SELECT doc_id, $minsSql FROM hashed GROUP BY doc_id),
            |bands AS ($bandSql),
            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)

@@ -58,6 +58,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosine_similarity"), p)
   }
 
+  test("rank-filter top-N uses WindowGroupLimit (bounded per-partition state)") {
+    val p = plan("q_window_topn_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("minhash candidate join is a hash join on (band, minhash), not all-pairs") {
     val p = plan("d_minhash_lsh")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
