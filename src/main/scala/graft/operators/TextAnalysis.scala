@@ -98,6 +98,47 @@ object TextAnalysis extends QueryModule {
              |  SELECT unnest(string_split(text,' ')) AS term FROM documents)
              |WHERE term <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin),
     ),
+    // BPE-ish regex tokenization (word / number / punctuation-run
+    // classes — the lookahead-free common subset of Java and RE2 regex)
+    QueryDef(
+      "t_bpe_token_count",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+        d.select(col("lang"),
+            expr(s"CAST(size(regexp_extract_all(text, '$pat', 0)) AS BIGINT)").as("n_bpe"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_ws"))
+          .groupBy("lang")
+          .agg(sum(col("n_bpe")).as("total_bpe_tokens"),
+               sum(col("n_ws")).as("total_ws_tokens"),
+               round(sum(col("n_bpe")).cast("double") / sum(col("n_ws")), 4).as("bpe_per_ws"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+             |CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))) AS BIGINT) AS total_bpe_tokens,
+             |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+             |ROUND(CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))) AS DOUBLE)
+             |  / SUM(len(string_split(text, ' '))), 4) AS bpe_per_ws
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    // rolling-hash fingerprint: min md5 over all char-8-gram windows
+    // (winnowing-style document signature; explode → codegen'd min agg)
+    QueryDef(
+      "t_rolling_fingerprint",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.select(col("doc_id"), posexplode(expr("sequence(1, greatest(length(text) - 7, 1))")).as(Seq("p", "i")),
+                 col("text"))
+          .select(col("doc_id"), md5(expr("substring(text, i, 8)")).as("h"))
+          .groupBy("doc_id")
+          .agg(min(col("h")).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, MIN(md5(substr(text, CAST(i AS INT), 8))) AS fingerprint
+             |FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // n-gram heuristic language ID: score text against per-language
     // stopword profiles; rows-only (synthetic corpus carries no real
     // language signal — the spec checks shape + determinism).
