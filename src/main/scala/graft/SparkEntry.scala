@@ -25,6 +25,11 @@ object SparkEntry {
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
 
+  /** Pre-dedup name list (the Maps below would silently drop collisions;
+    * QueriesSmokeSpec asserts uniqueness against this).
+    */
+  def declaredNames: Seq[String] = all.map(_.name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     all.head.fn(spark, "/root/testdata/sf0.001")
