@@ -89,12 +89,15 @@ object Relational extends QueryModule {
         val asiaNations = t.nation
           .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
                 col("n_regionkey") === col("r_regionkey"))
+        // broadcast only true dims (region/nation); customer/supplier/
+        // orders scale with the data — their joins shuffle on their keys
+        // (AQE may still broadcast small sides from runtime stats)
         t.lineitem
           .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
                                 col("o_orderdate") < lit("1997-01-01")),
                 col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(t.customer),
+          .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+          .join(t.customer,
                 col("o_custkey") === col("c_custkey") &&
                   col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))

@@ -59,7 +59,7 @@ object Windowed extends QueryModule {
       "q_window_topn_per_group",
       (s, dir) => {
         val t = Tables(s, dir)
-        val joined = t.orders.join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        val joined = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
         val w = Window.partitionBy("c_mktsegment").orderBy(desc("o_totalprice"), asc("o_orderkey"))
         joined.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
