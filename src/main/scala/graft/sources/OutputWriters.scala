@@ -45,6 +45,62 @@ object OutputWriters {
         first1(col("spf_domains")).as("spf_domain"))
   }
 
+  /** Forensic CSV layout (output.go:334-398): RFC3339 arrival date,
+    * auth_failure ";"-joined, optional fields as empty strings.
+    */
+  def forensicCsvLayout(forensic: Dataset[ForensicReport]): DataFrame =
+    forensic.toDF().select(
+      col("feedbackType").as("feedback_type"),
+      coalesce(col("userAgent"), lit("")).as("user_agent"),
+      coalesce(col("version"), lit("")).as("version"),
+      coalesce(col("originalEnvelopeId"), lit("")).as("original_envelope_id"),
+      coalesce(col("originalMailFrom"), lit("")).as("original_mail_from"),
+      coalesce(col("originalRcptTo"), lit("")).as("original_rcpt_to"),
+      date_format(col("arrivalDate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("arrival_date"),
+      col("subject"), col("messageId").as("message_id"),
+      col("authenticationResults").as("authentication_results"),
+      coalesce(col("dkimDomain"), lit("")).as("dkim_domain"),
+      col("source.ipAddress").as("source_ip"),
+      col("source.country").as("source_country"),
+      col("deliveryResult").as("delivery_result"),
+      array_join(col("authFailure"), ";").as("auth_failure"),
+      col("reportedDomain").as("reported_domain"))
+
+  /** SMTP TLS CSV layout (output.go:399-462): one row per policy, or one
+    * per failure detail when present — exactly the reference's explode.
+    */
+  def tlsCsvLayout(reports: Dataset[TlsReport]): DataFrame = {
+    val base = reports.toDF().select(
+      col("organizationName").as("organization_name"),
+      date_format(col("beginDate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("begin_date"),
+      date_format(col("endDate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("end_date"),
+      col("contactInfo").as("contact_info"),
+      col("reportId").as("report_id"),
+      explode(col("policies")).as("policy"))
+    base.select(
+      col("organization_name"), col("begin_date"), col("end_date"),
+      col("contact_info"), col("report_id"),
+      col("policy.policyDomain").as("policy_domain"),
+      col("policy.policyType").as("policy_type"),
+      col("policy.successfulSessionCount").as("successful_session_count"),
+      col("policy.failedSessionCount").as("failed_session_count"),
+      // empty failure list → one row of empty strings (reference base row)
+      explode(when(size(col("policy.failureDetails")) === 0,
+          array(struct(lit("").as("resultType"),
+                       lit("").as("sendingMtaIp"),
+                       lit("").as("receivingIp"))))
+        .otherwise(expr(
+          "transform(policy.failureDetails, f -> struct(f.resultType AS resultType, coalesce(f.sendingMtaIp, '') AS sendingMtaIp, coalesce(f.receivingIp, '') AS receivingIp))")))
+        .as("f"))
+      .select(col("organization_name"), col("begin_date"), col("end_date"),
+        col("contact_info"), col("report_id"), col("policy_domain"),
+        col("policy_type"), col("successful_session_count"),
+        col("failed_session_count"),
+        col("f.resultType").as("failure_result_type"),
+        col("f.sendingMtaIp").as("failure_sending_mta_ip"),
+        col("f.receivingIp").as("failure_receiving_ip"))
+  }
+
   /** File mode: single CSV with header (coalesced like the reference's
     * one-file output; on a cluster drop the coalesce).
     */

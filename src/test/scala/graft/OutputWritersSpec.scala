@@ -21,6 +21,33 @@ class OutputWritersSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("forensic CSV layout matches output.go:334-398 header set") {
+    val forensic = DmarcReader.forensicReports(spark, "/root/reference/samples/forensic", "*.eml")
+    val df = OutputWriters.forensicCsvLayout(forensic)
+    assert(df.columns.toSeq == Seq(
+      "feedback_type", "user_agent", "version", "original_envelope_id",
+      "original_mail_from", "original_rcpt_to", "arrival_date", "subject",
+      "message_id", "authentication_results", "dkim_domain", "source_ip",
+      "source_country", "delivery_result", "auth_failure", "reported_domain"))
+    assert(df.count() == 4)
+  }
+
+  test("tls CSV layout: one row per policy or per failure detail") {
+    val tls = DmarcReader.tlsReports(spark, "/root/reference/samples/smtp_tls")
+    val df = OutputWriters.tlsCsvLayout(tls)
+    assert(df.columns.toSeq == Seq(
+      "organization_name", "begin_date", "end_date", "contact_info", "report_id",
+      "policy_domain", "policy_type", "successful_session_count", "failed_session_count",
+      "failure_result_type", "failure_sending_mta_ip", "failure_receiving_ip"))
+    import org.apache.spark.sql.functions._
+    // policies without failures appear exactly once with empty failure cols
+    val noFail = df.filter(col("failure_result_type") === "")
+    val withFail = df.filter(col("failure_result_type") =!= "")
+    assert(noFail.count() > 0 && withFail.count() > 0)
+    // rfc8460 sample: 3 failure details -> 3 rows for that report
+    assert(df.filter(col("report_id") === "5065427c-23d3-47ca-b6e0-946ea0e8c4be").count() == 3)
+  }
+
   test("csv/json/directory writers round-trip") {
     val dir = Files.createTempDirectory("graft-out").toString
     val reports = DmarcReader.aggregateReports(spark, samples, "*.xml")
