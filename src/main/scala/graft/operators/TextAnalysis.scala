@@ -139,6 +139,30 @@ object TextAnalysis extends QueryModule {
              |      FROM documents)
              |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+    // deterministic hash-based train/val/test split — the reproducible
+    // alternative to rand() sampling for training-data pipelines: the
+    // assignment is a pure function of the id, stable across runs,
+    // engines, and repartitioning
+    QueryDef(
+      "t_hash_split",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val split = when(h.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+          .when(h.isin("c", "d"), "val")
+          .otherwise("test")
+        d.groupBy(col("lang"), split.as("split"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang", "split")
+      },
+      Some("""SELECT lang,
+             |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+             |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+             |     ELSE 'test' END AS split,
+             |COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
     // n-gram heuristic language ID: score text against per-language
     // stopword profiles; rows-only (synthetic corpus carries no real
     // language signal — the spec checks shape + determinism).
