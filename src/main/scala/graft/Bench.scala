@@ -33,7 +33,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // Driver-parseable channels, most robust first: a file in the repo
+    // root, then bare stdout lines (raw via run/outputStrategy, printed
+    // after spark.stop() so no executor log noise follows).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    println(s"GRAFT_BENCH_JSON $line")
   }
 }

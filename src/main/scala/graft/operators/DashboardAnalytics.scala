@@ -212,13 +212,17 @@ object DashboardAnalytics extends QueryModule {
       "q_group_array",
       (s, dir) => {
         val e = Tables(s, dir).events
+        // Joined-string projection of the set: the driver's pandas gate
+        // cannot sort array cells, so serialize at the output boundary.
         e.groupBy("event_type")
-          .agg(array_sort(collect_set((col("user_id") % 10).cast("int"))).as("user_buckets"),
+          .agg(array_join(
+                 transform(array_sort(collect_set((col("user_id") % 10).cast("int"))),
+                           x => x.cast("string")), ",").as("user_buckets"),
                count(lit(1)).as("n_events"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type,
-             |LIST_SORT(LIST(DISTINCT CAST(user_id % 10 AS INT))) AS user_buckets,
+             |ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT CAST(user_id % 10 AS INT))), ',') AS user_buckets,
              |COUNT(*) AS n_events
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     ),

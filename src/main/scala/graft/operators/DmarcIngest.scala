@@ -25,10 +25,19 @@ object DmarcIngest extends QueryModule {
     ),
     QueryDef(
       "p_records_flatten",
-      (s, _) =>
-        DmarcReader.aggregateRecords(s, s"$Samples/aggregate")
-          .toDF()
-          .orderBy("report_id", "source_ip_address"),
+      (s, _) => {
+        // Seq-typed fields serialized to joined strings at the output
+        // boundary: the driver's pandas comparator cannot sort array cells.
+        val rows = DmarcReader.aggregateRecords(s, s"$Samples/aggregate").toDF()
+        val arrayCols = Set(
+          "policy_override_reasons", "policy_override_comments",
+          "dkim_domains", "dkim_selectors", "dkim_results",
+          "spf_domains", "spf_scopes", "spf_results")
+        rows.select(rows.columns.map { c =>
+            if (arrayCols(c)) array_join(col(c), ";").as(c) else col(c)
+          }.toIndexedSeq: _*)
+          .orderBy("report_id", "source_ip_address")
+      },
       None,
     ),
     QueryDef(
@@ -46,7 +55,8 @@ object DmarcIngest extends QueryModule {
         DmarcReader.forensicReports(s, s"$Samples/forensic", "*.eml")
           .toDF()
           .select(col("feedbackType"), col("reportedDomain"), col("deliveryResult"),
-                  col("source.ipAddress").as("source_ip"), col("authFailure"))
+                  col("source.ipAddress").as("source_ip"),
+                  array_join(col("authFailure"), ";").as("auth_failure"))
           .orderBy("reportedDomain", "source_ip"),
       None,
     ),

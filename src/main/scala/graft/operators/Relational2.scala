@@ -118,12 +118,15 @@ object Relational2 extends QueryModule {
              |FROM part ORDER BY p_partkey""".stripMargin),
     ),
     // approximate quantiles (t-digest-style sketch) — rows-only: DuckDB's
-    // approx_quantile uses a different sketch
+    // approx_quantile uses a different sketch. Scalar columns (not an
+    // array) so the driver's pandas gate can sort the output row.
     QueryDef(
       "q_approx_quantiles",
       (s, dir) => {
         val l = Tables(s, dir).lineitem
-        l.agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").as("price_quartiles"),
+        l.agg(expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("price_p25"),
+              expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
+              expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("price_p75"),
               expr("approx_percentile(l_quantity, 0.5, 1000)").as("qty_median"))
       },
       None,

@@ -83,19 +83,21 @@ object Relational3 extends QueryModule {
       (s, dir) => {
         val p = Tables(s, dir).part
         val words = split(col("p_name"), " ")
+        // Array results serialized with array_join so the driver's
+        // pandas comparator can sort the output rows.
         p.select(col("p_partkey"),
             size(words).cast("bigint").as("n_words"),
-            array_sort(array_distinct(words)).as("sorted_words"),
+            array_join(array_sort(array_distinct(words)), ",").as("sorted_words"),
             array_contains(words, "green").as("has_green"),
-            slice(words, 1, 2).as("first_two"),
+            array_join(slice(words, 1, 2), ",").as("first_two"),
             array_join(reverse(words), "-").as("rev_joined"))
           .orderBy("p_partkey")
       },
       Some("""SELECT p_partkey,
              |CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
-             |list_sort(list_distinct(string_split(p_name, ' '))) AS sorted_words,
+             |array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS sorted_words,
              |list_contains(string_split(p_name, ' '), 'green') AS has_green,
-             |string_split(p_name, ' ')[1:2] AS first_two,
+             |array_to_string(string_split(p_name, ' ')[1:2], ',') AS first_two,
              |array_to_string(list_reverse(string_split(p_name, ' ')), '-') AS rev_joined
              |FROM part ORDER BY p_partkey""".stripMargin),
     ),

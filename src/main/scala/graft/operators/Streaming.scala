@@ -31,9 +31,13 @@ object Streaming extends QueryModule {
       "st_sessionize",
       (s, dir) => {
         import s.implicits._
+        // Batch twin of the streaming sessionizer: same fold, no state
+        // (all data present ⇒ every session closes). The streaming path
+        // (EventsStreaming.sessionize, watermark + EventTimeTimeout) is
+        // exercised by StreamingSpec over a multi-micro-batch MemoryStream.
         val events = Tables(s, dir).events
           .select("event_id", "ts", "user_id", "event_type", "value").as[RawEvent]
-        EventsStreaming.sessionize(events, 6L * 3600 * 1000000)
+        EventsStreaming.sessionizeBatch(events, 6L * 3600 * 1000000)
           .toDF()
           .orderBy("user_id", "session_id")
       },

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 final case class RawEvent(
@@ -13,7 +13,18 @@ final case class SessionOut(
     user_id: Long, session_id: Long, n_events: Long,
     start_us: Long, end_us: Long, total_value: Double)
 
-final case class SessionBuffer(events: Seq[(Long, Long, Double)]) // (ts_us, id, value)
+/** The one open session for a user. `total_cents` keeps the money sum
+  * exact (decimal(18,2) semantics, matching Det.moneySum) without
+  * holding per-event data: state is O(1) per key, not O(events).
+  */
+final case class OpenSession(n_events: Long, start_us: Long, end_us: Long, total_cents: Long)
+
+/** Streaming session state: the next session id to assign (so ids stay
+  * monotonic per user across micro-batches — a closed-and-emitted session
+  * is never re-numbered) plus at most one open session. ~4 longs per
+  * user; watermark + event-time timeout evict the open session.
+  */
+final case class SessionState(next_id: Long, open: Option[OpenSession])
 
 /** Structured Streaming pipelines over the events table — the Spark-first
   * equivalent of the reference's Kafka/IMAP/HTTP continuous intake
@@ -22,8 +33,10 @@ final case class SessionBuffer(events: Seq[(Long, Long, Double)]) // (ts_us, id,
   * writeStream. The batch twins (q_daily_volume, q_sessionize) are
   * DuckDB-oracled; specs assert stream/batch parity.
   *
-  * Scale: watermarks bound state; session state is per-user and emitted
-  * on gap timeout, so executor memory holds only open sessions.
+  * Scale: session state per user is a single open-session summary (4
+  * longs) emitted on event-time timeout once the watermark passes the
+  * session gap — executor memory holds open sessions only, never event
+  * buffers.
   */
 object EventsStreaming {
 
@@ -52,49 +65,103 @@ object EventsStreaming {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("total_value"))
 
-  /** Gap-based session assembly with flatMapGroupsWithState. In
-    * streaming, event-time timeout fires once the watermark passes the
-    * gap; in batch Spark invokes the function once per key with all
-    * events, yielding the same sessions (spec asserts parity with the
-    * window-based q_sessionize).
+  /** The at-scale sink shape: append-mode windowed aggregation to a
+    * parquet directory. Unlike the complete-mode memory-sink harness
+    * entry, append mode lets the watermark evict finalized windows from
+    * state and emits each window exactly once — nothing accumulates on
+    * the driver. (On a cluster the path would be object storage and the
+    * trigger a processing-time interval.)
+    */
+  def windowedAggToFiles(events: DataFrame, outPath: String, checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()) =
+    windowedAgg(events)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  private def cents(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
+
+  private def mkOut(userId: Long, id: Long, o: OpenSession): SessionOut =
+    SessionOut(userId, id, o.n_events, o.start_us, o.end_us,
+               BigDecimal(o.total_cents, 2).toDouble)
+
+  /** Fold (ts_us, event_id, value) rows — MUST already be sorted by
+    * (ts_us, event_id) — into gap-delimited sessions, continuing from an
+    * optional open session. Returns (closed sessions in order, open
+    * session). Gap semantics match the lag/cumsum batch oracle: a new
+    * session starts when ts − previous ts > gap.
+    */
+  private def fold(open0: Option[OpenSession], sorted: IndexedSeq[(Long, Long, Double)],
+                   gapUs: Long): (Vector[OpenSession], Option[OpenSession]) = {
+    var closed = Vector.empty[OpenSession]
+    var open = open0
+    sorted.foreach { case (ts, _, v) =>
+      open match {
+        case Some(o) if ts - o.end_us > gapUs =>
+          closed :+= o
+          open = Some(OpenSession(1L, ts, ts, cents(v)))
+        case Some(o) =>
+          open = Some(OpenSession(o.n_events + 1, math.min(o.start_us, ts),
+                                  math.max(o.end_us, ts), o.total_cents + cents(v)))
+        case None =>
+          open = Some(OpenSession(1L, ts, ts, cents(v)))
+      }
+    }
+    (closed, open)
+  }
+
+  private def sortedBatch(it: Iterator[RawEvent]): Vector[(Long, Long, Double)] =
+    it.map(e => (toMicros(e.ts), e.event_id, e.value)).toVector
+      .sortBy(e => (e._1, e._2))
+
+  /** Batch session assembly: all events for a key are present, so every
+    * session closes — no state needed at all (plain flatMapGroups, one
+    * shuffle on user_id). Matches the window-based q_sessionize oracle.
+    */
+  def sessionizeBatch(events: Dataset[RawEvent], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
+      val (closed, open) = fold(None, sortedBatch(it), gapUs)
+      (closed ++ open).zipWithIndex.map { case (o, i) => mkOut(userId, i + 1L, o) }
+        .iterator
+    }
+  }
+
+  /** Streaming gap-based session assembly. Input MUST carry a watermark
+    * on `ts` (delay ≥ the session gap, so any event admitted by the
+    * watermark can still legally extend the open session). Per key the
+    * state holds only the open-session summary; a closed session is
+    * emitted exactly once — either when a new event arrives beyond the
+    * gap, or when the event-time timeout fires (watermark passed
+    * open.end + gap). After a timeout the state keeps just the next_id
+    * counter (2 boxed fields) so later sessions never reuse an id.
     */
   def sessionize(events: Dataset[RawEvent], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-
-    def close(buf: Seq[(Long, Long, Double)]): Seq[SessionOut] = {
-      if (buf.isEmpty) Seq.empty
-      else {
-        val sorted = buf.sortBy(e => (e._1, e._2))
-        val out = Seq.newBuilder[SessionOut]
-        var sessionId = 0L
-        var cur = Vector(sorted.head)
-        def emit(userId: Long): Unit = {
-          sessionId += 1
-          // decimal(18,2) sum → double: same arithmetic as Det.moneySum
-          val total = cur.iterator.map(e =>
-            BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
-          out += SessionOut(userId, sessionId, cur.size, cur.head._1, cur.last._1, total.toDouble)
-        }
-        sorted.tail.foreach { e =>
-          if (e._1 - cur.last._1 > gapUs) { emit(0L); cur = Vector(e) }
-          else cur = cur :+ e
-        }
-        // user filled in by caller pattern below
-        emit(0L)
-        out.result()
-      }
-    }
-
+    val gapMs = gapUs / 1000
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionBuffer, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[RawEvent], state: GroupState[SessionBuffer]) =>
-          val prev = if (state.exists) state.get.events else Seq.empty
-          val all = prev ++ it.map(e => (toMicros(e.ts), e.event_id, e.value)).toSeq
-          state.remove()
-          close(all).zipWithIndex.map { case (s0, i) =>
-            s0.copy(user_id = userId, session_id = i + 1L)
-          }.iterator
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[RawEvent], state: GroupState[SessionState]) =>
+          val st = state.getOption.getOrElse(SessionState(1L, None))
+          if (state.hasTimedOut) {
+            val out = st.open.toVector.zipWithIndex
+              .map { case (o, i) => mkOut(userId, st.next_id + i, o) }
+            state.update(SessionState(st.next_id + out.size, None))
+            out.iterator
+          } else {
+            val (closed, open) = fold(st.open, sortedBatch(it), gapUs)
+            val out = closed.zipWithIndex
+              .map { case (o, i) => mkOut(userId, st.next_id + i, o) }
+            state.update(SessionState(st.next_id + closed.size, open))
+            open.foreach(o => state.setTimeoutTimestamp(o.end_us / 1000 + gapMs))
+            out.iterator
+          }
       }
   }
 

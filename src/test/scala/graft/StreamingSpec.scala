@@ -55,6 +55,79 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "view", 2L, 12.0)))
   }
 
+  test("streaming sessionize emits each session exactly once across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val gapUs = 10L * 60 * 1000000 // 10 minutes
+    val mem = MemoryStream[RawEvent]
+    val withWm = mem.toDS().withWatermark("ts", "10 minutes")
+    val name = s"sess_test_${System.nanoTime()}"
+    val query = EventsStreaming.sessionize(withWm, gapUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    // batch 1: user1 opens a 2-event session, user2 opens a 1-event session
+    mem.addData(RawEvent(1L, t("2024-01-01 10:00:00"), 1L, "click", 1.0),
+                RawEvent(2L, t("2024-01-01 10:05:00"), 1L, "click", 2.0),
+                RawEvent(3L, t("2024-01-01 10:00:00"), 2L, "view", 5.0))
+    query.processAllAvailable()
+    // batch 2: user1's 11:00 event is past the gap → closes session 1;
+    // watermark advances to 10:50
+    mem.addData(RawEvent(4L, t("2024-01-01 11:00:00"), 1L, "click", 3.0))
+    query.processAllAvailable()
+    // batch 3: closes user1 session 2; user2's open session times out
+    // (watermark 10:50 > 10:00 + gap)
+    mem.addData(RawEvent(5L, t("2024-01-01 12:00:00"), 1L, "click", 4.0))
+    query.processAllAvailable()
+    // batch 4: advance watermark past 12:10 so user1's session 3 times out
+    mem.addData(RawEvent(6L, t("2024-01-01 14:00:00"), 2L, "view", 6.0))
+    query.processAllAvailable()
+
+    val rows = spark.table(name)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    query.stop()
+    def us(s: String) = EventsStreaming.toMicros(t(s))
+    // every closed session appears exactly once, ids monotonic per user,
+    // no re-emission or re-numbering across micro-batches
+    assert(rows.size == rows.distinct.size)
+    assert(rows.toSet == Set(
+      (1L, 1L, 2L, us("2024-01-01 10:00:00"), us("2024-01-01 10:05:00"), 3.0),
+      (1L, 2L, 1L, us("2024-01-01 11:00:00"), us("2024-01-01 11:00:00"), 3.0),
+      (1L, 3L, 1L, us("2024-01-01 12:00:00"), us("2024-01-01 12:00:00"), 4.0),
+      (2L, 1L, 1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00"), 5.0)))
+  }
+
+  test("windowedAggToFiles appends finalized windows exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("win_files").toString
+    val query = EventsStreaming.windowedAggToFiles(
+      df, s"$tmp/out", s"$tmp/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((1L, t("2024-01-01 10:05:00"), "click", 1.0),
+                (2L, t("2024-01-01 10:55:00"), "click", 2.0))
+    query.processAllAvailable()
+    // advance the watermark past the [10:00, 11:00) window end + 2h delay
+    mem.addData((3L, t("2024-01-01 13:30:00"), "view", 5.0))
+    query.processAllAvailable()
+    // one more batch so the finalized window flushes to the sink
+    mem.addData((4L, t("2024-01-01 13:45:00"), "view", 7.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select(col("window_start").cast("string"), col("event_type"),
+              col("n_events"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out.size == out.distinct.size)
+    assert(out.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+  }
+
   test("st_windowed_agg end-to-end totals match batch daily totals") {
     val streamTotal = q("st_windowed_agg")(spark, sfDir)
       .agg(sum("n_events")).collect().head.getLong(0)
