@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines: exact hash dedup,
@@ -23,6 +24,15 @@ object Dedup extends QueryModule {
   private val Bands = 8
   private val Rows = 2
   private val JaccardTau = 0.5
+
+  /** Bucket-size cap: a (band, minhash) bucket with more than this many
+    * docs is degenerate (near-empty docs, boilerplate, exact-dup mass
+    * that d_dedup_exact should remove first) and would make the
+    * candidate self-join quadratic in the bucket size. Dropping the
+    * bucket keeps candidate generation linear; genuine near-dup pairs
+    * still meet in their other `Bands − 1` bands.
+    */
+  val MaxBucket = 64
 
   /** distinct 3-word shingles of `text` (whole text if < 3 tokens).
     * Formulated as slice+zip_with — never index the token array inside a
@@ -46,8 +56,90 @@ object Dedup extends QueryModule {
       |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
       |ELSE [text] END""".stripMargin
 
-  private def shingleDocs(t: Tables): DataFrame =
-    t.documents.select(col("doc_id"), expr(shinglesExpr).as("sh"))
+  /** (doc_id, sh) shingle frame for any (doc_id, text) documents frame. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(shinglesExpr).as("sh"))
+
+  /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures
+    * over a (doc_id, sh) shingle frame, with the bucket-size cap
+    * applied. Public so the n-gram Jaccard verifier and specs run on the
+    * same candidate set.
+    *
+    * 16 minhash functions come from FOUR md5s per shingle: 4×32 hex
+    * chars give exactly 16 disjoint 8-hex chunks, each an independent
+    * uniform 32-bit hash. Shingles explode to rows so hashing and the 16
+    * mins run as codegen'd projections + hash aggregate (map-side
+    * combined) instead of interpreted array lambdas — the shape that
+    * survives 100 TB.
+    */
+  def lshCandidates(shingled: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val hashed = shingled
+      .select(col("doc_id"), explode(col("sh")).as("x"))
+      .select(col("doc_id"),
+              concat((0 until 4).map(s =>
+                md5(concat(lit(s"$s|"), col("x")))): _*).as("y"))
+    val minCols = (0 until Bands * Rows).map { i =>
+      min(substring(col("y"), 1 + 8 * i, 8)).as(s"h$i")
+    }
+    val mins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until Bands).map { j =>
+      md5(concat((0 until Rows).map(k => col(s"h${j * Rows + k}")): _*))
+    }
+    val bands = mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
+    // bucket-size cap via a window count on (j, mh) — the same hash
+    // partitioning the candidate self-join uses, so no extra shuffle
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("j", "mh")))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    capped.as("a")
+      .join(capped.as("b"),
+            col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline over a (doc_id, text) frame:
+    * candidates (capped buckets) → exact Jaccard ≥ τ on shingle sets.
+    * The shingle frame is persisted only because it is read twice
+    * (signatures + verification); at 100 TB this becomes a
+    * recompute-vs-persist decision per corpus — MEMORY_AND_DISK default
+    * degrades gracefully either way.
+    */
+  def minhashLsh(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = shingles(docs).persist()
+    lshCandidates(sh, maxBucket)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardTau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of lshCandidates: CTE chain ending in `cand`, with the
+    * same bucket cap.
+    */
+  private def candSql(maxBucket: Int): String = {
+    val minsSql = (0 until Bands * Rows).map { i =>
+      s"min(substr(y, ${1 + 8 * i}, 8)) AS h$i"
+    }.mkString(", ")
+    val bandSql = (0 until Bands).map { j =>
+      val key = (0 until Rows).map(k => s"h${j * Rows + k}").mkString(" || ")
+      s"SELECT doc_id, $j AS j, md5($key) AS mh FROM mins"
+    }.mkString("\nUNION ALL\n")
+    s"""sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+       |hashed AS (SELECT doc_id,
+       |  md5('0|' || x) || md5('1|' || x) || md5('2|' || x) || md5('3|' || x) AS y
+       |  FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),
+       |mins AS (SELECT doc_id, $minsSql FROM hashed GROUP BY doc_id),
+       |bands AS ($bandSql),
+       |capped AS (SELECT doc_id, j, mh FROM (
+       |  SELECT doc_id, j, mh, COUNT(*) OVER (PARTITION BY j, mh) AS bsz FROM bands)
+       |  WHERE bsz <= $maxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** Jaccard over two pre-distinct string arrays, rounded. */
   private def jaccard(a: Column, b: Column): Column = {
@@ -70,56 +162,9 @@ object Dedup extends QueryModule {
     ),
     QueryDef(
       "d_minhash_lsh",
-      (s, dir) => {
-        // 16 minhash functions from FOUR md5s per shingle: 4×32 hex chars
-        // give exactly 16 disjoint 8-hex chunks, each an independent
-        // uniform 32-bit hash. Shingles explode to rows so hashing and
-        // the 16 mins run as codegen'd projections + hash aggregate
-        // (map-side combined) instead of interpreted array lambdas —
-        // the shape that survives 100 TB.
-        val docs = shingleDocs(Tables(s, dir)).cache()
-        val hashed = docs
-          .select(col("doc_id"), explode(col("sh")).as("x"))
-          .select(col("doc_id"),
-                  concat((0 until 4).map(s =>
-                    md5(concat(lit(s"$s|"), col("x")))): _*).as("y"))
-        val minCols = (0 until Bands * Rows).map { i =>
-          min(substring(col("y"), 1 + 8 * i, 8)).as(s"h$i")
-        }
-        val mins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-        val bandCols = (0 until Bands).map { j =>
-          md5(concat((0 until Rows).map(k => col(s"h${j * Rows + k}")): _*))
-        }
-        val bands = mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-                col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
-                  col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .filter(col("jaccard") >= JaccardTau)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => minhashLsh(Tables(s, dir).documents),
       Some {
-        val minsSql = (0 until Bands * Rows).map { i =>
-          s"min(substr(y, ${1 + 8 * i}, 8)) AS h$i"
-        }.mkString(", ")
-        val bandSql = (0 until Bands).map { j =>
-          val key = (0 until Rows).map(k => s"h${j * Rows + k}").mkString(" || ")
-          s"SELECT doc_id, $j AS j, md5($key) AS mh FROM mins"
-        }.mkString("\nUNION ALL\n")
-        s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
-           |hashed AS (SELECT doc_id,
-           |  md5('0|' || x) || md5('1|' || x) || md5('2|' || x) || md5('3|' || x) AS y
-           |  FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),
-           |mins AS (SELECT doc_id, $minsSql FROM hashed GROUP BY doc_id),
-           |bands AS ($bandSql),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)
+        s"""WITH ${candSql(MaxBucket)}
            |SELECT doc_a, doc_b,
            |ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
            |  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
@@ -184,28 +229,33 @@ object Dedup extends QueryModule {
       },
       None,
     ),
+    // char-4-gram Jaccard verification on the LSH candidate pairs over
+    // the FULL corpus — candidate generation is the banded minhash join
+    // (linear, capped buckets), never an all-pairs cartesian
     QueryDef(
       "d_ngram_jaccard",
       (s, dir) => {
-        val d = Tables(s, dir).documents.filter(col("doc_id") < 50)
+        val d = Tables(s, dir).documents
         val grams = d.select(col("doc_id"),
           expr("array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))").as("g"))
-        grams.as("a").join(grams.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                  jaccard(col("a.g"), col("b.g")).as("jaccard"))
+        lshCandidates(shingles(d))
+          .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), "doc_a")
+          .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
           .filter(col("jaccard") >= 0.2)
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH g AS (SELECT doc_id,
+      Some(s"""WITH ${candSql(MaxBucket)},
+             |g AS (SELECT doc_id,
              |  list_distinct(list_transform(generate_series(1, length(text) - 3),
              |    i -> substr(text, i, 4))) AS g
-             |  FROM documents WHERE doc_id < 50)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-             |  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
-             |FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-             |  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) >= 0.2
+             |  FROM documents)
+             |SELECT doc_a, doc_b,
+             |ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             |  / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 4) AS jaccard
+             |FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+             |WHERE ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             |  / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 4) >= 0.2
              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
   )
