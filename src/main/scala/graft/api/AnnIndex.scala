@@ -62,9 +62,15 @@ object AnnIndex {
     val scored = assigned.join(broadcast(qProbes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(expr("cosine_similarity(q_vec, embedding)"), 4))
-    scored.withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-      .filter(col("rn") <= topK)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+    // bounded-heap top-k (partial aggregate, ≤ k rows per query per
+    // partition cross the exchange) — not a window over all scored rows
+    import corpus.sparkSession.implicits._
+    scored.select(col("q_id"), col("vec_id"), col("cos")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(topK).toColumn)
+      .flatMap { case (q, hits) =>
+        hits.zipWithIndex.map { case ((v, c), i) => (q, v, c, i + 1) }
+      }
+      .toDF("q_id", "vec_id", "cos", "rn")
   }
 }

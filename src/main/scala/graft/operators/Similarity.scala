@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * `list_reduce(list_transform(...))` formulation.
   *
   * Scale: queries broadcast against the corpus (corpus never shuffles);
-  * top-k is a per-partition window then global merge. The IVF variant
-  * prunes the corpus to nprobe centroid buckets before scoring.
+  * top-k is a typed bounded-heap aggregator (TopKByScore) running as a
+  * partial aggregate — the exchange carries ≤ k rows per query per
+  * partition, never the full scored relation. The IVF variant prunes
+  * the corpus to nprobe centroid buckets before scoring.
   */
 object Similarity extends QueryModule {
 
@@ -31,15 +33,22 @@ object Similarity extends QueryModule {
     QueryDef(
       "s_cosine_topk",
       (s, dir) => {
+        import s.implicits._
         val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        // bounded-heap typed aggregator instead of a row_number window:
+        // each partition ships ≤ k rows per query, the exchange never
+        // carries the full scored corpus×queries relation
         val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
           .withColumn("cos", expr(cos))
-        val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+          .select(col("q_id"), col("vec_id"), col("cos")).as[(Long, Long, Double)]
+        scored.groupByKey(_._1)
+          .agg(new graft.functions.TopKByScore(5).toColumn)
+          .flatMap { case (q, hits) =>
+            hits.zipWithIndex.map { case ((v, c), i) => (q, v, c, i + 1) }
+          }
+          .toDF("q_id", "vec_id", "cos", "rn")
           .orderBy("q_id", "rn")
       },
       Some(s"""WITH c AS (SELECT vec_id, embedding,

@@ -58,6 +58,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosine_similarity"), p)
   }
 
+  test("similarity top-k is a partial aggregate, not a window over all scored rows") {
+    val p = plan("s_cosine_topk")
+    // TopKByScore runs as ObjectHashAggregate with a partial phase on
+    // the map side — the exchange carries ≤ k rows per query per
+    // partition, never the full scored corpus×queries relation
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window partitionBy") && !p.contains("RunningWindowFunction"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("LSH bucket cap rides the candidate join's (j, mh) partitioning") {
+    val p = plan("d_minhash_lsh")
+    // the window count for the bucket cap must not introduce an extra
+    // exchange beyond the one feeding the (j, mh) join
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(p.contains("Window"), p)
+    assert(exchanges <= 6, s"unexpected exchange count $exchanges\n$p")
+  }
+
   test("rank-filter top-N uses WindowGroupLimit (bounded per-partition state)") {
     val p = plan("q_window_topn_per_group")
     assert(p.contains("WindowGroupLimit"), p)
