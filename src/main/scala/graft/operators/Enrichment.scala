@@ -37,6 +37,38 @@ object Enrichment extends QueryModule {
            |ORDER BY n_nationkey""".stripMargin
       },
     ),
+    // geo/rDNS enrichment end-to-end: deterministic IPv4s derived from
+    // events.user_id → broadcast fixture lookup → top-countries panel
+    // (overview p5, the panel that is always empty on "Unknown" stubs)
+    QueryDef(
+      "q_top_countries",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val ip = concat(((col("user_id") % 223) + 1).cast("string"), lit("."),
+                        ((col("user_id") * 7) % 256).cast("string"), lit("."),
+                        ((col("user_id") * 13) % 256).cast("string"), lit("."),
+                        ((col("user_id") % 251) + 1).cast("string"))
+        val enriched = graft.functions.GeoEnrichment.enrich(
+          e.select(col("user_id"), ip.as("ip")), "ip")
+        enriched.filter(col("source_country") =!= "Unknown")
+          .groupBy("source_country")
+          .agg(count(lit(1)).as("messages"),
+               countDistinct(col("source_base_domain")).as("n_zones"))
+          .orderBy(desc("messages"), asc("source_country"))
+      },
+      Some(s"""WITH ips AS (SELECT user_id % 223 + 1 AS o1,
+              |  CAST(user_id % 223 + 1 AS VARCHAR) || '.' ||
+              |  CAST(user_id * 7 % 256 AS VARCHAR) || '.' ||
+              |  CAST(user_id * 13 % 256 AS VARCHAR) || '.' ||
+              |  CAST(user_id % 251 + 1 AS VARCHAR) AS ip FROM events),
+              |geo(octet1, country, zone) AS (VALUES ${graft.functions.GeoEnrichment.sqlValues}),
+              |e AS (SELECT country,
+              |  'host-' || replace(ip, '.', '-') || '.' || zone AS rdns
+              |  FROM ips JOIN geo ON o1 = octet1)
+              |SELECT country AS source_country, COUNT(*) AS messages,
+              |COUNT(DISTINCT ${baseDomainSqlDuck("rdns")}) AS n_zones
+              |FROM e GROUP BY 1 ORDER BY messages DESC, source_country""".stripMargin),
+    ),
     QueryDef(
       "f_is_valid_ip",
       (s, dir) => {

@@ -66,6 +66,16 @@ object DmarcReader {
     }
   }
 
+  /** Flattened records with the deterministic geo/rDNS enrichment
+    * applied (parser.go:1272-1301's online path, re-expressed as a
+    * broadcast fixture join — graft.functions.GeoEnrichment). This is
+    * the frame the overview dashboard's geo panels expect; with the
+    * raw offline records those panels are always empty.
+    */
+  def enrichedRecords(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    graft.functions.GeoEnrichment.enrich(
+      aggregateRecords(spark, path, glob).toDF(), "source_ip_address")
+
   def forensicReports(spark: SparkSession, path: String, glob: String = "*"): Dataset[ForensicReport] = {
     import spark.implicits._
     files(spark, path, glob).as[(String, Array[Byte])]

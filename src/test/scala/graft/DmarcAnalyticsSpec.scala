@@ -52,6 +52,17 @@ class DmarcAnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) > 1))
   }
 
+  test("topCountries returns real countries on enriched records") {
+    val enriched = DmarcReader.enrichedRecords(spark, "/root/reference/samples/aggregate")
+    val rows = topCountries(enriched).collect()
+    assert(rows.nonEmpty, "geo enrichment left every record Unknown")
+    assert(rows.forall(_.getString(0) != "Unknown"))
+    assert(rows.forall(_.getLong(1) > 0))
+    // rDNS/base-domain family filled for every matched record
+    val matched = enriched.filter(org.apache.spark.sql.functions.col("source_country") =!= "Unknown")
+    assert(matched.filter(org.apache.spark.sql.functions.col("source_base_domain") === "").count() == 0)
+  }
+
   test("forensic panels run on parsed ARF corpus") {
     assert(forensicPerDay(forensic).count() > 0)
     val ft = feedbackTypeBreakdown(forensic).collect()
