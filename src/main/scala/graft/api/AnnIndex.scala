@@ -48,6 +48,41 @@ object AnnIndex {
       .agg(min(struct(col("d"), col("cluster"))).as("best"))
       .select(col("vec_id"), col("best.cluster").as("cluster"))
 
+  /** nprobe nearest centroids per corpus vector (multi-probe
+    * assignment). Unlike a row_number window over the n×k cross join,
+    * the per-vector top-nprobe is a groupBy with a partial
+    * collect+sort of at most k (tiny) entries — map-side combinable.
+    */
+  def assignMulti(corpus: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("d", expr(sqDist))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(struct(col("d"), col("cluster")))), 1, nprobe).as("top"))
+      .select(col("vec_id"), explode(col("top.cluster")).as("cluster"))
+
+  /** Corpus-scale embedding near-dup: BOTH sides bucketed — each vector
+    * lands in its nprobe nearest centroid buckets, candidate pairs form
+    * only inside shared buckets (never the n² cross join), then exact
+    * cosine ≥ tau verifies. The at-scale generalization of the bounded
+    * probe-set demo d_embedding_neardup; recall vs the brute-force
+    * oracle is spec-measured.
+    */
+  def nearDupPairs(corpus: DataFrame, centroids: DataFrame, tau: Double,
+                   nprobe: Int = 2): DataFrame = {
+    val assigned = assignMulti(corpus, centroids, nprobe)
+    val cand = assigned.as("a")
+      .join(assigned.as("b"),
+            col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
+      .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
+      .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
   /** Top-k by cosine probing the nprobe nearest buckets per query. */
   def search(
       corpus: DataFrame, centroids: DataFrame, queries: DataFrame,

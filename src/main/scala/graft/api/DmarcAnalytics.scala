@@ -112,4 +112,81 @@ object DmarcAnalytics {
            max(col("arrivalDate")).as("last_seen"))
       .orderBy(desc("report_count"), asc("source_ip"))
       .limit(n)
+
+  // ---- batch summary document (the serving surface) -------------------
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** The reference HTTP server's document surface as a batch artifact
+    * (internal/http/server.go: handleRoot's service/version/endpoints,
+    * handleHealth's status/timestamp, the Prometheus
+    * parsedmarc_parser_reports_total counter family from
+    * internal/metrics/metrics.go), extended with the dashboard summary
+    * panels — what "GET a summary" means when the serving tier is a
+    * scheduled Spark job writing JSON instead of a Gin server.
+    *
+    * Every embedded aggregate is a tiny panel result (≤ 50 rows by
+    * construction); the collects here assemble a single driver-side
+    * document, they never pull row-level data.
+    */
+  def summaryJson(records: DataFrame, forensic: DataFrame): String = {
+    val messagesTotal = records.agg(sum(col("count"))).collect().head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val reportsTotal = records.select("report_id").distinct().count()
+    val forensicTotal = forensic.count()
+    val rate = complianceRate(records).collect().headOption
+      .filterNot(_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
+    val pf = passFailBreakdown(records).collect()
+      .map(r => s"${jstr(r.getString(0))}: ${r.getLong(1)}")
+      .mkString("{", ", ", "}")
+    val disp = dispositionBreakdown(records).collect()
+      .map(r => s"""{"disposition": ${jstr(r.getString(0))}, "messages": ${r.getLong(1)}}""")
+      .mkString("[", ", ", "]")
+    val countries = topCountries(records).collect()
+      .map(r => s"""{"country": ${jstr(r.getString(0))}, "messages": ${r.getLong(1)}}""")
+      .mkString("[", ", ", "]")
+    val orgs = orgCompliance(records).collect()
+      .map(r => s"""{"org_name": ${jstr(r.getString(0))}, "messages": ${r.getLong(1)}, "compliance_rate": ${r.getDouble(2)}}""")
+      .mkString("[", ", ", "]")
+    val ts = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+    s"""{
+       |  "service": "parsedmarc-go",
+       |  "version": "1.0.0",
+       |  "status": "healthy",
+       |  "timestamp": ${jstr(ts)},
+       |  "endpoints": {"health": "/health", "dmarc_report": "/dmarc/report", "metrics": "/metrics"},
+       |  "metrics": {
+       |    "parsedmarc_parser_reports_total": {"aggregate": $reportsTotal, "forensic": $forensicTotal},
+       |    "records_total": ${records.count()},
+       |    "messages_total": $messagesTotal
+       |  },
+       |  "summary": {
+       |    "compliance_rate": $rate,
+       |    "pass_fail": $pf,
+       |    "dispositions": $disp,
+       |    "top_countries": $countries,
+       |    "top_orgs": $orgs
+       |  }
+       |}""".stripMargin
+  }
+
+  /** Write the summary document (single JSON file, driver-side — it is
+    * one document, not a dataset).
+    */
+  def writeSummary(records: DataFrame, forensic: DataFrame, path: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      (summaryJson(records, forensic) + "\n").getBytes("UTF-8"))
 }

@@ -84,6 +84,22 @@ object Similarity extends QueryModule {
               |  AND ROUND(${duckDot("a_vec", "embedding")} / (a_nrm * nrm), 4) >= 0.45
               |ORDER BY a_id, b_id""".stripMargin),
     ),
+    // corpus-scale near-dup: BOTH sides IVF-bucketed (multi-probe
+    // assignment), pairs form only inside shared buckets — the general
+    // operator behind the bounded-probe oracle demo above. Rows-only
+    // (kmeans has no DuckDB twin); AnnIndexSpec measures recall vs the
+    // brute-force pair set.
+    QueryDef(
+      "d_embedding_neardup_ivf",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val centroids = graft.api.AnnIndex.kmeans(corpus, k = 8, iters = 3)
+        graft.api.AnnIndex.nearDupPairs(corpus, centroids, tau = 0.45, nprobe = 2)
+          .orderBy("a_id", "b_id")
+      },
+      None,
+    ),
     // IVF-style ANN: k-means bucketing (graft.api.AnnIndex), queries
     // probe the 3 nearest of 8 buckets. Rows-only: recall and structure
     // are spec-tested against the brute-force baseline.

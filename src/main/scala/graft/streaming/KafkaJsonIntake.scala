@@ -1,8 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Connection settings for the live Kafka intake (the reference's
+  * consumer config, internal/kafka/kafka.go: brokers, topic, consumer
+  * group; re-expressed as Structured Streaming source options).
+  */
+final case class KafkaConfig(
+    bootstrapServers: String,
+    topic: String,
+    startingOffsets: String = "latest",
+    maxOffsetsPerTrigger: Option[Long] = None)
 
 /** Kafka-shaped JSON intake: the reference publishes reports/events to
   * Kafka (internal/kafka/kafka.go); the Spark-native consumer is
@@ -21,6 +31,46 @@ object KafkaJsonIntake {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Live Kafka source (cluster deployment). Requires the
+    * spark-sql-kafka-0-10 connector on the classpath — not shipped in
+    * this container, so this path is compile-time wiring here and is
+    * exercised through its batch-shaped twin (`parseEvents` on any
+    * frame with a `value` column, which is exactly what the Kafka
+    * source emits). `failOnDataLoss=false` mirrors the reference
+    * consumer's log-and-continue posture (kafka.go error handling);
+    * `maxOffsetsPerTrigger` bounds micro-batch size for backpressure.
+    */
+  def readKafkaStream(spark: SparkSession, cfg: KafkaConfig): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", cfg.topic)
+      .option("startingOffsets", cfg.startingOffsets)
+      .option("failOnDataLoss", "false")
+    cfg.maxOffsetsPerTrigger
+      .foldLeft(reader)((r, n) => r.option("maxOffsetsPerTrigger", n.toString))
+      .load()
+  }
+
+  /** Typed event stream from live Kafka: parse + drop corrupt payloads.
+    * Same schema as EventsStreaming.readEventStream, so everything
+    * downstream (windowedAgg, sessionize) is source-agnostic.
+    */
+  def kafkaEvents(spark: SparkSession, cfg: KafkaConfig): DataFrame =
+    parseEvents(readKafkaStream(spark, cfg))
+      .filter(!col("_corrupt")).drop("_corrupt")
+
+  /** Config-gated intake: with GRAFT_KAFKA_BOOTSTRAP + GRAFT_KAFKA_TOPIC
+    * set, read the live topic; otherwise fall back to the file-source
+    * twin (identical downstream plan — the choice is deployment config,
+    * not code).
+    */
+  def events(spark: SparkSession, fileDir: String,
+             env: Map[String, String] = sys.env): DataFrame =
+    (env.get("GRAFT_KAFKA_BOOTSTRAP"), env.get("GRAFT_KAFKA_TOPIC")) match {
+      case (Some(bs), Some(topic)) => kafkaEvents(spark, KafkaConfig(bs, topic))
+      case _ => EventsStreaming.readEventStream(spark, fileDir)
+    }
 
   /** value JSON → typed columns; malformed payloads land in a
     * `_corrupt` flag instead of failing the stream.

@@ -45,4 +45,35 @@ class AnnIndexSpec extends SparkSpec {
     // for IVF; still must beat the 3/8 random-bucket floor
     assert(recall >= 0.3, s"recall=$recall")
   }
+
+  test("bucketed near-dup: candidates stay sub-quadratic, no false positives, recall measured") {
+    val n = corpus.count()
+    val tau = 0.4
+    val centroids = AnnIndex.kmeans(corpus, 8, 3)
+    val found = AnnIndex.nearDupPairs(corpus, centroids, tau, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact verification: everything reported truly clears tau
+    assert(found.forall(_._3 >= tau))
+    // the brute-force truth set (small corpus; the thing we must not do at scale)
+    val brute = corpus.as("a")
+      .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(expr("cosine_similarity(a.embedding, b.embedding)"), 4))
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val foundPairs = found.map(t => (t._1, t._2)).toSet
+    assert(foundPairs.subsetOf(brute))
+    // candidate generation must examine far fewer than n² pairs
+    val cand = AnnIndex.assignMulti(corpus, centroids, 2).as("a")
+      .join(AnnIndex.assignMulti(corpus, centroids, 2).as("b"),
+            col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    assert(cand < n * n / 4, s"candidates=$cand not sub-quadratic for n=$n")
+    if (brute.nonEmpty) {
+      val recall = (foundPairs & brute).size.toDouble / brute.size
+      // random embeddings = worst case for bucketing; multi-probe must
+      // still clear a non-trivial floor
+      assert(recall >= 0.2, s"recall=$recall (found ${foundPairs.size} of ${brute.size})")
+    }
+  }
 }

@@ -63,6 +63,43 @@ class DmarcAnalyticsSpec extends SparkSpec {
     assert(matched.filter(org.apache.spark.sql.functions.col("source_base_domain") === "").count() == 0)
   }
 
+  test("summaryJson mirrors the reference server's document shape") {
+    import spark.implicits._
+    val enriched = DmarcReader.enrichedRecords(spark, "/root/reference/samples/aggregate")
+    val json = graft.api.DmarcAnalytics.summaryJson(enriched, forensic)
+    // parse with Spark's JSON reader: malformed JSON → corrupt-record col
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(json).toDS())
+    val fields = parsed.schema.fieldNames.toSet
+    // top-level shape = handleRoot + handleHealth + metrics + summary
+    assert(fields == Set("service", "version", "status", "timestamp",
+                         "endpoints", "metrics", "summary"))
+    val row = parsed.collect().head
+    assert(row.getAs[String]("service") == "parsedmarc-go")
+    assert(row.getAs[String]("version") == "1.0.0")
+    assert(row.getAs[String]("status") == "healthy")
+    // endpoint map matches server.go's route table
+    val endpoints = parsed.select("endpoints.*").schema.fieldNames.toSet
+    assert(endpoints == Set("health", "dmarc_report", "metrics"))
+    // metric family name matches internal/metrics/metrics.go
+    val metrics = parsed.select("metrics.*").schema.fieldNames.toSet
+    assert(metrics.contains("parsedmarc_parser_reports_total"))
+    // summary panels populated from the corpus
+    val nOrgs = parsed.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("summary.top_orgs"))).collect().head.getInt(0)
+    assert(nOrgs > 0)
+    val nCountries = parsed.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("summary.top_countries"))).collect().head.getInt(0)
+    assert(nCountries > 0)
+  }
+
+  test("writeSummary produces a readable single-file JSON document") {
+    val enriched = DmarcReader.enrichedRecords(spark, "/root/reference/samples/aggregate")
+    val out = java.nio.file.Files.createTempDirectory("summary").resolve("summary.json")
+    graft.api.DmarcAnalytics.writeSummary(enriched, forensic, out.toString)
+    val back = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    assert(back.contains("\"parsedmarc_parser_reports_total\""))
+  }
+
   test("forensic panels run on parsed ARF corpus") {
     assert(forensicPerDay(forensic).count() > 0)
     val ft = feedbackTypeBreakdown(forensic).collect()

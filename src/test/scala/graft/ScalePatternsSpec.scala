@@ -69,4 +69,20 @@ class ScalePatternsSpec extends SparkSpec {
     val corrupt = KafkaJsonIntake.parseEvents(Seq("not json at all").toDF("value"))
     assert(corrupt.filter(col("_corrupt")).count() == 1)
   }
+
+  test("config-gated intake falls back to the file twin without Kafka env") {
+    val df = KafkaJsonIntake.events(spark, sfDir, env = Map.empty)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
+  test("kafka intake schema matches the file-twin schema (source-agnostic downstream)") {
+    import spark.implicits._
+    val kafkaShaped = KafkaJsonIntake.parseEvents(
+      Seq("""{"event_id":1,"ts_us":0,"user_id":1,"event_type":"x","value":1.0,"props":"{}"}""")
+        .toDF("value")).drop("_corrupt")
+    val fileTwin = graft.streaming.EventsStreaming.readEventStream(spark, sfDir)
+    assert(kafkaShaped.schema == fileTwin.schema)
+  }
 }
