@@ -42,7 +42,7 @@ object AnnIndex {
     * centroid side broadcast — one pass, no shuffle).
     */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
+    graft.operators.Par.widen(corpus, col("vec_id")).crossJoin(broadcast(centroids))
       .withColumn("d", expr(sqDist))
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("cluster"))).as("best"))
@@ -54,7 +54,7 @@ object AnnIndex {
     * collect+sort of at most k (tiny) entries — map-side combinable.
     */
   def assignMulti(corpus: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
+    graft.operators.Par.widen(corpus, col("vec_id")).crossJoin(broadcast(centroids))
       .withColumn("d", expr(sqDist))
       .groupBy("vec_id")
       .agg(slice(array_sort(collect_list(struct(col("d"), col("cluster")))), 1, nprobe).as("top"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines: exact hash dedup,
@@ -56,9 +55,16 @@ object Dedup extends QueryModule {
       |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
       |ELSE [text] END""".stripMargin
 
-  /** (doc_id, sh) shingle frame for any (doc_id, text) documents frame. */
+  /** (doc_id, sh) shingle frame for any (doc_id, text) documents frame.
+    *
+    * The shingle + 4×md5 projection downstream is the CPU hot spot of
+    * the whole dedup family; a small corpus arriving as one parquet
+    * split would run it on a single core. Widen to cluster parallelism
+    * ONLY when the scan is narrower than that — a 100 TB corpus already
+    * has thousands of splits and must not pay a raw-text shuffle.
+    */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(shinglesExpr).as("sh"))
+    Par.widen(docs, col("doc_id")).select(col("doc_id"), expr(shinglesExpr).as("sh"))
 
   /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures
     * over a (doc_id, sh) shingle frame, with the bucket-size cap
@@ -85,13 +91,28 @@ object Dedup extends QueryModule {
     val bandCols = (0 until Bands).map { j =>
       md5(concat((0 until Rows).map(k => col(s"h${j * Rows + k}")): _*))
     }
+    // The signature table is read three times (blacklist aggregate +
+    // both self-join sides); without a shuffle between them Catalyst
+    // cannot reuse the subtree, so the md5 chain would run 3×. Persist:
+    // 8 (doc_id, tinyint, 32-char) rows per doc ≪ the raw corpus, the
+    // standard LSH signature-table materialization at any scale.
     val bands = mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
-    // bucket-size cap via a window count on (j, mh) — the same hash
-    // partitioning the candidate self-join uses, so no extra shuffle
-    val capped = bands
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("j", "mh")))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+      .persist()
+    // bucket-size cap as a broadcast anti-join against the (tiny, near
+    // empty on healthy corpora) blacklist of oversized buckets: the
+    // count aggregate is map-side combined and ships only (j, mh, n)
+    // tuples; the bands relation itself never shuffles for the cap.
+    // A window count would instead force hashpartitioning(j, mh) on the
+    // full bands relation even when the candidate join broadcasts.
+    val capped =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val oversized = bands.groupBy("j", "mh")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBucket)
+          .select(col("j"), col("mh"))
+        bands.join(broadcast(oversized), Seq("j", "mh"), "left_anti")
+      }
     capped.as("a")
       .join(capped.as("b"),
             col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
@@ -134,9 +155,9 @@ object Dedup extends QueryModule {
        |  FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),
        |mins AS (SELECT doc_id, $minsSql FROM hashed GROUP BY doc_id),
        |bands AS ($bandSql),
-       |capped AS (SELECT doc_id, j, mh FROM (
-       |  SELECT doc_id, j, mh, COUNT(*) OVER (PARTITION BY j, mh) AS bsz FROM bands)
-       |  WHERE bsz <= $maxBucket),
+       |oversized AS (SELECT j, mh FROM bands GROUP BY j, mh HAVING COUNT(*) > $maxBucket),
+       |capped AS (SELECT b.doc_id, b.j, b.mh FROM bands b
+       |  ANTI JOIN oversized o ON b.j = o.j AND b.mh = o.mh),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN capped b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
   }

@@ -69,13 +69,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
-  test("LSH bucket cap rides the candidate join's (j, mh) partitioning") {
-    val p = plan("d_minhash_lsh")
-    // the window count for the bucket cap must not introduce an extra
-    // exchange beyond the one feeding the (j, mh) join
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(p.contains("Window"), p)
-    assert(exchanges <= 6, s"unexpected exchange count $exchanges\n$p")
+  test("LSH bucket cap never shuffles the bands relation") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sfDir).documents
+    val capped = Dedup.lshCandidates(Dedup.shingles(docs))
+      .queryExecution.executedPlan.toString
+    // the cap is a broadcast anti-join against the oversized-bucket
+    // blacklist: the bands relation reaches the anti-join unshuffled
+    // (its only shuffle-shaped cost is the tiny map-side-combined
+    // (j, mh, count) aggregate that builds the broadcast blacklist) —
+    // never a window count, which would hash-partition the full bands
+    // relation on (j, mh) even when the candidate join broadcasts
+    assert(capped.contains("LeftAnti"), capped)
+    assert(capped.contains("BroadcastExchange") || capped.contains("BroadcastQueryStage"), capped)
+    assert(!capped.contains("Window"), capped)
   }
 
   test("rank-filter top-N uses WindowGroupLimit (bounded per-partition state)") {
