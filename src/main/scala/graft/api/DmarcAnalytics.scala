@@ -115,8 +115,11 @@ object DmarcAnalytics {
 
   // ---- batch summary document (the serving surface) -------------------
 
+  /** JSON string escape; a null (e.g. a null disposition group key)
+    * renders as "unknown" instead of NPE-ing the whole summary job.
+    */
   private def jstr(s: String): String =
-    "\"" + s.flatMap {
+    "\"" + (if (s == null) "unknown" else s).flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
@@ -138,7 +141,16 @@ object DmarcAnalytics {
     * construction); the collects here assemble a single driver-side
     * document, they never pull row-level data.
     */
-  def summaryJson(records: DataFrame, forensic: DataFrame): String = {
+  def summaryJson(recordsIn: DataFrame, forensic: DataFrame): String = {
+    // the document assembles EIGHT separate panel actions over the same
+    // records frame; persist for the duration of the build so the input
+    // scans once instead of once per panel
+    val records = recordsIn.persist()
+    try summaryJsonFrom(records, forensic)
+    finally records.unpersist(false)
+  }
+
+  private def summaryJsonFrom(records: DataFrame, forensic: DataFrame): String = {
     val messagesTotal = records.agg(sum(col("count"))).collect().head match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)

@@ -31,6 +31,9 @@ object GeoEnrichment {
     // ranges covering the reference's sample-report source IPs
     // (12/72/100 ARIN-US, 109 RIPE-GB, 198 ARIN-CA, 199 ARIN-US;
     // 234 is reserved space and intentionally unmatched → "Unknown")
+    // 10: the forensic samples' Source-IP (10.10.10.10) — a lab address
+    // the deterministic fixture maps so the forensic geo path is testable
+    (10, "US", "mail.intranet-lab.example"),
     (12, "US", "mail.telecom-us.com"), (72, "US", "edge.cloudfront.net"),
     (100, "US", "mail.telecom-us.com"), (109, "GB", "smtp.telecom-gb.co.uk"),
     (198, "CA", "mx.telecom-ca.ca"), (199, "US", "mail.telecom-us.com"),
@@ -50,6 +53,26 @@ object GeoEnrichment {
     * source_name — the Source fields the reference fills online. The
     * fixture side broadcasts; the fact side never shuffles.
     */
+  /** Enrich a forensic-report-shaped frame (nested `source` SourceInfo
+    * struct) in place: the reference fills Source.Country/ReverseDNS/
+    * BaseDomain/Name online for forensic reports exactly as for
+    * aggregate records (parser.go:1272-1301); the offline parser emits
+    * "Unknown"/empty. Rebuilds the struct so downstream consumers
+    * (DmarcAnalytics.topForensicSources, the forensic Top Source
+    * Countries panel) see real countries.
+    */
+  def enrichForensic(forensic: DataFrame): DataFrame =
+    enrich(forensic.withColumn("__fip", col("source.ipAddress")), "__fip")
+      .withColumn("source", struct(
+        col("source.ipAddress").as("ipAddress"),
+        col("source_country").as("country"),
+        col("source_reverse_dns").as("reverseDns"),
+        col("source_base_domain").as("baseDomain"),
+        col("source_name").as("name"),
+        col("source.sourceType").as("sourceType")))
+      .drop("__fip", "source_country", "source_reverse_dns",
+            "source_base_domain", "source_name")
+
   def enrich(df: DataFrame, ipCol: String): DataFrame = {
     val withKey = df.withColumn("__octet1",
       split(col(ipCol), "\\.").getItem(0).cast("int"))

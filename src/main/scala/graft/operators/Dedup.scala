@@ -33,6 +33,37 @@ object Dedup extends QueryModule {
     */
   val MaxBucket = 64
 
+  /** Drop every row belonging to an oversized bucket (more than
+    * `maxBucket` rows sharing `keys`). Shared by the MinHash-LSH and
+    * SimHash band joins: the cap is a broadcast anti-join against the
+    * (tiny, near-empty on healthy corpora) blacklist of oversized bucket
+    * keys — the count aggregate is map-side combined and ships only
+    * (keys..., n) tuples, so the banded relation itself never shuffles
+    * for the cap. A window count would instead force hashpartitioning on
+    * the full relation even when the candidate join broadcasts.
+    */
+  def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) df
+    else {
+      val oversized = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket)
+        .select(keys.map(col): _*)
+      df.join(broadcast(oversized), keys, "left_anti")
+    }
+
+  /** Materialize `out` with a single action (localCheckpoint also cuts
+    * the lineage), then release the persisted intermediates — pipeline
+    * caches must not outlive the pipeline call in a long-lived session.
+    * The surviving blocks hold only the (small) result; the context
+    * cleaner frees them when the frame is no longer referenced.
+    */
+  private def materialized(out: DataFrame, caches: DataFrame*): DataFrame = {
+    val m = out.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    m
+  }
+
   /** distinct 3-word shingles of `text` (whole text if < 3 tokens).
     * Formulated as slice+zip_with — never index the token array inside a
     * lambda (`element_at(split(text), i)` re-splits per element, turning
@@ -55,6 +86,17 @@ object Dedup extends QueryModule {
       |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
       |ELSE [text] END""".stripMargin
 
+  /** Char-4-gram set of `text`; the sequence bound is clamped so texts
+    * shorter than 4 chars yield their whole text as the single gram
+    * instead of an illegal sequence(1, n<1) boundary error.
+    */
+  private val gramsExpr =
+    "array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), i -> substring(text, i, 4)))"
+
+  private val gramsSqlDuck =
+    """list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)),
+      |    i -> substr(text, i, 4)))""".stripMargin
+
   /** (doc_id, sh) shingle frame for any (doc_id, text) documents frame.
     *
     * The shingle + 4×md5 projection downstream is the CPU hot spot of
@@ -66,10 +108,20 @@ object Dedup extends QueryModule {
   def shingles(docs: DataFrame): DataFrame =
     Par.widen(docs, col("doc_id")).select(col("doc_id"), expr(shinglesExpr).as("sh"))
 
-  /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures
-    * over a (doc_id, sh) shingle frame, with the bucket-size cap
-    * applied. Public so the n-gram Jaccard verifier and specs run on the
-    * same candidate set.
+  /** (doc_id, g) char-4-gram frame for any (doc_id, text) frame; safe on
+    * texts shorter than 4 chars (clamped sequence bound).
+    */
+  def charGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(gramsExpr).as("g"))
+
+  /** Banded minhash signature table (doc_id, j, mh) for a (doc_id, sh)
+    * shingle frame, PERSISTED: it is read three times (blacklist
+    * aggregate + both self-join sides) and without a shuffle between
+    * them Catalyst cannot reuse the subtree, so the md5 chain would run
+    * 3×. 8 (doc_id, tinyint, 32-char) rows per doc ≪ the raw corpus —
+    * the standard LSH signature-table materialization at any scale.
+    * Callers that own the pipeline release it via `materialized`;
+    * spec/plan-audit callers rely on the context cleaner.
     *
     * 16 minhash functions come from FOUR md5s per shingle: 4×32 hex
     * chars give exactly 16 disjoint 8-hex chunks, each an independent
@@ -78,7 +130,7 @@ object Dedup extends QueryModule {
     * combined) instead of interpreted array lambdas — the shape that
     * survives 100 TB.
     */
-  def lshCandidates(shingled: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+  def bandedSignatures(shingled: DataFrame): DataFrame = {
     val hashed = shingled
       .select(col("doc_id"), explode(col("sh")).as("x"))
       .select(col("doc_id"),
@@ -91,28 +143,15 @@ object Dedup extends QueryModule {
     val bandCols = (0 until Bands).map { j =>
       md5(concat((0 until Rows).map(k => col(s"h${j * Rows + k}")): _*))
     }
-    // The signature table is read three times (blacklist aggregate +
-    // both self-join sides); without a shuffle between them Catalyst
-    // cannot reuse the subtree, so the md5 chain would run 3×. Persist:
-    // 8 (doc_id, tinyint, 32-char) rows per doc ≪ the raw corpus, the
-    // standard LSH signature-table materialization at any scale.
-    val bands = mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
+    mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
       .persist()
-    // bucket-size cap as a broadcast anti-join against the (tiny, near
-    // empty on healthy corpora) blacklist of oversized buckets: the
-    // count aggregate is map-side combined and ships only (j, mh, n)
-    // tuples; the bands relation itself never shuffles for the cap.
-    // A window count would instead force hashpartitioning(j, mh) on the
-    // full bands relation even when the candidate join broadcasts.
-    val capped =
-      if (maxBucket == Int.MaxValue) bands
-      else {
-        val oversized = bands.groupBy("j", "mh")
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") > maxBucket)
-          .select(col("j"), col("mh"))
-        bands.join(broadcast(oversized), Seq("j", "mh"), "left_anti")
-      }
+  }
+
+  /** Candidate pairs (doc_a < doc_b) from a persisted banded-signature
+    * frame, with the bucket-size cap applied.
+    */
+  private def candidatesFrom(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val capped = capBuckets(bands, Seq("j", "mh"), maxBucket)
     capped.as("a")
       .join(capped.as("b"),
             col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
@@ -121,21 +160,70 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** LSH candidate pairs over a (doc_id, sh) shingle frame. Public so
+    * the n-gram Jaccard verifier, specs, and the plan audit run on the
+    * same (lazy) candidate plan.
+    */
+  def lshCandidates(shingled: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    candidatesFrom(bandedSignatures(shingled), maxBucket)
+
   /** Full MinHash-LSH near-dup pipeline over a (doc_id, text) frame:
     * candidates (capped buckets) → exact Jaccard ≥ τ on shingle sets.
     * The shingle frame is persisted only because it is read twice
     * (signatures + verification); at 100 TB this becomes a
     * recompute-vs-persist decision per corpus — MEMORY_AND_DISK default
-    * degrades gracefully either way.
+    * degrades gracefully either way. Both intermediates are released
+    * once the (small) pair list is materialized.
     */
   def minhashLsh(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     val sh = shingles(docs).persist()
-    lshCandidates(sh, maxBucket)
+    val bands = bandedSignatures(sh)
+    val verified = candidatesFrom(bands, maxBucket)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= JaccardTau)
       .orderBy("doc_a", "doc_b")
+    materialized(verified, bands, sh)
+  }
+
+  /** Banded simhash64 frame (doc_id, h, band_i, band_v): native
+    * codegen'd 64-bit shingle-level simhash, split into 4×16-bit bands —
+    * a pair within hamming distance 3 shares at least one exact band.
+    * Persisted for the same three-reads reason as `bandedSignatures`.
+    */
+  def simhash64Bands(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      .selectExpr("doc_id", "simhash64(sh) AS h")
+      .select(col("doc_id"), col("h"),
+        posexplode(expr("transform(sequence(0, 3), i -> (h >> (i * 16)) & 65535)"))
+          .as(Seq("band_i", "band_v")))
+      .persist()
+
+  /** Near-dup pairs (hamming ≤ 6) from a banded simhash64 frame. The
+    * (band_i, band_v) self-join gets the SAME oversized-bucket cap as
+    * the LSH sibling: a corpus with mass near-identical simhashes would
+    * otherwise go quadratic inside one band bucket (exact-dup mass is
+    * d_dedup_exact's job).
+    */
+  def simhash64PairsFrom(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val capped = capBuckets(bands, Seq("band_i", "band_v"), maxBucket)
+    capped.as("a").join(capped.as("b"),
+        col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              expr("bit_count(a.h ^ b.h)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** At-scale simhash dedup pipeline over a (doc_id, text) frame;
+    * materializes the pair list and releases the banded intermediate.
+    */
+  def simhash64Pairs(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val bands = simhash64Bands(docs)
+    materialized(simhash64PairsFrom(bands, maxBucket), bands)
   }
 
   /** DuckDB twin of lshCandidates: CTE chain ending in `cand`, with the
@@ -226,28 +314,12 @@ object Dedup extends QueryModule {
       },
     ),
     // at-scale simhash dedup: native 64-bit simhash64 expression, 4×16-bit
-    // band bucketing (a pair within hamming 3 shares ≥1 exact band), then
-    // hamming verification — rows-only (murmur3 has no DuckDB twin)
+    // band bucketing (a pair within hamming 3 shares ≥1 exact band) with
+    // the oversized-bucket cap, then hamming verification — rows-only
+    // (murmur3 has no DuckDB twin; Simhash64Spec + DedupSimhash64Spec)
     QueryDef(
       "d_simhash64",
-      (s, dir) => {
-        val d = Tables(s, dir).documents
-        // shingle-level simhash: token-level collapses on a shared-vocab
-        // corpus (every doc uses the same ~30 words)
-        val hashed = d.select(col("doc_id"), expr(shinglesExpr).as("sh"))
-          .selectExpr("doc_id", "simhash64(sh) AS h")
-        val bands = hashed.select(col("doc_id"), col("h"),
-          posexplode(expr("transform(sequence(0, 3), i -> (h >> (i * 16)) & 65535)"))
-            .as(Seq("band_i", "band_v")))
-        bands.as("a").join(bands.as("b"),
-            col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                  expr("bit_count(a.h ^ b.h)").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 6)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => simhash64Pairs(Tables(s, dir).documents),
       None,
     ),
     // char-4-gram Jaccard verification on the LSH candidate pairs over
@@ -257,19 +329,20 @@ object Dedup extends QueryModule {
       "d_ngram_jaccard",
       (s, dir) => {
         val d = Tables(s, dir).documents
-        val grams = d.select(col("doc_id"),
-          expr("array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))").as("g"))
-        lshCandidates(shingles(d))
+        val grams = charGrams(d)
+        val sh = shingles(d).persist()
+        val bands = bandedSignatures(sh)
+        val out = candidatesFrom(bands, MaxBucket)
           .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), "doc_a")
           .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
           .filter(col("jaccard") >= 0.2)
           .orderBy("doc_a", "doc_b")
+        materialized(out, bands, sh)
       },
       Some(s"""WITH ${candSql(MaxBucket)},
              |g AS (SELECT doc_id,
-             |  list_distinct(list_transform(generate_series(1, length(text) - 3),
-             |    i -> substr(text, i, 4))) AS g
+             |  $gramsSqlDuck AS g
              |  FROM documents)
              |SELECT doc_a, doc_b,
              |ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)

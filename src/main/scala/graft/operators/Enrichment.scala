@@ -69,6 +69,47 @@ object Enrichment extends QueryModule {
               |COUNT(DISTINCT ${baseDomainSqlDuck("rdns")}) AS n_zones
               |FROM e GROUP BY 1 ORDER BY messages DESC, source_country""".stripMargin),
     ),
+    // forensic twin of q_top_countries: a forensic-shaped frame (nested
+    // SourceInfo struct) built from events goes through
+    // GeoEnrichment.enrichForensic — the same struct-rebuild path
+    // DmarcReader.enrichedForensic uses — then the forensic dashboard's
+    // Top Source Countries panel aggregation
+    QueryDef(
+      "q_top_countries_forensic",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val ip = concat(((col("user_id") % 223) + 1).cast("string"), lit("."),
+                        ((col("user_id") * 7) % 256).cast("string"), lit("."),
+                        ((col("user_id") * 13) % 256).cast("string"), lit("."),
+                        ((col("user_id") % 251) + 1).cast("string"))
+        val forensicShaped = e.select(
+          struct(ip.as("ipAddress"), lit("Unknown").as("country"),
+                 lit("").as("reverseDns"), lit("").as("baseDomain"),
+                 lit("").as("name"), lit("").as("sourceType")).as("source"),
+          concat(lit("domain"), (col("user_id") % 20).cast("string"),
+                 lit(".example.com")).as("reportedDomain"))
+        val enriched = graft.functions.GeoEnrichment.enrichForensic(forensicShaped)
+        enriched.filter(col("source.country") =!= "Unknown")
+          .groupBy(col("source.country").as("country"))
+          .agg(count(lit(1)).as("report_count"),
+               countDistinct(col("reportedDomain")).as("unique_domains"),
+               countDistinct(col("source.ipAddress")).as("unique_ips"))
+          .orderBy(desc("report_count"), asc("country"))
+      },
+      Some(s"""WITH ips AS (SELECT user_id % 223 + 1 AS o1,
+              |  CAST(user_id % 223 + 1 AS VARCHAR) || '.' ||
+              |  CAST(user_id * 7 % 256 AS VARCHAR) || '.' ||
+              |  CAST(user_id * 13 % 256 AS VARCHAR) || '.' ||
+              |  CAST(user_id % 251 + 1 AS VARCHAR) AS ip,
+              |  'domain' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS dom
+              |  FROM events),
+              |geo(octet1, country, zone) AS (VALUES ${graft.functions.GeoEnrichment.sqlValues}),
+              |e AS (SELECT country, ip, dom FROM ips JOIN geo ON o1 = octet1)
+              |SELECT country, COUNT(*) AS report_count,
+              |COUNT(DISTINCT dom) AS unique_domains,
+              |COUNT(DISTINCT ip) AS unique_ips
+              |FROM e GROUP BY 1 ORDER BY report_count DESC, country""".stripMargin),
+    ),
     QueryDef(
       "f_is_valid_ip",
       (s, dir) => {

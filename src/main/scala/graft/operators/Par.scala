@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Parallelism balancing for CPU-heavy per-row stages (hashing, vector
@@ -15,10 +17,44 @@ import org.apache.spark.sql.{Column, DataFrame}
   * expensive derived rows (hashes, scores) never shuffle.
   */
 object Par {
+
+  private val SplitTargetBytes = 128L * 1024 * 1024
+
+  /** Order-of-magnitude estimate of the scan parallelism from the
+    * OPTIMIZED LOGICAL plan's leaf relations — file count and total
+    * bytes over the default 128 MB split target. Deliberately not
+    * `df.rdd.getNumPartitions`: converting to an RDD forces physical
+    * planning of the pre-AQE plan on the driver once per call (a real
+    * cost inside iterative loops). Unknown relation types (e.g. DSv2
+    * connectors) are assumed already wide — at scale the safe failure
+    * mode is skipping the repartition, never shuffling a huge input.
+    */
+  private def estimatedScanSplits(df: DataFrame): Long = {
+    var splits = 0L
+    var sawUnknown = false
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            splits += math.max(fs.location.inputFiles.length.toLong,
+                               fs.location.sizeInBytes / SplitTargetBytes + 1)
+          case _ => sawUnknown = true
+        }
+      case _: LocalRelation => splits += 1
+      case _ => ()
+    }
+    if (sawUnknown) Long.MaxValue else math.max(splits, 1L)
+  }
+
   def widen(df: DataFrame, keys: Column*): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= parallelism) df
-    else if (keys.isEmpty) df.repartition(parallelism)
-    else df.repartition(parallelism, keys: _*)
+    // streaming frames cannot (and need not) be re-width-balanced here;
+    // micro-batch parallelism is the source's concern
+    if (df.isStreaming) df
+    else {
+      val parallelism = df.sparkSession.sparkContext.defaultParallelism
+      if (estimatedScanSplits(df) >= parallelism) df
+      else if (keys.isEmpty) df.repartition(parallelism)
+      else df.repartition(parallelism, keys: _*)
+    }
   }
 }

@@ -82,6 +82,15 @@ object DmarcReader {
       .flatMap { case (_, bytes) => ForensicParser.parse(bytes).toOption }
   }
 
+  /** Forensic reports with the deterministic geo/rDNS enrichment applied
+    * to `source` (the forensic twin of `enrichedRecords` — without it
+    * the forensic dashboard's Top Source Countries panel only ever sees
+    * the offline parser's "Unknown").
+    */
+  def enrichedForensic(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    graft.functions.GeoEnrichment.enrichForensic(
+      forensicReports(spark, path, glob).toDF())
+
   def tlsReports(spark: SparkSession, path: String, glob: String = "*"): Dataset[TlsReport] = {
     import spark.implicits._
     files(spark, path, glob).as[(String, Array[Byte])]

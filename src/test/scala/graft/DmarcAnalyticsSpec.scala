@@ -100,6 +100,23 @@ class DmarcAnalyticsSpec extends SparkSpec {
     assert(back.contains("\"parsedmarc_parser_reports_total\""))
   }
 
+  test("topForensicSources returns real countries on enriched forensic reports") {
+    import org.apache.spark.sql.functions.col
+    val enriched = DmarcReader.enrichedForensic(
+      spark, "/root/reference/samples/forensic", "*.eml")
+    assert(enriched.count() == forensic.count())
+    // every sample sources from 10.10.10.10 → fixture octet 10 → US
+    assert(enriched.filter(col("source.country") === "Unknown").count() == 0)
+    assert(enriched.filter(col("source.baseDomain") === "").count() == 0)
+    val rows = topForensicSources(enriched).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(2) != "Unknown"),
+           "forensic Top Source Countries panel still Unknown-only")
+    // the struct rebuild must not disturb the untouched fields
+    assert(enriched.select("reportedDomain").distinct().count() ==
+           forensic.select("reportedDomain").distinct().count())
+  }
+
   test("forensic panels run on parsed ARF corpus") {
     assert(forensicPerDay(forensic).count() > 0)
     val ft = feedbackTypeBreakdown(forensic).collect()

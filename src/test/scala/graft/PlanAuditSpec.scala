@@ -91,8 +91,28 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("minhash candidate join is a hash join on (band, minhash), not all-pairs") {
-    val p = plan("d_minhash_lsh")
+    // audit the lazy candidate plan: the pipeline entry (d_minhash_lsh)
+    // materializes via localCheckpoint to release its caches, which
+    // truncates the visible lineage
+    import graft.operators.Dedup
+    val docs = Tables(spark, sfDir).documents
+    val p = Dedup.lshCandidates(Dedup.shingles(docs))
+      .queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("simhash64 band-join cap never shuffles the banded relation") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sfDir).documents
+    val p = Dedup.simhash64PairsFrom(Dedup.simhash64Bands(docs))
+      .queryExecution.executedPlan.toString
+    // same shape as the LSH cap: broadcast anti-join blacklist, never a
+    // window count over the full (band_i, band_v) relation
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 }
