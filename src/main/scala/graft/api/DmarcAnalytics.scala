@@ -102,6 +102,21 @@ object DmarcAnalytics {
       .orderBy(desc("report_count"), asc("reportedDomain"))
       .limit(n)
 
+  /** forensic p7: top source countries over enriched forensic reports
+    * (GeoEnrichment.enrichForensic output — on the raw offline parse
+    * every row is "Unknown" and this panel is empty, the round-2 gap).
+    * `since` applies the dashboard's arrival-date window; on the
+    * month-partitioned parquet table it prunes partitions.
+    */
+  def forensicTopCountries(forensic: DataFrame, since: Option[String] = None,
+                           n: Int = 10): DataFrame =
+    since.foldLeft(forensic)((f, s) => f.filter(col("arrivalDate") >= lit(s)))
+      .filter(col("source.country") =!= "Unknown")
+      .groupBy(col("source.country").as("source_country"))
+      .agg(count(lit(1)).as("reports"))
+      .orderBy(desc("reports"), asc("source_country"))
+      .limit(n)
+
   /** forensic p9: top source IPs with last-seen. */
   def topForensicSources(forensic: DataFrame, n: Int = 50): DataFrame =
     forensic.groupBy(col("source.ipAddress").as("source_ip"),

@@ -43,5 +43,26 @@ object Streaming extends QueryModule {
       },
       None,
     ),
+    // continuous report-FILE intake (the IMAP-poll twin): binaryFile
+    // stream over the sample corpus → executor-side parse → flattened
+    // record rows, AvailableNow + memory sink for the gate
+    QueryDef(
+      "st_report_intake",
+      (s, _) => {
+        val name = s"st_intake_${System.nanoTime()}"
+        val q = graft.streaming.ReportFileIntake
+          .aggregateRecordStream(s, "/root/reference/samples/aggregate")
+          .toDF()
+          .select(col("report_id"), col("org_name"), col("source_ip_address"),
+                  col("count"), col("disposition"), col("begin_date"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        s.table(name).orderBy("report_id", "source_ip_address", "count")
+      },
+      None,
+    ),
   )
 }

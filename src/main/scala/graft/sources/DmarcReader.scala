@@ -33,9 +33,15 @@ object DmarcReader {
     */
   def aggregateRecords(spark: SparkSession, path: String, glob: String = "*"): Dataset[AggregateRecordRow] = {
     import spark.implicits._
-    aggregateReports(spark, path, glob).flatMap { rep =>
-      rep.records.map { r =>
-        AggregateRecordRow(
+    aggregateReports(spark, path, glob).flatMap(recordRows)
+  }
+
+  /** Report → flattened per-record rows; shared by the batch reader above
+    * and the streaming drop-directory intake (ReportFileIntake).
+    */
+  def recordRows(rep: AggregateReport): Seq[AggregateRecordRow] =
+    rep.records.map { r =>
+      AggregateRecordRow(
           report_id = rep.reportId,
           org_name = rep.orgName,
           source_ip_address = r.source.ipAddress,
@@ -62,9 +68,7 @@ object DmarcReader {
           spf_results = r.spf.map(_.result),
           begin_date = rep.beginDate,
         )
-      }
     }
-  }
 
   /** Flattened records with the deterministic geo/rDNS enrichment
     * applied (parser.go:1272-1301's online path, re-expressed as a

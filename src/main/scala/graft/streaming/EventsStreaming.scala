@@ -132,16 +132,29 @@ object EventsStreaming {
     }
   }
 
+  /** How long (event time) the bare id counter of an idle user survives
+    * after their last session closed. Within this horizon a returning
+    * user's session ids stay monotonic; after it the state is REMOVED —
+    * state size is bounded by ACTIVE keys, not by all-time user
+    * cardinality. A user idle longer restarts numbering at 1, so
+    * consumers needing forever-unique keys compose (user_id, start_us).
+    */
+  val DefaultGcIdleUs: Long = 7L * 24 * 3600 * 1000000L
+
   /** Streaming gap-based session assembly. Input MUST carry a watermark
     * on `ts` (delay ≥ the session gap, so any event admitted by the
     * watermark can still legally extend the open session). Per key the
     * state holds only the open-session summary; a closed session is
     * emitted exactly once — either when a new event arrives beyond the
     * gap, or when the event-time timeout fires (watermark passed
-    * open.end + gap). After a timeout the state keeps just the next_id
-    * counter (2 boxed fields) so later sessions never reuse an id.
+    * open.end + gap). After that timeout the state keeps just the
+    * next_id counter so later sessions never reuse an id, with a GC
+    * timeout re-armed at end + gcIdleUs: when THAT fires the key is
+    * evicted entirely (state.remove) — idle users do not accumulate
+    * state forever.
     */
-  def sessionize(events: Dataset[RawEvent], gapUs: Long): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[RawEvent], gapUs: Long,
+                 gcIdleUs: Long = DefaultGcIdleUs): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapUs / 1000
     events.groupByKey(_.user_id)
@@ -150,10 +163,22 @@ object EventsStreaming {
         (userId: Long, it: Iterator[RawEvent], state: GroupState[SessionState]) =>
           val st = state.getOption.getOrElse(SessionState(1L, None))
           if (state.hasTimedOut) {
-            val out = st.open.toVector.zipWithIndex
-              .map { case (o, i) => mkOut(userId, st.next_id + i, o) }
-            state.update(SessionState(st.next_id + out.size, None))
-            out.iterator
+            st.open match {
+              case Some(o) =>
+                val out = Vector(mkOut(userId, st.next_id, o))
+                state.update(SessionState(st.next_id + 1, None))
+                // clamp to just past the watermark: the horizon may
+                // already be in the past, and Spark rejects a timeout
+                // timestamp at or before the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(o.end_us / 1000 + gcIdleUs / 1000,
+                           state.getCurrentWatermarkMs() + 1))
+                out.iterator
+              case None =>
+                // GC: only the idle id counter remained; evict the key
+                state.remove()
+                Iterator.empty
+            }
           } else {
             val (closed, open) = fold(st.open, sortedBatch(it), gapUs)
             val out = closed.zipWithIndex

@@ -72,6 +72,58 @@ object KafkaJsonIntake {
       case _ => EventsStreaming.readEventStream(spark, fileDir)
     }
 
+  // ---- producer side (the reference also PUBLISHES to Kafka:
+  // internal/kafka/kafka.go's producer) --------------------------------
+
+  /** Any frame → the Kafka message shape: every column folded into one
+    * JSON `value` string. Works on batch and streaming frames — the
+    * batch twin is what the round-trip spec exercises, no broker needed.
+    */
+  def toKafkaPayload(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+
+  /** Typed event rows → exactly the value JSON `parseEvents` consumes
+    * (eventSchema field names; timestamps back to epoch micros), so a
+    * publish→consume cycle is lossless.
+    */
+  def eventsToKafkaJson(events: DataFrame): DataFrame =
+    toKafkaPayload(events.select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props")))
+
+  /** Live Kafka sink (cluster deployment) — the producer twin of
+    * `readKafkaStream`, same compile-wiring scope (connector not on this
+    * classpath). Exactly-once to the checkpoint's best ability:
+    * writeStream tracks offsets; the broker side is at-least-once, as in
+    * the reference producer.
+    */
+  def writeKafka(events: DataFrame, cfg: KafkaConfig,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    eventsToKafkaJson(events)
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("topic", cfg.topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Config-gated output: with GRAFT_KAFKA_BOOTSTRAP + GRAFT_KAFKA_TOPIC
+    * set, publish to the live topic; otherwise write the same payload
+    * frame to a JSON-lines directory (the file twin — identical payload
+    * bytes, deployment-config choice like `events`).
+    */
+  def writeEvents(events: DataFrame, fileDir: String, checkpoint: String,
+                  env: Map[String, String] = sys.env): org.apache.spark.sql.streaming.StreamingQuery =
+    (env.get("GRAFT_KAFKA_BOOTSTRAP"), env.get("GRAFT_KAFKA_TOPIC")) match {
+      case (Some(bs), Some(topic)) =>
+        writeKafka(events, KafkaConfig(bs, topic), checkpoint)
+      case _ =>
+        eventsToKafkaJson(events)
+          .writeStream.format("text")
+          .option("path", fileDir)
+          .option("checkpointLocation", checkpoint)
+          .start()
+    }
+
   /** value JSON → typed columns; malformed payloads land in a
     * `_corrupt` flag instead of failing the stream.
     */

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.sources.{AggregateRecordRow, AggregateReport, AggregateXmlParser, DmarcReader}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Continuous intake of raw DMARC report FILES from a drop directory —
+  * the Spark twin of the reference's IMAP poll loop
+  * (internal/imap/client.go:409: poll mailbox → fetch attachments →
+  * parse → store, forever). Here the mail fetcher (an un-Spark-able
+  * network client) is replaced by any agent dropping files into a
+  * directory (or object-store prefix); Structured Streaming's file
+  * source provides the poll loop, checkpointed exactly-once processing
+  * of each file, and `maxFilesPerTrigger` backpressure. The parse is
+  * the SAME executor-side parser as the batch path, so batch and
+  * continuous ingestion can never drift.
+  */
+object ReportFileIntake {
+
+  /** binaryFile's fixed schema (streaming sources require it up front). */
+  private val binarySchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** (path, content) stream of newly arrived report files. */
+  def reportFileStream(spark: SparkSession, dropDir: String, glob: String = "*",
+                       maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(dropDir)
+      .select(col("path"), col("content"))
+
+  /** Parsed aggregate reports from the drop directory; unparseable files
+    * are skipped (the reference logs and continues — parser.go:116-193).
+    */
+  def aggregateReportStream(spark: SparkSession, dropDir: String,
+                            glob: String = "*"): Dataset[AggregateReport] = {
+    import spark.implicits._
+    reportFileStream(spark, dropDir, glob).as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) => AggregateXmlParser.parseAny(bytes).toOption }
+  }
+
+  /** Flattened record rows (the `dmarc_aggregate_records` shape) as a
+    * stream — ready to append to the same table the batch path fills.
+    */
+  def aggregateRecordStream(spark: SparkSession, dropDir: String,
+                            glob: String = "*"): Dataset[AggregateRecordRow] = {
+    import spark.implicits._
+    aggregateReportStream(spark, dropDir, glob).flatMap(DmarcReader.recordRows)
+  }
+
+  /** The full ingest loop: drop directory → parse → append-mode parquet
+    * records table. Each file is processed exactly once across restarts
+    * (file-source checkpoint); on a cluster outPath is object storage
+    * partitioned by month(begin_date) like the batch table.
+    */
+  def appendRecords(spark: SparkSession, dropDir: String, outPath: String,
+                    checkpoint: String, glob: String = "*",
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    aggregateRecordStream(spark, dropDir, glob)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+}

@@ -115,6 +115,12 @@ class DmarcAnalyticsSpec extends SparkSpec {
     // the struct rebuild must not disturb the untouched fields
     assert(enriched.select("reportedDomain").distinct().count() ==
            forensic.select("reportedDomain").distinct().count())
+    // the Top Source Countries panel itself: counts cover every report
+    val countries = forensicTopCountries(enriched).collect()
+    assert(countries.nonEmpty)
+    assert(countries.map(_.getLong(1)).sum == forensic.count())
+    // and on the raw (unenriched) parse it is empty — the documented gap
+    assert(forensicTopCountries(forensic).isEmpty)
   }
 
   test("forensic panels run on parsed ARF corpus") {

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import graft.sources.DmarcReader
+import graft.streaming.ReportFileIntake
+
+/** Drop-directory report intake: the streaming twin of the batch reader
+  * must process each arriving file exactly once across query restarts
+  * (file-source checkpoint) and produce byte-identical record rows to
+  * the batch parse of the same files.
+  */
+class ReportFileIntakeSpec extends SparkSpec {
+
+  private val samples = "/root/reference/samples/aggregate"
+
+  private def copyIn(drop: Path, name: String): Unit =
+    Files.copy(java.nio.file.Paths.get(samples, name), drop.resolve(name),
+               StandardCopyOption.REPLACE_EXISTING)
+
+  test("two micro-batches, no duplicate records, parity with batch parse") {
+    val tmp = Files.createTempDirectory("intake")
+    val drop = Files.createDirectories(tmp.resolve("drop"))
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    // micro-batch 1: one report file arrives
+    copyIn(drop, "!example.com!1538204542!1538463818.xml")
+    val q1 = ReportFileIntake.appendRecords(spark, drop.toString, out, ckpt)
+    q1.awaitTermination(120000)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+
+    // micro-batch 2 (restarted query, same checkpoint): a second file
+    // drops; ONLY the new file may be processed
+    copyIn(drop, "example.net!example.com!1529366400!1529452799.xml")
+    val q2 = ReportFileIntake.appendRecords(spark, drop.toString, out, ckpt)
+    q2.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+    val batch = DmarcReader.aggregateRecords(spark, drop.toString).toDF()
+    assert(streamed.count() == batch.count())
+    // same multiset of rows as the batch parse of the same directory
+    val cols = Seq("report_id", "org_name", "source_ip_address", "count", "disposition")
+    val s = streamed.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+    val b = batch.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+    assert(s.toSeq == b.toSeq)
+    // both reports present exactly once
+    assert(streamed.select("report_id").distinct().count() == 2)
+  }
+
+  test("unparseable files are skipped, not fatal") {
+    val tmp = Files.createTempDirectory("intake_bad")
+    val drop = Files.createDirectories(tmp.resolve("drop"))
+    copyIn(drop, "invalid_utf_8.xml")
+    copyIn(drop, "!example.com!1538204542!1538463818.xml")
+    val out = tmp.resolve("out").toString
+    val q = ReportFileIntake.appendRecords(spark, drop.toString, out,
+                                           tmp.resolve("ckpt").toString)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    // the good file's records all land; the bad file contributes nothing
+    assert(streamed.select("report_id").distinct().count() >= 1)
+    assert(streamed.count() ==
+      DmarcReader.aggregateRecords(spark, drop.toString).count())
+  }
+}

@@ -100,6 +100,50 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, 1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00"), 5.0)))
   }
 
+  test("idle session state is evicted after the GC horizon (ids restart after eviction)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val gapUs = 10L * 60 * 1000000    // 10 min session gap
+    val gcUs = 30L * 60 * 1000000     // 30 min idle-counter retention
+    val mem = MemoryStream[RawEvent]
+    val withWm = mem.toDS().withWatermark("ts", "10 minutes")
+    val name = s"sess_gc_${System.nanoTime()}"
+    val query = EventsStreaming.sessionize(withWm, gapUs, gcUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    // user2 opens a session; user1 exists only to drive the watermark
+    mem.addData(RawEvent(1L, t("2024-01-01 10:00:00"), 2L, "view", 5.0),
+                RawEvent(2L, t("2024-01-01 10:00:00"), 1L, "click", 1.0))
+    query.processAllAvailable()
+    // watermark → 10:50 > 10:10: user2's session times out and emits
+    // (id 1); the bare counter re-arms its GC timeout for 10:30 (already
+    // past → clamped just beyond the watermark)
+    mem.addData(RawEvent(3L, t("2024-01-01 11:00:00"), 1L, "click", 1.0))
+    query.processAllAvailable()
+    // watermark → 11:50: the clamped GC timeout fires → user2 evicted
+    mem.addData(RawEvent(4L, t("2024-01-01 12:00:00"), 1L, "click", 1.0))
+    query.processAllAvailable()
+    // user2 returns AFTER eviction: fresh state
+    mem.addData(RawEvent(5L, t("2024-01-01 12:30:00"), 2L, "view", 7.0))
+    query.processAllAvailable()
+    // watermark → 13:50 > 12:40: the new session times out and emits —
+    // with session_id 1 again, the observable proof the key was evicted
+    mem.addData(RawEvent(6L, t("2024-01-01 14:00:00"), 1L, "click", 1.0))
+    query.processAllAvailable()
+    // flush user1's trailing sessions too, then read
+    mem.addData(RawEvent(7L, t("2024-01-01 18:00:00"), 1L, "click", 1.0))
+    query.processAllAvailable()
+
+    val u2 = spark.table(name).filter(col("user_id") === 2L)
+      .select("session_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    query.stop()
+    assert(u2.sorted == Seq((1L, 1L, 5.0), (1L, 1L, 7.0)),
+           s"expected id restart after GC eviction, got $u2")
+  }
+
   test("windowedAggToFiles appends finalized windows exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
