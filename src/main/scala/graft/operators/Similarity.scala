@@ -100,6 +100,37 @@ object Similarity extends QueryModule {
       },
       None,
     ),
+    // embedding hygiene stats per label: L2-norm distribution — the
+    // sanity panel a vector pipeline runs before indexing (zero-norm or
+    // exploding vectors break cosine). Per-row norm is a sequential
+    // double fold (bit-identical to DuckDB's list_reduce); the per-group
+    // mean goes through an exact decimal sum so row order can't drift
+    // the hash.
+    QueryDef(
+      "s_vector_stats",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val nrm = expr(
+          """round(sqrt(aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+            |CAST(0 AS DOUBLE), (a, x) -> a + x)), 6)""".stripMargin)
+        e.select(col("label"), nrm.as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+               round(min(col("nrm")), 4).as("min_norm"),
+               round(max(col("nrm")), 4).as("max_norm"),
+               round(sum(col("nrm").cast("decimal(18,6)")).cast("double") /
+                 count(lit(1)), 4).as("avg_norm"))
+          .orderBy("label")
+      },
+      Some(s"""WITH c AS (SELECT label,
+              |  ROUND(sqrt(${duckDot("embedding", "embedding")}), 6) AS nrm
+              |  FROM embeddings)
+              |SELECT label, COUNT(*) AS n_vecs,
+              |ROUND(MIN(nrm), 4) AS min_norm,
+              |ROUND(MAX(nrm), 4) AS max_norm,
+              |ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
+              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // IVF-style ANN: k-means bucketing (graft.api.AnnIndex), queries
     // probe the 3 nearest of 8 buckets. Rows-only: recall and structure
     // are spec-tested against the brute-force baseline.

@@ -163,6 +163,79 @@ object TextAnalysis extends QueryModule {
              |COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
+    // Gopher-style repetition quality rules per doc: duplicate-token
+    // fraction and most-frequent-token share. The scalable shape is
+    // explode → two-level groupBy (map-side combined), never a per-doc
+    // O(tokens²) lambda counting occurrences inside the array.
+    QueryDef(
+      "t_repetition",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val counts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("n"))
+        counts.groupBy("doc_id")
+          .agg(sum(col("n")).as("tot"),
+               count(lit(1)).as("dis"),
+               max(col("n")).as("mx"))
+          .select(col("doc_id"),
+                  round(lit(1.0) - col("dis").cast("double") / col("tot"), 4).as("dup_frac"),
+                  round(col("mx").cast("double") / col("tot"), 4).as("top_term_frac"),
+                  col("tot").cast("bigint").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |c AS (SELECT doc_id, term, COUNT(*) AS n FROM t WHERE term <> '' GROUP BY 1, 2),
+             |a AS (SELECT doc_id, SUM(n) AS tot, COUNT(*) AS dis, MAX(n) AS mx FROM c GROUP BY 1)
+             |SELECT doc_id,
+             |ROUND(1.0 - CAST(dis AS DOUBLE) / tot, 4) AS dup_frac,
+             |ROUND(CAST(mx AS DOUBLE) / tot, 4) AS top_term_frac,
+             |CAST(tot AS BIGINT) AS n_tokens
+             |FROM a ORDER BY doc_id""".stripMargin),
+    ),
+    // PII scrubbing for training corpora: redact emails then IPv4s via
+    // codegen'd regexp_replace (replace-all in both engines); the PII is
+    // synthesized deterministically since testdata carries none. Output
+    // carries match counts + an md5 of the redacted text so the gate
+    // hash-checks the full redaction result.
+    QueryDef(
+      "t_pii_scrub",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val withPii = d.selectExpr("doc_id",
+          """concat(text, ' contact user', CAST(doc_id AS STRING), '@mail.example.com',
+            |  CASE WHEN doc_id % 2 = 0
+            |    THEN concat(' cc admin', CAST(doc_id AS STRING), '@corp.example.org')
+            |    ELSE '' END,
+            |  ' from 10.', CAST(doc_id % 256 AS STRING),
+            |  '.', CAST(doc_id * 7 % 256 AS STRING),
+            |  '.', CAST(doc_id % 250 + 1 AS STRING)) AS pii_text""".stripMargin)
+        withPii.selectExpr("doc_id",
+            "CAST(size(regexp_extract_all(pii_text, '[a-z0-9.]+@[a-z0-9.-]+', 0)) AS BIGINT) AS n_emails",
+            """CAST(size(regexp_extract_all(pii_text, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', 0)) AS BIGINT) AS n_ips""",
+            """md5(regexp_replace(
+              |  regexp_replace(pii_text, '[a-z0-9.]+@[a-z0-9.-]+', '<EMAIL>'),
+              |  '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>')) AS redacted_hash""".stripMargin)
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ||
+             |  CASE WHEN doc_id % 2 = 0
+             |    THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+             |    ELSE '' END ||
+             |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             |  '.' || CAST(doc_id * 7 % 256 AS VARCHAR) ||
+             |  '.' || CAST(doc_id % 250 + 1 AS VARCHAR) AS pii_text
+             |  FROM documents)
+             |SELECT doc_id,
+             |CAST(len(regexp_extract_all(pii_text, '[a-z0-9.]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+             |CAST(len(regexp_extract_all(pii_text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+             |md5(regexp_replace(
+             |  regexp_replace(pii_text, '[a-z0-9.]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             |  '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS redacted_hash
+             |FROM p ORDER BY doc_id""".stripMargin),
+    ),
     // n-gram heuristic language ID: score text against per-language
     // stopword profiles; rows-only (synthetic corpus carries no real
     // language signal — the spec checks shape + determinism).
