@@ -125,4 +125,25 @@ object OutputWriters {
       .write.mode("overwrite")
       .partitionBy("report_month", "org_name")
       .parquet(path)
+
+  /** The analytics TABLE layout — MergeTree parity with
+    * `dmarc_aggregate_records` (clickhouse.go:107-138: PARTITION BY
+    * toYYYYMM(begin_date), ORDER BY (org, report, ip, date)):
+    * month-partitioned parquet, ONE shuffle keyed on the partition
+    * column so each month is written by a single task's sorted run, rows
+    * sorted within files on (org_name, report_id, source_ip_address,
+    * begin_date) so parquet row-group min/max statistics serve the same
+    * data-skipping role as MergeTree's primary index — a dashboard
+    * filter on org or source IP skips whole row groups, and every
+    * time-windowed panel prunes whole month directories.
+    */
+  def writeRecordsTable(records: Dataset[AggregateRecordRow], path: String): Unit =
+    records.toDF()
+      .withColumn("report_month", date_format(col("begin_date"), "yyyyMM"))
+      .repartition(col("report_month"))
+      .sortWithinPartitions("report_month", "org_name", "report_id",
+                            "source_ip_address", "begin_date")
+      .write.mode("overwrite")
+      .partitionBy("report_month")
+      .parquet(path)
 }

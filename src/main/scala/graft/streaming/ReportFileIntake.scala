@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.sources.{AggregateRecordRow, AggregateReport, AggregateXmlParser, DmarcReader}
+import graft.sources.{AggregateRecordRow, AggregateReport, AggregateXmlParser,
+  DmarcReader, ForensicParser, ForensicReport, TlsReport, TlsReportParser}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -26,7 +27,16 @@ object ReportFileIntake {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
-  /** (path, content) stream of newly arrived report files. */
+  /** (path, content) stream of newly arrived report files.
+    *
+    * The watermarked path dedup guards a real hazard of mail-derived
+    * filenames (the reference saves reports under their email subject —
+    * spaces, brackets, parens): the file source's seen-files map can
+    * miss relisted paths containing glob metacharacters and deliver the
+    * same file in two consecutive micro-batches. Dedup state is evicted
+    * once the watermark passes a file's modification time + 1h, so it
+    * stays bounded by recent-arrival count, not all-time file count.
+    */
   def reportFileStream(spark: SparkSession, dropDir: String, glob: String = "*",
                        maxFilesPerTrigger: Int = 64): DataFrame =
     spark.readStream.format("binaryFile")
@@ -34,6 +44,8 @@ object ReportFileIntake {
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(dropDir)
+      .withWatermark("modificationTime", "1 hour")
+      .dropDuplicatesWithinWatermark("path")
       .select(col("path"), col("content"))
 
   /** Parsed aggregate reports from the drop directory; unparseable files
@@ -53,6 +65,25 @@ object ReportFileIntake {
                             glob: String = "*"): Dataset[AggregateRecordRow] = {
     import spark.implicits._
     aggregateReportStream(spark, dropDir, glob).flatMap(DmarcReader.recordRows)
+  }
+
+  /** Forensic (ARF email) twin of `aggregateReportStream` — the IMAP
+    * poll also delivers forensic reports; same drop-directory source,
+    * same executor-side parser as the batch path.
+    */
+  def forensicReportStream(spark: SparkSession, dropDir: String,
+                           glob: String = "*"): Dataset[ForensicReport] = {
+    import spark.implicits._
+    reportFileStream(spark, dropDir, glob).as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) => ForensicParser.parse(bytes).toOption }
+  }
+
+  /** SMTP TLS (RFC 8460 JSON) twin. */
+  def tlsReportStream(spark: SparkSession, dropDir: String,
+                      glob: String = "*"): Dataset[TlsReport] = {
+    import spark.implicits._
+    reportFileStream(spark, dropDir, glob).as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) => TlsReportParser.parseAny(bytes).toOption }
   }
 
   /** The full ingest loop: drop directory → parse → append-mode parquet

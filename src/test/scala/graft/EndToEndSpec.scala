@@ -42,4 +42,33 @@ class EndToEndSpec extends SparkSpec {
     val td = DmarcAnalytics.topSources(records.toDF(), minMessages = 1, n = 10).count()
     assert(ts == td)
   }
+
+  test("writeRecordsTable: MergeTree-parity layout (month partitions, sorted files)") {
+    val dir = Files.createTempDirectory("graft-table").toString
+    val records = DmarcReader.aggregateRecords(spark, "/root/reference/samples/aggregate")
+    OutputWriters.writeRecordsTable(records, s"$dir/t")
+
+    // month partition directories exist and a month filter prunes
+    val stored = spark.read.parquet(s"$dir/t")
+    assert(stored.count() == records.count())
+    val months = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.startsWith("report_month=")).map(_.getName)
+    assert(months.length > 1, months.mkString(","))
+    val pruned = stored.filter(col("report_month") === "201809")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(report_month"))
+
+    // within every physical file rows are sorted on the MergeTree key,
+    // so parquet row-group min/max stats can skip on (org, report, ip)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.startsWith("report_month="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f.toString)
+        .select("org_name", "report_id", "source_ip_address")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(keys == keys.sorted, s"unsorted rows in ${f.getName}")
+    }
+  }
 }

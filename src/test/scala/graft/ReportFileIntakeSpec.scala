@@ -48,6 +48,27 @@ class ReportFileIntakeSpec extends SparkSpec {
     assert(streamed.select("report_id").distinct().count() == 2)
   }
 
+  test("forensic and TLS streams parse the same corpus as the batch readers") {
+    import org.apache.spark.sql.streaming.Trigger
+    def drain(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name).count()
+    }
+    val nF = drain(ReportFileIntake.forensicReportStream(
+      spark, "/root/reference/samples/forensic", "*.eml").toDF(),
+      s"st_forensic_${System.nanoTime()}")
+    assert(nF == DmarcReader.forensicReports(
+      spark, "/root/reference/samples/forensic", "*.eml").count() && nF > 0)
+    val nT = drain(ReportFileIntake.tlsReportStream(
+      spark, "/root/reference/samples/smtp_tls").toDF()
+        .selectExpr("reportId", "organizationName", "size(policies) AS n_policies"),
+      s"st_tls_${System.nanoTime()}")
+    assert(nT == DmarcReader.tlsReports(
+      spark, "/root/reference/samples/smtp_tls").count() && nT > 0)
+  }
+
   test("unparseable files are skipped, not fatal") {
     val tmp = Files.createTempDirectory("intake_bad")
     val drop = Files.createDirectories(tmp.resolve("drop"))
