@@ -74,11 +74,81 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  val headerSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("header_ok", BooleanType),
+  ))
+
+  private val imageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))),
+  ))
+
+  /** Media table whose payloads are REAL image headers (PNG/GIF/BMP
+    * bytes synthesized per-format with the declared dimensions) — the
+    * metadata-decode path below parses actual bytes, not a side
+    * channel.
+    */
+  def imageTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      element_at(array(lit("png"), lit("gif"), lit("bmp")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      (col("doc_id") % 640 + 32).cast("int").as("width"),
+      (col("doc_id") % 480 + 32).cast("int").as("height"))
+    val rdd = base.rdd.map { r =>
+      Row(r.getLong(0),
+          graft.functions.ImageHeaders.syntheticHeader(
+            r.getString(1), r.getInt(2), r.getInt(3)),
+          Row(r.getString(1), r.getInt(2), r.getInt(3)))
+    }
+    spark.createDataFrame(rdd, imageSchema)
+  }
+
+  /** REAL metadata decode: parse (format, width, height) out of the
+    * payload's actual header bytes (graft.functions.ImageHeaders —
+    * pure-JVM PNG/GIF/BMP/JPEG parsing, no media libraries), batched
+    * like `extractFeatures`. `header_ok` compares the parsed values to
+    * the declared metadata — a corrupt or mislabeled payload surfaces
+    * as false instead of poisoning downstream stats. Only pixel decode
+    * remains stubbed.
+    */
+  def decodeHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.ImageHeaders.parse(r.getAs[Array[Byte]](1)) match {
+          case Some((f, w, h)) =>
+            Row(r.getLong(0), f, w, h,
+                f == meta.getString(0) && w == meta.getInt(1) && h == meta.getInt(2))
+          case None =>
+            Row(r.getLong(0), "unknown", 0, 0, false)
+        }
+      }))
+    spark.createDataFrame(rdd, headerSchema)
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "m_multimodal_meta",
       (s, dir) =>
         extractFeatures(mediaTable(Tables(s, dir))).orderBy("doc_id"),
+      None,
+    ),
+    // real header-metadata decode over synthesized-but-valid image bytes
+    QueryDef(
+      "m_image_headers",
+      (s, dir) =>
+        decodeHeaders(imageTable(Tables(s, dir))).orderBy("doc_id"),
       None,
     ),
   )
