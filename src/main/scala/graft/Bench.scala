@@ -14,7 +14,7 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_daily_volume", "q_org_compliance", "q_sessionize",
-    "d_minhash_lsh", "s_cosine_topk",
+    "d_minhash_lsh", "d_minhash_lsh_fast", "s_cosine_topk",
   )
 
   def main(args: Array[String]): Unit = {

@@ -167,6 +167,35 @@ object Dedup extends QueryModule {
   def lshCandidates(shingled: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
     candidatesFrom(bandedSignatures(shingled), maxBucket)
 
+  /** xxhash64 twin of `bandedSignatures` — the PRODUCTION hash path.
+    * md5 exists for cross-engine oracle checkability; at corpus scale
+    * the hash chain is the dedup family's CPU hot spot and xxhash64
+    * (codegen'd, non-cryptographic) runs several times faster. 16
+    * independent minhash functions come from 16 seeds; band keys hash
+    * the band's minhashes together. Same (doc_id, j, mh) shape, so the
+    * capped candidate join is shared.
+    */
+  def bandedSignatures64(shingled: DataFrame): DataFrame = {
+    val hashed = shingled.select(col("doc_id"), explode(col("sh")).as("x"))
+    val minCols = (0 until Bands * Rows).map { i =>
+      min(xxhash64(lit(i), col("x"))).as(s"h$i")
+    }
+    val mins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until Bands).map { j =>
+      xxhash64((0 until Rows).map(k => col(s"h${j * Rows + k}")): _*)
+    }
+    mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
+      .persist()
+  }
+
+  private def verify(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardTau)
+      .orderBy("doc_a", "doc_b")
+
   /** Full MinHash-LSH near-dup pipeline over a (doc_id, text) frame:
     * candidates (capped buckets) → exact Jaccard ≥ τ on shingle sets.
     * The shingle frame is persisted only because it is read twice
@@ -178,12 +207,21 @@ object Dedup extends QueryModule {
   def minhashLsh(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     val sh = shingles(docs).persist()
     val bands = bandedSignatures(sh)
-    val verified = candidatesFrom(bands, maxBucket)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= JaccardTau)
-      .orderBy("doc_a", "doc_b")
+    val verified = verify(candidatesFrom(bands, maxBucket), sh)
+    materialized(verified, bands, sh)
+  }
+
+  /** Production-hash variant of `minhashLsh` (xxhash64 signatures, same
+    * banding, same bucket cap, same exact-Jaccard verification). The
+    * verification criterion is identical — only which candidate pairs
+    * surface can differ (independent minhash samplings each have
+    * ~1-(1-j^r)^b recall), so DedupLsh64Spec asserts pair-set parity on
+    * the test corpus rather than a DuckDB oracle.
+    */
+  def minhashLsh64(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = shingles(docs).persist()
+    val bands = bandedSignatures64(sh)
+    val verified = verify(candidatesFrom(bands, maxBucket), sh)
     materialized(verified, bands, sh)
   }
 
@@ -282,6 +320,14 @@ object Dedup extends QueryModule {
            |  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= $JaccardTau
            |ORDER BY doc_a, doc_b""".stripMargin
       },
+    ),
+    // production-hash LSH twin: xxhash64 signatures (no DuckDB md5
+    // parity, so rows-only); DedupLsh64Spec pins pair-set parity with
+    // the oracled md5 path
+    QueryDef(
+      "d_minhash_lsh_fast",
+      (s, dir) => minhashLsh64(Tables(s, dir).documents),
+      None,
     ),
     QueryDef(
       "d_simhash",
