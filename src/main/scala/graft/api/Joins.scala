@@ -51,4 +51,25 @@ object Joins {
       .filter(col("_side") === 1)
       .drop("_ts", "_side")
   }
+
+  /** Range (interval) join: all (left, right) pairs sharing `key` whose
+    * BIGINT timestamps differ by at most `widthUs`. A naive inequality
+    * join degenerates to a per-key cartesian that Spark must execute as
+    * a nested loop; instead both sides BIN into width-sized buckets and
+    * hash-join on (key, bin) — the left row probes its own and both
+    * adjacent bins (3 candidate bins cover every |Δt| ≤ width), the
+    * equi-join shuffles/broadcasts like any other, candidate volume is
+    * bounded by per-bin occupancy, and the exact |Δt| filter runs on
+    * candidates only. Column names of the two inputs must not collide
+    * (rename before calling for self-joins).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String, widthUs: Long): DataFrame = {
+    val probes = left.withColumn("_bin",
+      explode(expr(s"array($leftTs DIV $widthUs - 1, $leftTs DIV $widthUs, $leftTs DIV $widthUs + 1)")))
+    val build = right.withColumn("_bin", expr(s"$rightTs DIV $widthUs"))
+    probes.join(build, Seq(key, "_bin"))
+      .filter(abs(col(leftTs) - col(rightTs)) <= widthUs)
+      .drop("_bin")
+  }
 }

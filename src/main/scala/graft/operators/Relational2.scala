@@ -12,6 +12,28 @@ object Relational2 extends QueryModule {
   import Det._
 
   override def entries: Seq[QueryDef] = Seq(
+    // range (interval) join via api.Joins.rangeJoin: binned equi-join,
+    // never a per-key nested-loop inequality join — pairs of events per
+    // user within 15 minutes of each other
+    QueryDef(
+      "q_range_join",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts_us").as("a_us"))
+        val b = e.select(col("user_id"), col("event_id").as("b_id"), col("ts_us").as("b_us"))
+        graft.api.Joins.rangeJoin(a, b, "user_id", "a_us", "b_us", 900000000L)
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+             |SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND abs(a.ts_us - b.ts_us) <= 900000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // INTERSECT / EXCEPT / UNION ALL
     QueryDef(
       "q_set_ops",
