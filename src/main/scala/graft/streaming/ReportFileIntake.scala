@@ -37,8 +37,8 @@ object ReportFileIntake {
     * once the watermark passes a file's modification time + 1h, so it
     * stays bounded by recent-arrival count, not all-time file count.
     */
-  def reportFileStream(spark: SparkSession, dropDir: String, glob: String = "*",
-                       maxFilesPerTrigger: Int = 64): DataFrame =
+  private def rawFileStream(spark: SparkSession, dropDir: String, glob: String,
+                            maxFilesPerTrigger: Int): DataFrame =
     spark.readStream.format("binaryFile")
       .schema(binarySchema)
       .option("pathGlobFilter", glob)
@@ -46,6 +46,10 @@ object ReportFileIntake {
       .load(dropDir)
       .withWatermark("modificationTime", "1 hour")
       .dropDuplicatesWithinWatermark("path")
+
+  def reportFileStream(spark: SparkSession, dropDir: String, glob: String = "*",
+                       maxFilesPerTrigger: Int = 64): DataFrame =
+    rawFileStream(spark, dropDir, glob, maxFilesPerTrigger)
       .select(col("path"), col("content"))
 
   /** Parsed aggregate reports from the drop directory; unparseable files
@@ -65,6 +69,38 @@ object ReportFileIntake {
                             glob: String = "*"): Dataset[AggregateRecordRow] = {
     import spark.implicits._
     aggregateReportStream(spark, dropDir, glob).flatMap(DmarcReader.recordRows)
+  }
+
+  /** Aggregate reports with mailbox-redelivery dedup: an IMAP mailbox
+    * can deliver the same report repeatedly (cc'd copies, re-polls,
+    * multiple recipient folders) — the reference marks processed
+    * messages seen; here duplicate REPORT IDs arriving within the
+    * watermark horizon collapse to the first copy even when the files
+    * differ. State holds one id per recently arrived report and evicts
+    * an hour of arrival time behind the newest file.
+    */
+  def dedupedAggregateReports(spark: SparkSession, dropDir: String,
+                              glob: String = "*"): Dataset[AggregateReport] = {
+    import spark.implicits._
+    // built on the RAW load (not the path-deduped stream): report-id
+    // dedup subsumes path dedup here — a double-listed path parses to
+    // the same report id — and Spark allows only one watermark
+    // definition per stateful chain
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", "64")
+      .load(dropDir)
+      .select(col("modificationTime"), col("content"))
+      .as[(java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (mt, bytes) =>
+        AggregateXmlParser.parseAny(bytes).toOption.map(r => (mt, r))
+      }
+      .toDF("_arrival", "report")
+      .withWatermark("_arrival", "1 hour")
+      .withColumn("_rid", col("report.reportId"))
+      .dropDuplicatesWithinWatermark("_rid")
+      .select("report.*").as[AggregateReport]
   }
 
   /** Forensic (ARF email) twin of `aggregateReportStream` — the IMAP

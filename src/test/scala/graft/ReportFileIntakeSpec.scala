@@ -69,6 +69,30 @@ class ReportFileIntakeSpec extends SparkSpec {
       spark, "/root/reference/samples/smtp_tls").count() && nT > 0)
   }
 
+  test("redelivered reports (same id, different files) collapse to one copy") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("intake_dup")
+    val drop = Files.createDirectories(tmp.resolve("drop"))
+    val orig = java.nio.file.Paths.get(samples, "!example.com!1538204542!1538463818.xml")
+    // the same report delivered THREE times under different names, plus
+    // one genuinely different report
+    Files.copy(orig, drop.resolve("copy-a.xml"))
+    Files.copy(orig, drop.resolve("copy-b.xml"))
+    Files.copy(orig, drop.resolve("copy-c.xml"))
+    copyIn(drop, "example.net!example.com!1529366400!1529452799.xml")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = ReportFileIntake.dedupedAggregateReports(spark, drop.toString).toDF()
+      .select("reportId", "orgName")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table(name).collect().map(_.getString(0)).toSeq
+    assert(out.length == 2, out.mkString(","))
+    assert(out.distinct.length == 2)
+    // without the dedup the same directory yields 4 parsed reports
+    assert(DmarcReader.aggregateReports(spark, drop.toString).count() == 4)
+  }
+
   test("unparseable files are skipped, not fatal") {
     val tmp = Files.createTempDirectory("intake_bad")
     val drop = Files.createDirectories(tmp.resolve("drop"))
