@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  private val sqDist =
-    "aggregate(zip_with(embedding, centroid, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+  // native codegen'd expression (graft.plans.SqDistance) — the
+  // corpus×centroids assignment loop must not run as interpreted
+  // higher-order lambdas; arithmetic is identical to the
+  // aggregate(zip_with(...)) fold it replaces
+  private val sqDist = "sq_distance(embedding, centroid)"
 
   /** (cluster, centroid float array); deterministic init from the first
     * k vectors by id.

@@ -94,8 +94,14 @@ object Similarity extends QueryModule {
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         val corpus = e.select(col("vec_id"), col("embedding"))
+        // k tuning is a recall/cost dial, NOT one-size: at this LOW tau
+        // (0.45) "near"-dup pairs are not tight in L2, so sqrt(n)-fine
+        // buckets lose boundary pairs (measured: 112 → 79 pairs at
+        // sf0.1 with k=sqrt(n), nprobe=2). Keep buckets coarse for
+        // low-tau near-dup; raise k (toward sqrt(n)) only together with
+        // tau/nprobe when duplicates are genuinely close.
         val centroids = graft.api.AnnIndex.kmeans(corpus, k = 8, iters = 3)
-        graft.api.AnnIndex.nearDupPairs(corpus, centroids, tau = 0.45, nprobe = 2)
+        graft.api.AnnIndex.nearDupPairs(corpus, centroids, tau = 0.45, nprobe = 3)
           .orderBy("a_id", "b_id")
       },
       None,
@@ -139,7 +145,12 @@ object Similarity extends QueryModule {
       (s, dir) => {
         val e = Tables(s, dir).embeddings
         val corpus = e.select(col("vec_id"), col("embedding"))
-        val centroids = graft.api.AnnIndex.kmeans(corpus, k = 8, iters = 3)
+        // top-k search (unlike low-tau near-dup) tolerates finer
+        // buckets: k ~ sqrt(n) keeps the probed fraction shrinking as
+        // the corpus grows while the recall spec holds. count() over
+        // parquet is metadata-only.
+        val k = math.max(8, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+        val centroids = graft.api.AnnIndex.kmeans(corpus, k = k, iters = 3)
         val queries = corpus.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         graft.api.AnnIndex.search(corpus, centroids, queries, nprobe = 3, topK = 5)

@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     ext.injectFunction((
+      FunctionIdentifier("sq_distance"),
+      SqDistance.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "sq_distance expects 2 arguments")
+        SqDistance(children.head, children(1))
+      },
+    ))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       Simhash64.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
