@@ -1,0 +1,92 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sign-random-projection (SRP) LSH over the embedding column — the
+  * TRAINING-FREE alternative to the kmeans IVF index: bucket = the
+  * nbits-bit sign pattern of fixed pseudo-random hyperplane
+  * projections. P(bit collision) = 1 − θ/π for angle θ, so cosine-close
+  * vectors share band values with high probability. No index build
+  * pass, no centroid state — the signature is a pure function of the
+  * vector, which also makes it incrementally maintainable (a streaming
+  * corpus can bucket new vectors without touching old ones).
+  *
+  * Scale shape: signatures are one broadcast-crossJoin projection pass
+  * (nbits tiny rows per vector, codegen'd dot_product) + a map-side
+  * combinable groupBy; candidate generation joins on exact band values
+  * (hash join, bucket-capped like the text-LSH family); verification is
+  * exact cosine on candidates only.
+  */
+object SrpLsh {
+
+  /** Deterministic hyperplanes: dim×nbits Gaussian coordinates from a
+    * fixed seed (index identity — two runs, or the corpus and query
+    * sides, must derive identical planes).
+    */
+  def hyperplanes(dim: Int, nbits: Int, seed: Long = 42L): Seq[(Int, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nbits).map(i => i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private def planesDf(df: DataFrame, dim: Int, nbits: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    hyperplanes(dim, nbits).toDF("bit_i", "plane")
+  }
+
+  /** (vec_id, bucket) — the nbits-bit SRP signature per vector. */
+  def signatures(corpus: DataFrame, vecCol: String, dim: Int, nbits: Int): DataFrame =
+    corpus.crossJoin(broadcast(planesDf(corpus, dim, nbits)))
+      .withColumn("bit", (expr(s"dot_product($vecCol, plane)") > 0).cast("long"))
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(bit, bit_i)")).as("bucket"))
+
+  /** (vec_id, band_i, band_v) — the signature split into bands of
+    * bandBits for multi-probe candidate generation (two vectors within
+    * a small angle share at least one exact band with high
+    * probability).
+    */
+  def bandedSignatures(corpus: DataFrame, vecCol: String, dim: Int,
+                       nbits: Int, bandBits: Int): DataFrame = {
+    val nBands = nbits / bandBits
+    val mask = (1L << bandBits) - 1
+    signatures(corpus, vecCol, dim, nbits)
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${nBands - 1}), i -> (bucket >> (i * $bandBits)) & $mask)"))
+          .as(Seq("band_i", "band_v")))
+  }
+
+  /** Top-k by cosine probing band-sharing corpus vectors only. Queries
+    * are a tiny relation: their banded signatures broadcast against the
+    * corpus signatures (hash join on (band_i, band_v)); candidates
+    * dedup and verify with exact cosine; top-k is the bounded-heap
+    * partial aggregate.
+    */
+  def search(corpus: DataFrame, queries: DataFrame, dim: Int, topK: Int,
+             nbits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusBands = bandedSignatures(corpus, "embedding", dim, nbits, bandBits)
+    val queryBands = bandedSignatures(
+      queries.select(col("q_id").as("vec_id"), col("q_vec").as("embedding")),
+      "embedding", dim, nbits, bandBits)
+      .withColumnRenamed("vec_id", "q_id")
+    val cand = corpusBands.join(broadcast(queryBands), Seq("band_i", "band_v"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val scored = cand
+      .join(queries, "q_id")
+      .join(corpus, "vec_id")
+      .withColumn("cos", round(expr("cosine_similarity(q_vec, embedding)"), 4))
+    scored.select(col("q_id"), col("vec_id"), col("cos")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(topK).toColumn)
+      .flatMap { case (q, hits) =>
+        hits.zipWithIndex.map { case ((v, c), i) => (q, v, c, i + 1) }
+      }
+      .toDF("q_id", "vec_id", "cos", "rn")
+  }
+}

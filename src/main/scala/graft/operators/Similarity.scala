@@ -106,6 +106,22 @@ object Similarity extends QueryModule {
       },
       None,
     ),
+    // SRP-LSH ANN: the training-free bucketed path (random-hyperplane
+    // sign signatures, no kmeans build; signatures are pure functions
+    // of the vector so a streaming corpus buckets incrementally).
+    // Rows-only; SrpLshSpec pins determinism + recall vs brute force.
+    QueryDef(
+      "s_srp_topk",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val queries = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        graft.api.SrpLsh.search(corpus, queries, dim = 64, topK = 5)
+          .orderBy("q_id", "rn")
+      },
+      None,
+    ),
     // embedding hygiene stats per label: L2-norm distribution — the
     // sanity panel a vector pipeline runs before indexing (zero-norm or
     // exploding vectors break cosine). Per-row norm is a sequential

@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      DotProduct.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "dot_product expects 2 arguments")
+        DotProduct(children.head, children(1))
+      },
+    ))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       Simhash64.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -1,0 +1,59 @@
+package graft
+
+import graft.api.SrpLsh
+import org.apache.spark.sql.functions._
+
+/** SRP-LSH: signature determinism, the angle-collision property, and
+  * search recall vs the brute-force baseline.
+  */
+class SrpLshSpec extends SparkSpec {
+
+  private def corpus = Tables(spark, sfDir).embeddings
+    .select(col("vec_id"), col("embedding"))
+
+  test("dot_product native expression registered and exact") {
+    val r = spark.sql(
+      """SELECT dot_product(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |                   array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("signatures are deterministic across runs") {
+    def sig() = SrpLsh.signatures(corpus, "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = sig(); val b = sig()
+    assert(a == b && a.nonEmpty)
+    // buckets spread (not all vectors in one bucket)
+    assert(a.values.toSet.size > 10)
+  }
+
+  test("identical vectors share every band; a vector collides with itself") {
+    val doubled = corpus.limit(50)
+      .union(corpus.limit(50).withColumn("vec_id", col("vec_id") + 100000))
+    val bands = SrpLsh.bandedSignatures(doubled, "embedding", 64, 16, 4)
+    val joined = bands.filter(col("vec_id") < 100000).as("a")
+      .join(bands.filter(col("vec_id") >= 100000).as("b"),
+            col("a.vec_id") + 100000 === col("b.vec_id") &&
+              col("a.band_i") === col("b.band_i"))
+      .filter(col("a.band_v") =!= col("b.band_v"))
+    assert(joined.count() == 0)
+  }
+
+  test("search recall vs brute force above the floor; ranks consistent") {
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("s_cosine_topk")
+    val srp = pairs("s_srp_topk")
+    assert(brute.nonEmpty)
+    val recall = srp.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"srp top-k recall $recall < 0.5")
+    // per-query ranks are 1..k without gaps
+    val rn = SparkEntry.queries("s_srp_topk")(spark, sfDir)
+      .groupBy("q_id").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .collect()
+    assert(rn.forall(r => r.getLong(1) == r.getInt(2).toLong ||
+                          r.getLong(1) == r.getLong(2)))
+  }
+}
