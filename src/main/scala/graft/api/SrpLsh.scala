@@ -58,6 +58,38 @@ object SrpLsh {
           .as(Seq("band_i", "band_v")))
   }
 
+  /** Corpus-scale near-dup pairs: self-join the banded signatures on
+    * exact band values (with the standard oversized-bucket cap — a
+    * degenerate corpus of identical vectors must not go quadratic),
+    * then exact cosine ≥ tau on candidates. Training-free twin of
+    * AnnIndex.nearDupPairs, and the embedding analogue of the
+    * simhash64 text path.
+    */
+  /** Default 32 bits in 4-bit bands: at tau 0.45 (θ≈63°, per-bit
+    * collision ~0.65) a pair shares ≥1 of the 8 bands with p ≈ 0.8,
+    * vs ≈ 0.55 with only 4 bands — recall is bought with bands, and
+    * each band stays 4 bits so bucket occupancy keeps the cap honest.
+    */
+  def nearDupPairs(corpus: DataFrame, dim: Int, tau: Double,
+                   nbits: Int = 32, bandBits: Int = 4,
+                   maxBucket: Int = graft.operators.Dedup.MaxBucket): DataFrame = {
+    val bands = graft.operators.Dedup.capBuckets(
+      bandedSignatures(corpus, "embedding", dim, nbits, bandBits),
+      Seq("band_i", "band_v"), maxBucket)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+            col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
+              col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
+      .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
+      .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
   /** Top-k by cosine probing band-sharing corpus vectors only. Queries
     * are a tiny relation: their banded signatures broadcast against the
     * corpus signatures (hash join on (band_i, band_v)); candidates
@@ -65,7 +97,7 @@ object SrpLsh {
     * partial aggregate.
     */
   def search(corpus: DataFrame, queries: DataFrame, dim: Int, topK: Int,
-             nbits: Int = 16, bandBits: Int = 4): DataFrame = {
+             nbits: Int = 32, bandBits: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val corpusBands = bandedSignatures(corpus, "embedding", dim, nbits, bandBits)

@@ -106,6 +106,19 @@ object Similarity extends QueryModule {
       },
       None,
     ),
+    // training-free corpus-scale near-dup: SRP band self-join
+    // (bucket-capped) + exact cosine — the embedding analogue of the
+    // simhash64 text path
+    QueryDef(
+      "d_embedding_neardup_srp",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        graft.api.SrpLsh.nearDupPairs(corpus, dim = 64, tau = 0.45)
+          .orderBy("a_id", "b_id")
+      },
+      None,
+    ),
     // SRP-LSH ANN: the training-free bucketed path (random-hyperplane
     // sign signatures, no kmeans build; signatures are pure functions
     // of the vector so a streaming corpus buckets incrementally).

@@ -40,6 +40,26 @@ class SrpLshSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("near-dup pairs: anchor recall, no false positives, cap stays linear") {
+    import spark.implicits._
+    def pairSet(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val anchor = pairSet("d_embedding_neardup")
+    val srp = pairSet("d_embedding_neardup_srp")
+    assert(anchor.nonEmpty)
+    val recall = srp.intersect(anchor).size.toDouble / anchor.size
+    assert(recall >= 0.5, s"srp near-dup recall $recall < 0.5 on anchor pairs")
+    // every emitted pair really is >= tau (exact verification ran)
+    val bad = SparkEntry.queries("d_embedding_neardup_srp")(spark, sfDir)
+      .filter(col("cos") < 0.45).count()
+    assert(bad == 0)
+    // degenerate corpus: 500 copies of one vector -> capped to zero pairs
+    val v = Seq.fill(64)(0.5f)
+    val identical = (0 until 500).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    assert(graft.api.SrpLsh.nearDupPairs(identical, dim = 64, tau = 0.45).count() == 0L)
+  }
+
   test("search recall vs brute force above the floor; ranks consistent") {
     def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir)
       .select("q_id", "vec_id").collect()
