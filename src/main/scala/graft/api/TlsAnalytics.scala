@@ -55,6 +55,29 @@ object TlsAnalytics {
               col("f.additionalInfoUri").as("additional_info_uri"),
               col("f.failureReasonCode").as("failure_reason_code"))
 
+  /** Committed snapshot of the sample corpus' flattened TLS rows — the
+    * columns the oracled queries aggregate. The DuckDB oracles embed
+    * these as VALUES (no filesystem dependency at oracle time), and
+    * TlsAnalyticsSpec asserts the constants equal the LIVE parse of the
+    * samples, so parser drift breaks the build instead of silently
+    * desyncing the oracle.
+    */
+  val SamplePolicyRows: Seq[(String, Long, Long)] = Seq(
+    ("cardinalhealth.ca", 48L, 0L), ("company-y.example", 5326L, 303L),
+    ("example.com", 0L, 1L), ("example.com", 0L, 3L))
+
+  val SampleFailureRows: Seq[(String, Long)] = Seq(
+    ("certificate-expired", 100L), ("starttls-not-supported", 200L),
+    ("sts-policy-fetch-error", 1L), ("sts-policy-fetch-error", 1L),
+    ("validation-failure", 1L), ("validation-failure", 2L),
+    ("validation-failure", 3L))
+
+  /** VALUES bodies for the DuckDB twins. */
+  def policySqlValues: String =
+    SamplePolicyRows.map { case (d, ok, f) => s"('$d', $ok, $f)" }.mkString(", ")
+  def failureSqlValues: String =
+    SampleFailureRows.map { case (t, f) => s"('$t', $f)" }.mkString(", ")
+
   /** Failure breakdown by RFC 8460 result type (the TLS failures
     * panel): how many failure details and failed sessions each
     * result-type accounts for.

@@ -79,33 +79,36 @@ object DmarcIngest extends QueryModule {
     ),
     // SMTP TLS failures analytics (clickhouse.go:184-228's two TLS
     // tables): the Spark side parses the samples LIVE and flattens via
-    // TlsAnalytics; the DuckDB oracle aggregates the committed fixture
-    // snapshot of the same flatten (fixtures/tls, regenerated by
-    // graft.tools.GenTlsFixture) — so the gate hash-checks parser +
-    // flatten + aggregation end to end.
+    // TlsAnalytics; the DuckDB oracle aggregates the committed snapshot
+    // of the same flatten embedded as VALUES (TlsAnalytics.Sample*Rows —
+    // no filesystem dependency at oracle time; TlsAnalyticsSpec pins
+    // the constants to the live parse) — so the gate hash-checks
+    // parser + flatten + aggregation end to end.
     QueryDef(
       "q_tls_failure_breakdown",
       (s, _) => graft.api.TlsAnalytics.failureBreakdown(
         graft.api.TlsAnalytics.tlsFailureRows(
           DmarcReader.tlsReports(s, s"$Samples/smtp_tls"))),
-      Some("""SELECT result_type,
+      Some(s"""WITH f(result_type, failed_session_count) AS (VALUES
+             |  ${graft.api.TlsAnalytics.failureSqlValues})
+             |SELECT result_type,
              |CAST(COUNT(*) AS BIGINT) AS n_failures,
              |CAST(SUM(failed_session_count) AS BIGINT) AS failed_sessions
-             |FROM read_parquet('/root/repo/fixtures/tls/tls_failure_rows/*.parquet')
-             |GROUP BY 1 ORDER BY failed_sessions DESC, result_type""".stripMargin),
+             |FROM f GROUP BY 1 ORDER BY failed_sessions DESC, result_type""".stripMargin),
     ),
     QueryDef(
       "q_tls_session_success",
       (s, _) => graft.api.TlsAnalytics.sessionSuccessRate(
         graft.api.TlsAnalytics.tlsReportRows(
           DmarcReader.tlsReports(s, s"$Samples/smtp_tls"))),
-      Some("""SELECT policy_domain,
+      Some(s"""WITH p(policy_domain, successful_session_count, failed_session_count) AS (VALUES
+             |  ${graft.api.TlsAnalytics.policySqlValues})
+             |SELECT policy_domain,
              |CAST(SUM(successful_session_count) AS BIGINT) AS ok_sessions,
              |CAST(SUM(failed_session_count) AS BIGINT) AS failed_sessions,
              |ROUND(SUM(successful_session_count) * 100.0 /
              |  (SUM(successful_session_count) + SUM(failed_session_count)), 2) AS success_rate
-             |FROM read_parquet('/root/repo/fixtures/tls/tls_report_rows/*.parquet')
-             |GROUP BY 1 ORDER BY policy_domain""".stripMargin),
+             |FROM p GROUP BY 1 ORDER BY policy_domain""".stripMargin),
     ),
   )
 }

@@ -41,6 +41,21 @@ class TlsAnalyticsSpec extends SparkSpec {
     assert(orphans == 0)
   }
 
+  test("oracle VALUES snapshots equal the live parse (no silent drift)") {
+    val liveP = tlsReportRows(reports)
+      .select("policy_domain", "successful_session_count", "failed_session_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(liveP == SamplePolicyRows.sortBy(t => (t._1, t._2, t._3)),
+           s"TlsAnalytics.SamplePolicyRows is stale — update it to: $liveP")
+    val liveF = tlsFailureRows(reports)
+      .select("result_type", "failed_session_count")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    assert(liveF == SampleFailureRows.sortBy(identity),
+           s"TlsAnalytics.SampleFailureRows is stale — update it to: $liveF")
+  }
+
   test("failureBreakdown covers every failure row; RFC 8460 result types") {
     val b = failureBreakdown(tlsFailureRows(reports)).collect()
     assert(b.map(_.getLong(1)).sum == tlsFailureRows(reports).count())
