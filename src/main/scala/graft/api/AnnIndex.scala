@@ -72,18 +72,24 @@ object AnnIndex {
     */
   def nearDupPairs(corpus: DataFrame, centroids: DataFrame, tau: Double,
                    nprobe: Int = 2): DataFrame = {
-    val assigned = assignMulti(corpus, centroids, nprobe)
+    // persist the assignment: it feeds BOTH self-join sides, and
+    // without materialization each side re-runs the corpus×centroids
+    // distance pass; released once the (small) pair list materializes
+    val assigned = assignMulti(corpus, centroids, nprobe).persist()
     val cand = assigned.as("a")
       .join(assigned.as("b"),
             col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    cand
+    val verified = cand
       .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
       .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
       .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
+    val out = verified.localCheckpoint(true)
+    assigned.unpersist(false)
+    out
   }
 
   /** Top-k by cosine probing the nprobe nearest buckets per query. */

@@ -65,29 +65,43 @@ object SrpLsh {
     * AnnIndex.nearDupPairs, and the embedding analogue of the
     * simhash64 text path.
     */
-  /** Default 32 bits in 4-bit bands: at tau 0.45 (θ≈63°, per-bit
-    * collision ~0.65) a pair shares ≥1 of the 8 bands with p ≈ 0.8,
-    * vs ≈ 0.55 with only 4 bands — recall is bought with bands, and
-    * each band stays 4 bits so bucket occupancy keeps the cap honest.
+  /** Band width must SCALE WITH THE CORPUS: expected bucket occupancy
+    * is n / 2^bandBits regardless of band count, so a fixed narrow band
+    * overflows the oversized-bucket cap as n grows (at n=5000 a 4-bit
+    * band means 312-row buckets — the cap would drop every bucket and
+    * emit zero pairs). Auto-size bandBits so uniform occupancy sits at
+    * ~cap/2, keep a fixed band count for the OR-recall. The recall/tau
+    * tradeoff is intrinsic to SRP: wider bands collide less for distant
+    * pairs, so this path is sharpest for genuinely-near duplicates
+    * (high tau); low-tau sweeps belong to the IVF variant.
     */
   def nearDupPairs(corpus: DataFrame, dim: Int, tau: Double,
-                   nbits: Int = 32, bandBits: Int = 4,
+                   nBands: Int = 8,
                    maxBucket: Int = graft.operators.Dedup.MaxBucket): DataFrame = {
-    val bands = graft.operators.Dedup.capBuckets(
-      bandedSignatures(corpus, "embedding", dim, nbits, bandBits),
-      Seq("band_i", "band_v"), maxBucket)
+    val n = math.max(1L, corpus.count())
+    val bandBits = math.max(4,
+      math.ceil(math.log(n / (maxBucket / 2.0)) / math.log(2)).toInt)
+    val nbits = nBands * bandBits
+    // persisted: the banded signatures feed the cap blacklist AND both
+    // self-join sides (the LSH-family three-reads shape); released once
+    // the (small) pair list materializes
+    val banded = bandedSignatures(corpus, "embedding", dim, nbits, bandBits).persist()
+    val bands = graft.operators.Dedup.capBuckets(banded, Seq("band_i", "band_v"), maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),
             col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
               col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    cand
+    val verified = cand
       .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
       .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
       .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
+    val out = verified.localCheckpoint(true)
+    banded.unpersist(false)
+    out
   }
 
   /** Top-k by cosine probing band-sharing corpus vectors only. Queries
