@@ -111,9 +111,19 @@ object SrpLsh {
     * partial aggregate.
     */
   def search(corpus: DataFrame, queries: DataFrame, dim: Int, topK: Int,
-             nbits: Int = 32, bandBits: Int = 4): DataFrame = {
+             nBands: Int = 8, bandBitsOverride: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // same corpus-adaptive band width as nearDupPairs: a fixed narrow
+    // band means each query probes n / 2^bandBits corpus rows per band —
+    // a constant FRACTION of the corpus, degenerating to brute force as
+    // n grows. Sizing bandBits with log2(n) keeps per-band probe counts
+    // roughly constant.
+    val bandBits = bandBitsOverride.getOrElse {
+      val n = math.max(1L, corpus.count())
+      math.max(4, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+    }
+    val nbits = nBands * bandBits
     val corpusBands = bandedSignatures(corpus, "embedding", dim, nbits, bandBits)
     val queryBands = bandedSignatures(
       queries.select(col("q_id").as("vec_id"), col("q_vec").as("embedding")),
