@@ -85,6 +85,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!capped.contains("Window"), capped)
   }
 
+  test("no CartesianProduct anywhere in the registry") {
+    // broadcast-bounded scoring crossJoins compile to
+    // BroadcastNestedLoopJoin; a raw CartesianProduct anywhere means an
+    // unhinted cross join slipped in — fail the build, name the query
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian in: ${offenders.mkString(", ")}")
+  }
+
+  test("BroadcastNestedLoopJoin appears only on intended scoring paths") {
+    // the only legitimate nested-loop joins are the broadcast-bounded
+    // vector-scoring crossJoins (queries/planes/centroids broadcast
+    // against the corpus); anywhere else it means a join lost its
+    // equi-condition
+    val allowed = Set(
+      "s_cosine_topk", "d_embedding_neardup", "d_embedding_neardup_ivf",
+      "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        if (p.contains("BroadcastNestedLoopJoin")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"nested-loop join in: ${offenders.mkString(", ")}")
+  }
+
   test("rank-filter top-N uses WindowGroupLimit (bounded per-partition state)") {
     val p = plan("q_window_topn_per_group")
     assert(p.contains("WindowGroupLimit"), p)
