@@ -236,6 +236,39 @@ object TextAnalysis extends QueryModule {
              |  '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS redacted_hash
              |FROM p ORDER BY doc_id""".stripMargin),
     ),
+    // deterministic stratified sampling — training-data mixture
+    // reweighting: each stratum (lang) keeps a configured fraction,
+    // chosen by the doc's md5 bucket rather than rand() so the sample
+    // is reproducible across runs, engines, and repartitioning (the
+    // per-stratum generalization of t_hash_split; fractions in
+    // sixteenths via the first hex character, the proven cross-engine
+    // hash surface)
+    QueryDef(
+      "t_stratified_sample",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val hexBelow = (n: Int) => "0123456789abcdef".take(n).map(_.toString)
+        val kept = when(col("lang") === "en", h.isin(hexBelow(8): _*))
+          .when(col("lang") === "de", h.isin(hexBelow(4): _*))
+          .otherwise(h.isin(hexBelow(2): _*))
+        d.groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+               sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+               round(sum(when(kept, 1L).otherwise(0L)).cast("double") /
+                 count(lit(1)), 4).as("kept_frac"))
+          .orderBy("lang")
+      },
+      Some("""WITH m AS (SELECT lang,
+             |  CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+             |       WHEN lang = 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+             |       ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') END AS kept
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS n_total,
+             |CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS kept_frac
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // n-gram heuristic language ID: score text against per-language
     // stopword profiles; rows-only (synthetic corpus carries no real
     // language signal — the spec checks shape + determinism).
