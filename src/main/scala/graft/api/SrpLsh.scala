@@ -29,18 +29,21 @@ object SrpLsh {
     (0 until nbits).map(i => i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  private def planesDf(df: DataFrame, dim: Int, nbits: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    hyperplanes(dim, nbits).toDF("bit_i", "plane")
+  /** (vec_id, bucket) — the nbits-bit SRP signature per vector, as a
+    * PURE PROJECTION: every hyperplane is a typed literal and each bit
+    * is a codegen'd dot_product sign test, folded into the bucket with
+    * plain arithmetic. No explode, no groupBy — the signature pass
+    * moves zero rows, which is the shape that matters when the corpus
+    * is 100 TB (an explode+regroup formulation would shuffle the
+    * corpus once just to build signatures).
+    */
+  def signatures(corpus: DataFrame, vecCol: String, dim: Int, nbits: Int): DataFrame = {
+    val bucket = hyperplanes(dim, nbits).map { case (i, p) =>
+      when(call_function("dot_product", col(vecCol), typedlit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    corpus.select(col("vec_id"), bucket.as("bucket"))
   }
-
-  /** (vec_id, bucket) — the nbits-bit SRP signature per vector. */
-  def signatures(corpus: DataFrame, vecCol: String, dim: Int, nbits: Int): DataFrame =
-    corpus.crossJoin(broadcast(planesDf(corpus, dim, nbits)))
-      .withColumn("bit", (expr(s"dot_product($vecCol, plane)") > 0).cast("long"))
-      .groupBy("vec_id")
-      .agg(sum(expr("shiftleft(bit, bit_i)")).as("bucket"))
 
   /** (vec_id, band_i, band_v) — the signature split into bands of
     * bandBits for multi-probe candidate generation (two vectors within

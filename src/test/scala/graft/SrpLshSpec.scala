@@ -19,6 +19,14 @@ class SrpLshSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("signature build is a pure projection — no exchange, no explode") {
+    val p = SrpLsh.signatures(corpus, "embedding", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("signatures are deterministic across runs") {
     def sig() = SrpLsh.signatures(corpus, "embedding", 64, 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
