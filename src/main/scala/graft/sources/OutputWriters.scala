@@ -138,12 +138,62 @@ object OutputWriters {
     * time-windowed panel prunes whole month directories.
     */
   def writeRecordsTable(records: Dataset[AggregateRecordRow], path: String): Unit =
-    records.toDF()
-      .withColumn("report_month", date_format(col("begin_date"), "yyyyMM"))
+    writeTable(records.toDF(), date_format(col("begin_date"), "yyyyMM"),
+      Seq("org_name", "report_id", "source_ip_address", "begin_date"), path)
+
+  /** Shared MergeTree-parity writer: month partition directories, one
+    * shuffle keyed on the partition column, rows sorted inside files on
+    * the table's ORDER BY key so parquet row-group min/max statistics
+    * skip like the primary index.
+    */
+  private def writeTable(df: DataFrame, monthCol: org.apache.spark.sql.Column,
+                         sortCols: Seq[String], path: String): Unit =
+    df.withColumn("report_month", monthCol)
       .repartition(col("report_month"))
-      .sortWithinPartitions("report_month", "org_name", "report_id",
-                            "source_ip_address", "begin_date")
+      .sortWithinPartitions(("report_month" +: sortCols).map(col): _*)
       .write.mode("overwrite")
       .partitionBy("report_month")
       .parquet(path)
+
+  /** `dmarc_aggregate_reports` layout (clickhouse.go:79-100: ORDER BY
+    * (org_name, report_id, begin_date), PARTITION BY month).
+    */
+  def writeReportsTable(reports: Dataset[AggregateReport], path: String): Unit =
+    writeTable(
+      reports.toDF().select(
+        col("xmlSchema").as("xml_schema"), col("orgName").as("org_name"),
+        col("orgEmail").as("org_email"),
+        col("orgExtraContactInfo").as("org_extra_contact_info"),
+        col("reportId").as("report_id"), col("beginDate").as("begin_date"),
+        col("endDate").as("end_date"), col("errors"), col("domain"),
+        col("adkim"), col("aspf"), col("p"), col("sp"), col("pct"), col("fo")),
+      date_format(col("begin_date"), "yyyyMM"),
+      Seq("org_name", "report_id", "begin_date"), path)
+
+  /** `dmarc_forensic_reports` layout (clickhouse.go:175-176: ORDER BY
+    * (arrival_date, source_ip_address), PARTITION BY month).
+    */
+  def writeForensicTable(forensic: Dataset[ForensicReport], path: String): Unit =
+    writeTable(
+      forensicCsvLayout(forensic),
+      date_format(col("arrival_date"), "yyyyMM"),
+      Seq("arrival_date", "source_ip"), path)
+
+  /** `dmarc_smtp_tls_reports` layout (clickhouse.go:202-203: ORDER BY
+    * (begin_date, organization_name), PARTITION BY month). Takes the
+    * flattened frame from TlsAnalytics.tlsReportRows.
+    */
+  def writeTlsReportsTable(tlsReportRows: DataFrame, path: String): Unit =
+    writeTable(tlsReportRows, date_format(col("begin_date"), "yyyyMM"),
+      Seq("begin_date", "organization_name"), path)
+
+  /** `dmarc_smtp_tls_failures` layout (clickhouse.go:227-228: ORDER BY
+    * (report_id, result_type), PARTITION BY month(created_at) — the
+    * reference partitions this table by INGEST time, so the caller
+    * provides the ingest month).
+    */
+  def writeTlsFailuresTable(tlsFailureRows: DataFrame, ingestMonth: String,
+                            path: String): Unit =
+    writeTable(tlsFailureRows, lit(ingestMonth),
+      Seq("report_id", "result_type"), path)
 }

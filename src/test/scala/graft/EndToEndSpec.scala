@@ -71,4 +71,40 @@ class EndToEndSpec extends SparkSpec {
       assert(keys == keys.sorted, s"unsorted rows in ${f.getName}")
     }
   }
+
+  test("all five reference tables materialize in their MergeTree layouts") {
+    import graft.api.TlsAnalytics
+    val dir = Files.createTempDirectory("graft-tables").toString
+    val reports = DmarcReader.aggregateReports(spark, "/root/reference/samples/aggregate")
+    val forensic = DmarcReader.forensicReports(spark, "/root/reference/samples/forensic", "*.eml")
+    val tls = DmarcReader.tlsReports(spark, "/root/reference/samples/smtp_tls")
+
+    OutputWriters.writeReportsTable(reports, s"$dir/reports")
+    OutputWriters.writeForensicTable(forensic, s"$dir/forensic")
+    OutputWriters.writeTlsReportsTable(TlsAnalytics.tlsReportRows(tls), s"$dir/tls_reports")
+    OutputWriters.writeTlsFailuresTable(TlsAnalytics.tlsFailureRows(tls), "202608", s"$dir/tls_failures")
+
+    def monthsOf(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("report_month=")).map(_.getName).toSeq
+    assert(spark.read.parquet(s"$dir/reports").count() == reports.count())
+    assert(monthsOf(s"$dir/reports").nonEmpty)
+    assert(spark.read.parquet(s"$dir/forensic").count() == forensic.count())
+    assert(monthsOf(s"$dir/forensic").nonEmpty)
+    assert(spark.read.parquet(s"$dir/tls_reports").count() ==
+      TlsAnalytics.tlsReportRows(tls).count())
+    assert(monthsOf(s"$dir/tls_reports").nonEmpty)
+    assert(spark.read.parquet(s"$dir/tls_failures").count() ==
+      TlsAnalytics.tlsFailureRows(tls).count())
+    assert(monthsOf(s"$dir/tls_failures") == Seq("report_month=202608"))
+    // sortedness on the failures table's ORDER BY key inside each file
+    val fFiles = new java.io.File(s"$dir/tls_failures").listFiles()
+      .filter(_.getName.startsWith("report_month="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    fFiles.foreach { f =>
+      val keys = spark.read.parquet(f.toString)
+        .select("report_id", "result_type")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(keys == keys.sorted, s"unsorted rows in ${f.getName}")
+    }
+  }
 }
