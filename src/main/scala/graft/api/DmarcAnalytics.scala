@@ -156,22 +156,27 @@ object DmarcAnalytics {
     * construction); the collects here assemble a single driver-side
     * document, they never pull row-level data.
     */
-  def summaryJson(recordsIn: DataFrame, forensic: DataFrame): String = {
+  def summaryJson(recordsIn: DataFrame, forensic: DataFrame,
+                  tlsReports: Option[DataFrame] = None): String = {
     // the document assembles EIGHT separate panel actions over the same
     // records frame; persist for the duration of the build so the input
     // scans once instead of once per panel
     val records = recordsIn.persist()
-    try summaryJsonFrom(records, forensic)
+    try summaryJsonFrom(records, forensic, tlsReports)
     finally records.unpersist(false)
   }
 
-  private def summaryJsonFrom(records: DataFrame, forensic: DataFrame): String = {
+  private def summaryJsonFrom(records: DataFrame, forensic: DataFrame,
+                              tlsReports: Option[DataFrame]): String = {
     val messagesTotal = records.agg(sum(col("count"))).collect().head match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
     val reportsTotal = records.select("report_id").distinct().count()
     val forensicTotal = forensic.count()
+    // the reference's counter family carries all THREE type labels
+    // (parser.go: "aggregate"/"forensic"/"smtp_tls")
+    val tlsTotal = tlsReports.map(_.count()).getOrElse(0L)
     val rate = complianceRate(records).collect().headOption
       .filterNot(_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
     val pf = passFailBreakdown(records).collect()
@@ -195,7 +200,7 @@ object DmarcAnalytics {
        |  "timestamp": ${jstr(ts)},
        |  "endpoints": {"health": "/health", "dmarc_report": "/dmarc/report", "metrics": "/metrics"},
        |  "metrics": {
-       |    "parsedmarc_parser_reports_total": {"aggregate": $reportsTotal, "forensic": $forensicTotal},
+       |    "parsedmarc_parser_reports_total": {"aggregate": $reportsTotal, "forensic": $forensicTotal, "smtp_tls": $tlsTotal},
        |    "records_total": ${records.count()},
        |    "messages_total": $messagesTotal
        |  },

@@ -66,7 +66,8 @@ class DmarcAnalyticsSpec extends SparkSpec {
   test("summaryJson mirrors the reference server's document shape") {
     import spark.implicits._
     val enriched = DmarcReader.enrichedRecords(spark, "/root/reference/samples/aggregate")
-    val json = graft.api.DmarcAnalytics.summaryJson(enriched, forensic)
+    val tls = DmarcReader.tlsReports(spark, "/root/reference/samples/smtp_tls").toDF()
+    val json = graft.api.DmarcAnalytics.summaryJson(enriched, forensic, Some(tls))
     // parse with Spark's JSON reader: malformed JSON → corrupt-record col
     val parsed = spark.read.option("mode", "FAILFAST").json(Seq(json).toDS())
     val fields = parsed.schema.fieldNames.toSet
@@ -83,6 +84,13 @@ class DmarcAnalyticsSpec extends SparkSpec {
     // metric family name matches internal/metrics/metrics.go
     val metrics = parsed.select("metrics.*").schema.fieldNames.toSet
     assert(metrics.contains("parsedmarc_parser_reports_total"))
+    // all three of the reference counter family's type labels
+    val types = parsed.select("metrics.parsedmarc_parser_reports_total.*")
+      .schema.fieldNames.toSet
+    assert(types == Set("aggregate", "forensic", "smtp_tls"))
+    val tlsN = parsed.select("metrics.parsedmarc_parser_reports_total.smtp_tls")
+      .collect().head.getLong(0)
+    assert(tlsN == 4L)
     // summary panels populated from the corpus
     val nOrgs = parsed.select(org.apache.spark.sql.functions.size(
       org.apache.spark.sql.functions.col("summary.top_orgs"))).collect().head.getInt(0)
