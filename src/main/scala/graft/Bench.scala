@@ -31,11 +31,12 @@ object Bench {
     val results = Headline.map { name =>
       val times = (0 until Passes).map { _ =>
         val t0 = System.nanoTime()
-        try { queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // a failed query must NOT record its (tiny) elapsed-to-failure
+        // time as a plausible sample — report the -1 sentinel instead
+        try { queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }.sorted
-      name -> times(Passes / 2)
+      name -> (if (times.head < 0) -1.0 else times(Passes / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

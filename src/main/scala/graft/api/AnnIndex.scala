@@ -81,15 +81,7 @@ object AnnIndex {
             col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    val verified = cand
-      .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
-      .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
-      .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
-      .filter(col("cos") >= tau)
-      .select(col("a_id"), col("b_id"), col("cos"))
-    val out = verified.localCheckpoint(true)
-    assigned.unpersist(false)
-    out
+    graft.operators.Materialize(VectorOps.verifyPairs(cand, corpus, tau), assigned)
   }
 
   /** Top-k by cosine probing the nprobe nearest buckets per query. */
@@ -108,13 +100,6 @@ object AnnIndex {
       .withColumn("cos", round(expr("cosine_similarity(q_vec, embedding)"), 4))
     // bounded-heap top-k (partial aggregate, ≤ k rows per query per
     // partition cross the exchange) — not a window over all scored rows
-    import corpus.sparkSession.implicits._
-    scored.select(col("q_id"), col("vec_id"), col("cos")).as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .agg(new graft.functions.TopKByScore(topK).toColumn)
-      .flatMap { case (q, hits) =>
-        hits.zipWithIndex.map { case ((v, c), i) => (q, v, c, i + 1) }
-      }
-      .toDF("q_id", "vec_id", "cos", "rn")
+    VectorOps.topKByCosine(scored, topK)
   }
 }

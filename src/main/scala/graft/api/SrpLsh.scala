@@ -29,15 +29,20 @@ object SrpLsh {
     (0 until nbits).map(i => i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** (vec_id, bucket) — the nbits-bit SRP signature per vector, as a
-    * PURE PROJECTION: every hyperplane is a typed literal and each bit
-    * is a codegen'd dot_product sign test, folded into the bucket with
-    * plain arithmetic. No explode, no groupBy — the signature pass
-    * moves zero rows, which is the shape that matters when the corpus
-    * is 100 TB (an explode+regroup formulation would shuffle the
-    * corpus once just to build signatures).
+  /** (vec_id, bucket) — a SINGLE nbits-bit SRP signature per vector
+    * (nbits ≤ 63: the bucket is one long; for larger signatures use
+    * `bandedSignatures`, which never packs more than bandBits bits into
+    * one value), as a PURE PROJECTION: every hyperplane is a typed
+    * literal and each bit is a codegen'd dot_product sign test, folded
+    * into the bucket with plain arithmetic. No explode, no groupBy —
+    * the signature pass moves zero rows, which is the shape that
+    * matters when the corpus is 100 TB (an explode+regroup formulation
+    * would shuffle the corpus once just to build signatures).
     */
   def signatures(corpus: DataFrame, vecCol: String, dim: Int, nbits: Int): DataFrame = {
+    require(nbits > 0 && nbits <= 63,
+      s"signatures packs bits into one long — nbits must be in [1, 63], got $nbits" +
+        " (bandedSignatures has no such limit)")
     val bucket = hyperplanes(dim, nbits).map { case (i, p) =>
       when(call_function("dot_product", col(vecCol), typedlit(p)) > 0, lit(1L << i))
         .otherwise(lit(0L))
@@ -45,20 +50,29 @@ object SrpLsh {
     corpus.select(col("vec_id"), bucket.as("bucket"))
   }
 
-  /** (vec_id, band_i, band_v) — the signature split into bands of
-    * bandBits for multi-probe candidate generation (two vectors within
-    * a small angle share at least one exact band with high
-    * probability).
+  /** (vec_id, band_i, band_v) — per-band SRP values for multi-probe
+    * candidate generation (two vectors within a small angle share at
+    * least one exact band with high probability). Each band is built
+    * DIRECTLY from its own bandBits sign tests — never packed through a
+    * single 64-bit signature — so corpus-adaptive sizing can grow
+    * nBands × bandBits past 64 bits without wrapped shifts silently
+    * corrupting band values (Long shifts wrap mod 64; bandBits itself
+    * must stay ≤ 62).
     */
   def bandedSignatures(corpus: DataFrame, vecCol: String, dim: Int,
                        nbits: Int, bandBits: Int): DataFrame = {
+    require(bandBits > 0 && bandBits <= 62, s"bandBits must be in [1, 62], got $bandBits")
     val nBands = nbits / bandBits
-    val mask = (1L << bandBits) - 1
-    signatures(corpus, vecCol, dim, nbits)
-      .select(col("vec_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${nBands - 1}), i -> (bucket >> (i * $bandBits)) & $mask)"))
-          .as(Seq("band_i", "band_v")))
+    val planes = hyperplanes(dim, nBands * bandBits)
+    val bandCols = (0 until nBands).map { b =>
+      (0 until bandBits).map { j =>
+        val (_, p) = planes(b * bandBits + j)
+        when(call_function("dot_product", col(vecCol), typedlit(p)) > 0,
+             lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    corpus.select(col("vec_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_i", "band_v")))
   }
 
   /** Corpus-scale near-dup pairs: self-join the banded signatures on
@@ -96,15 +110,7 @@ object SrpLsh {
               col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    val verified = cand
-      .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
-      .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
-      .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
-      .filter(col("cos") >= tau)
-      .select(col("a_id"), col("b_id"), col("cos"))
-    val out = verified.localCheckpoint(true)
-    banded.unpersist(false)
-    out
+    graft.operators.Materialize(VectorOps.verifyPairs(cand, corpus, tau), banded)
   }
 
   /** Top-k by cosine probing band-sharing corpus vectors only. Queries
@@ -115,8 +121,6 @@ object SrpLsh {
     */
   def search(corpus: DataFrame, queries: DataFrame, dim: Int, topK: Int,
              nBands: Int = 8, bandBitsOverride: Option[Int] = None): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     // same corpus-adaptive band width as nearDupPairs: a fixed narrow
     // band means each query probes n / 2^bandBits corpus rows per band —
     // a constant FRACTION of the corpus, degenerating to brute force as
@@ -140,12 +144,6 @@ object SrpLsh {
       .join(queries, "q_id")
       .join(corpus, "vec_id")
       .withColumn("cos", round(expr("cosine_similarity(q_vec, embedding)"), 4))
-    scored.select(col("q_id"), col("vec_id"), col("cos")).as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .agg(new graft.functions.TopKByScore(topK).toColumn)
-      .flatMap { case (q, hits) =>
-        hits.zipWithIndex.map { case ((v, c), i) => (q, v, c, i + 1) }
-      }
-      .toDF("q_id", "vec_id", "cos", "rn")
+    VectorOps.topKByCosine(scored, topK)
   }
 }

@@ -53,16 +53,11 @@ object Dedup extends QueryModule {
     }
 
   /** Materialize `out` with a single action (localCheckpoint also cuts
-    * the lineage), then release the persisted intermediates — pipeline
-    * caches must not outlive the pipeline call in a long-lived session.
-    * The surviving blocks hold only the (small) result; the context
-    * cleaner frees them when the frame is no longer referenced.
+    * the lineage), then release the persisted intermediates — see
+    * operators.Materialize (switchable for the plan audits).
     */
-  private def materialized(out: DataFrame, caches: DataFrame*): DataFrame = {
-    val m = out.localCheckpoint(true)
-    caches.foreach(_.unpersist(false))
-    m
-  }
+  private def materialized(out: DataFrame, caches: DataFrame*): DataFrame =
+    Materialize(out, caches: _*)
 
   /** distinct 3-word shingles of `text` (whole text if < 3 tokens).
     * Formulated as slice+zip_with — never index the token array inside a

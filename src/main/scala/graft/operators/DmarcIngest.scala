@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object DmarcIngest extends QueryModule {
 
-  private val Samples = "/root/reference/samples"
+  /** Reference sample-corpus root — the single definition every module
+    * and spec reading the read-only reference checkout goes through.
+    */
+  private[graft] val Samples = "/root/reference/samples"
 
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -41,6 +41,11 @@ object Par {
           case _ => sawUnknown = true
         }
       case _: LocalRelation => splits += 1
+      // EVERY other leaf (InMemoryRelation from persist(), DSv2
+      // relations, streaming relations, …) is unknown → assumed wide.
+      // Counting them as zero would invert the fail-safe: a persisted
+      // 100 TB frame would look narrow and get a full repartition.
+      case _: LeafNode => sawUnknown = true
       case _ => ()
     }
     if (sawUnknown) Long.MaxValue else math.max(splits, 1L)

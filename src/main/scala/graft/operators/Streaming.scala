@@ -22,7 +22,10 @@ object Streaming extends QueryModule {
           .outputMode("complete")
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        // awaitTermination returns FALSE on timeout (no exception) — a
+        // partial memory table would hash-compare nondeterministically;
+        // fail loudly instead
+        require(q.awaitTermination(300000), "st_windowed_agg timed out")
         s.table(name).orderBy("window_start", "event_type")
       },
       None,
@@ -51,7 +54,7 @@ object Streaming extends QueryModule {
       (s, _) => {
         val name = s"st_intake_${System.nanoTime()}"
         val q = graft.streaming.ReportFileIntake
-          .aggregateRecordStream(s, "/root/reference/samples/aggregate")
+          .aggregateRecordStream(s, s"${DmarcIngest.Samples}/aggregate")
           .toDF()
           .select(col("report_id"), col("org_name"), col("source_ip_address"),
                   col("count"), col("disposition"), col("begin_date"))
@@ -59,7 +62,7 @@ object Streaming extends QueryModule {
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        require(q.awaitTermination(300000), "st_report_intake timed out")
         s.table(name).orderBy("report_id", "source_ip_address", "count")
       },
       None,

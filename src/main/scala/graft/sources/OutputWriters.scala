@@ -171,11 +171,30 @@ object OutputWriters {
       Seq("org_name", "report_id", "begin_date"), path)
 
   /** `dmarc_forensic_reports` layout (clickhouse.go:175-176: ORDER BY
-    * (arrival_date, source_ip_address), PARTITION BY month).
+    * (arrival_date, source_ip_address), PARTITION BY month). The month
+    * partition derives from the TYPED arrival timestamp — not from the
+    * CSV layout's formatted string, whose hardcoded 'Z' suffix would
+    * re-parse as UTC and shift boundary rows into the wrong month on a
+    * non-UTC session.
     */
   def writeForensicTable(forensic: Dataset[ForensicReport], path: String): Unit =
     writeTable(
-      forensicCsvLayout(forensic),
+      forensic.toDF().select(
+        col("feedbackType").as("feedback_type"),
+        coalesce(col("userAgent"), lit("")).as("user_agent"),
+        coalesce(col("version"), lit("")).as("version"),
+        coalesce(col("originalEnvelopeId"), lit("")).as("original_envelope_id"),
+        coalesce(col("originalMailFrom"), lit("")).as("original_mail_from"),
+        coalesce(col("originalRcptTo"), lit("")).as("original_rcpt_to"),
+        col("arrivalDate").as("arrival_date"),
+        col("subject"), col("messageId").as("message_id"),
+        col("authenticationResults").as("authentication_results"),
+        coalesce(col("dkimDomain"), lit("")).as("dkim_domain"),
+        col("source.ipAddress").as("source_ip"),
+        col("source.country").as("source_country"),
+        col("deliveryResult").as("delivery_result"),
+        col("authFailure").as("auth_failure"),
+        col("reportedDomain").as("reported_domain")),
       date_format(col("arrival_date"), "yyyyMM"),
       Seq("arrival_date", "source_ip"), path)
 

@@ -26,7 +26,7 @@ class ReportFileIntakeSpec extends SparkSpec {
     // micro-batch 1: one report file arrives
     copyIn(drop, "!example.com!1538204542!1538463818.xml")
     val q1 = ReportFileIntake.appendRecords(spark, drop.toString, out, ckpt)
-    q1.awaitTermination(120000)
+    assert(q1.awaitTermination(120000))
     val n1 = spark.read.parquet(out).count()
     assert(n1 > 0)
 
@@ -34,7 +34,7 @@ class ReportFileIntakeSpec extends SparkSpec {
     // drops; ONLY the new file may be processed
     copyIn(drop, "example.net!example.com!1529366400!1529452799.xml")
     val q2 = ReportFileIntake.appendRecords(spark, drop.toString, out, ckpt)
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000))
 
     val streamed = spark.read.parquet(out)
     val batch = DmarcReader.aggregateRecords(spark, drop.toString).toDF()
@@ -53,7 +53,7 @@ class ReportFileIntakeSpec extends SparkSpec {
     def drain(df: org.apache.spark.sql.DataFrame, name: String): Long = {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000))
       spark.table(name).count()
     }
     val nF = drain(ReportFileIntake.forensicReportStream(
@@ -85,7 +85,7 @@ class ReportFileIntakeSpec extends SparkSpec {
       .select("reportId", "orgName")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val out = spark.table(name).collect().map(_.getString(0)).toSeq
     assert(out.length == 2, out.mkString(","))
     assert(out.distinct.length == 2)
@@ -101,7 +101,7 @@ class ReportFileIntakeSpec extends SparkSpec {
     val out = tmp.resolve("out").toString
     val q = ReportFileIntake.appendRecords(spark, drop.toString, out,
                                            tmp.resolve("ckpt").toString)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val streamed = spark.read.parquet(out)
     // the good file's records all land; the bad file contributes nothing
     assert(streamed.select("report_id").distinct().count() >= 1)

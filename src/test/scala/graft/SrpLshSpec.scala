@@ -27,6 +27,26 @@ class SrpLshSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("wide signatures (nbits > 64) build valid per-band values") {
+    // corpus-adaptive sizing can push nBands×bandBits past 64 bits; the
+    // bands must come from direct per-band construction, never packed
+    // through one long (wrapped shifts would alias hyperplanes)
+    val wide = SrpLsh.bandedSignatures(corpus.limit(100), "embedding", 64,
+      nbits = 120, bandBits = 15)
+    val rows = wide.collect()
+    assert(rows.map(_.getInt(1)).distinct.sorted.toSeq == (0 until 8))
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < (1L << 15)))
+    // distinct vectors disagree on at least one wide band
+    val byVec = rows.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
+    val sigs = byVec.values.toSeq
+    assert(sigs.distinct.size > 1)
+    // and the one-long signature path refuses nbits it cannot hold
+    intercept[IllegalArgumentException] {
+      SrpLsh.signatures(corpus, "embedding", 64, 120)
+    }
+  }
+
   test("signatures are deterministic across runs") {
     def sig() = SrpLsh.signatures(corpus, "embedding", 64, 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
