@@ -9,6 +9,7 @@ object SparkEntry {
   /** All operator modules; each contributes (query, oracle) pairs. */
   private def modules: Seq[QueryModule] = Seq(
     DashboardAnalytics,
+    EventAnalytics,
     Relational,
     Relational2,
     Relational3,

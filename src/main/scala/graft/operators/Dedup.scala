@@ -259,6 +259,31 @@ object Dedup extends QueryModule {
     materialized(simhash64PairsFrom(bands, maxBucket), bands)
   }
 
+  /** Shingle-set containment ≥ τ on the LSH candidate pairs — the
+    * asymmetric near-dup measure (|A∩B| / min(|A|,|B|)): a short doc
+    * fully embedded in a long one scores ≈ 1 while its Jaccard stays
+    * small. Same candidate generation (banded minhash, capped buckets)
+    * as the rest of the family, so the recall floor is the LSH curve at
+    * the pair's JACCARD — excerpt pairs below the τ_J collision knee
+    * need the dedicated containment-LSH variant a real pipeline would
+    * tune for (documented limit, ContainmentSpec pins both sides).
+    */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.5,
+                       maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = shingles(docs).persist()
+    val bands = bandedSignatures(sh)
+    val containment =
+      round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))), 4)
+    val out = candidatesFrom(bands, maxBucket)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), containment.as("containment"))
+      .filter(col("containment") >= tau)
+      .orderBy("doc_a", "doc_b")
+    materialized(out, bands, sh)
+  }
+
   /** DuckDB twin of lshCandidates: CTE chain ending in `cand`, with the
     * same bucket cap.
     */
@@ -391,6 +416,23 @@ object Dedup extends QueryModule {
              |FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
              |WHERE ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
              |  / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 4) >= 0.2
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    // shingle-set CONTAINMENT on the same LSH candidates — the
+    // asymmetric near-dup Jaccard misses: a short doc fully embedded in
+    // a long one scores |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard stays
+    // tiny (union dominated by the long doc). Deduplication pipelines
+    // use it to drop quote/excerpt duplicates.
+    QueryDef(
+      "d_containment",
+      (s, dir) => containmentPairs(Tables(s, dir).documents),
+      Some(s"""WITH ${candSql(MaxBucket)}
+             |SELECT doc_a, doc_b,
+             |ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |  / LEAST(len(sa.sh), len(sb.sh)), 4) AS containment
+             |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+             |WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |  / LEAST(len(sa.sh), len(sb.sh)), 4) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
   )

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the events table: conversion funnel
+  * and cohort retention — the two ClickHouse dashboard staples
+  * (windowFunnel / retention aggregate combinators) the reference's
+  * Grafana surface implies but Spark has no built-in for.
+  *
+  * Both are expressed as staged conditional aggregations over user_id:
+  * every stage is a groupBy or join on the SAME key, so one hash
+  * partitioning on user_id carries the whole pipeline (Catalyst reuses
+  * the exchange); the per-stage frames are user-level aggregates —
+  * strictly smaller than the event relation — so no step widens the
+  * data. Timestamps compare as BIGINT epoch-micros (Det rules: parquet
+  * nanos reach Spark and DuckDB at different precisions).
+  */
+object EventAnalytics extends QueryModule {
+
+  /** events projected to the funnel/retention input shape. */
+  private def base(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+
+  /** Per-user first time reaching each funnel stage: stage N is the
+    * earliest `stageType` event STRICTLY AFTER the user's stage-N−1
+    * time. `prev` is a user-level aggregate (one row per qualifying
+    * user), so the join fans out only to that user's stage-type events
+    * and collapses again in the same aggregation.
+    */
+  def nextStage(events: DataFrame, prev: DataFrame, stageType: String,
+                prevCol: String, outCol: String): DataFrame =
+    events.filter(col("event_type") === stageType)
+      .join(prev.select(col("user_id"), col(prevCol)), "user_id")
+      .filter(col("ts_us") > col(prevCol))
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as(outCol))
+
+  /** view → click → purchase funnel: users reaching each ordered stage. */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = base(events)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("v_us"))
+    val c = nextStage(e, v, "click", "v_us", "c_us")
+    val p = nextStage(e, c, "purchase", "c_us", "p_us")
+    def stage(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(label).as("stage"), col("n_users"))
+    stage(v, "1_view")
+      .unionAll(stage(c, "2_click"))
+      .unionAll(stage(p, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  /** Signup-cohort 7-day retention: cohort = epoch-day of the user's
+    * first signup event; retained = any event on days (d, d+7]. Day
+    * arithmetic stays in BIGINT epoch-days — exact in both engines.
+    */
+  def retention(events: DataFrame, horizonDays: Int = 7): DataFrame = {
+    val e = base(events).withColumn("day", expr("ts_us div 86400000000"))
+    val cohorts = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val retained = e.select(col("user_id"), col("day"))
+      .join(cohorts, "user_id")
+      .filter(col("day") > col("cohort_day") &&
+        col("day") <= col("cohort_day") + horizonDays)
+      .select("user_id", "cohort_day")
+      .distinct()
+    cohorts.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+      .join(retained.groupBy("cohort_day").agg(count(lit(1)).as("n_retained")),
+            Seq("cohort_day"), "left")
+      .select(col("cohort_day"),
+              col("n_users"),
+              coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+              round(coalesce(col("n_retained"), lit(0L)).cast("double") /
+                col("n_users"), 4).as("retention_7d"))
+      .orderBy("cohort_day")
+  }
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_funnel",
+      (s, dir) => funnel(Tables(s, dir).events),
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |  EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+             |v AS (SELECT user_id, MIN(ts_us) AS v_us FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(ts_us) AS c_us FROM e JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND ts_us > v_us GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(ts_us) AS p_us FROM e JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts_us > c_us GROUP BY 1)
+             |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+             |UNION ALL SELECT '2_click', COUNT(*) FROM c
+             |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+             |ORDER BY stage""".stripMargin),
+    ),
+    QueryDef(
+      "q_retention",
+      (s, dir) => retention(Tables(s, dir).events),
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |  EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+             |s AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |r AS (SELECT DISTINCT e.user_id, cohort_day FROM e JOIN s USING (user_id)
+             |  WHERE day > cohort_day AND day <= cohort_day + 7),
+             |n AS (SELECT cohort_day, COUNT(*) AS n_users FROM s GROUP BY 1),
+             |m AS (SELECT cohort_day, COUNT(*) AS n_retained FROM r GROUP BY 1)
+             |SELECT n.cohort_day, n_users,
+             |COALESCE(n_retained, 0) AS n_retained,
+             |ROUND(CAST(COALESCE(n_retained, 0) AS DOUBLE) / n_users, 4) AS retention_7d
+             |FROM n LEFT JOIN m USING (cohort_day) ORDER BY 1""".stripMargin),
+    ),
+  )
+}

@@ -46,6 +46,31 @@ object Streaming extends QueryModule {
       },
       None,
     ),
+    // streaming exact dedup (the d_dedup_exact twin): first copy of each
+    // text admitted, later copies dropped while their hash is inside the
+    // watermark window. Output is the admitted hash set — deterministic
+    // even though WHICH duplicate row survives a race is not.
+    QueryDef(
+      "st_dedup_exact",
+      (s, dir) => {
+        val name = s"st_dedup_${System.nanoTime()}"
+        val docs = graft.streaming.CorpusStreaming.readDocumentStream(s, dir)
+          // documents carry no event time; a deterministic pseudo-arrival
+          // keeps the gate output stable (real feeds carry ingest time).
+          // Offset past epoch 0: a row AT the initial watermark (0) would
+          // be discarded as late by the stateful dedup.
+          .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
+        val q = graft.streaming.CorpusStreaming.dedupExact(docs)
+          .select(col("text_hash"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_dedup_exact timed out")
+        s.table(name).orderBy("text_hash")
+      },
+      None,
+    ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened
     // record rows, AvailableNow + memory sink for the gate

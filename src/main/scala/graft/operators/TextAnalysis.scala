@@ -269,6 +269,37 @@ object TextAnalysis extends QueryModule {
              |ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS kept_frac
              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+    // corpus-statistics quality scoring: per-doc mean document frequency
+    // of its tokens (a rare-token-density filter — low avg_token_df ⇒
+    // unusual vocabulary ⇒ candidate for quality review). The term
+    // dictionary is itself an aggregate of the exploded corpus; the
+    // tokens⋈dictionary join and the dictionary groupBy share the `term`
+    // hash partitioning, so the exploded relation shuffles once. All
+    // arithmetic stays in BIGINT until the single output division.
+    QueryDef(
+      "t_token_rarity",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val dict = toks.groupBy("term").agg(count(lit(1)).as("df"))
+        toks.join(dict, "term")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               sum(col("df")).as("sum_df"))
+          .select(col("doc_id"), col("n_tokens"),
+                  col("sum_df").cast("bigint").as("sum_df"),
+                  round(col("sum_df").cast("double") / col("n_tokens"), 4).as("avg_token_df"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+             |d AS (SELECT term, COUNT(*) AS df FROM tt GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |CAST(SUM(df) AS BIGINT) AS sum_df,
+             |ROUND(CAST(SUM(df) AS DOUBLE) / COUNT(*), 4) AS avg_token_df
+             |FROM tt JOIN d USING (term) GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // n-gram heuristic language ID: score text against per-language
     // stopword profiles; rows-only (synthetic corpus carries no real
     // language signal — the spec checks shape + determinism).
