@@ -71,6 +71,35 @@ object Streaming extends QueryModule {
       },
       None,
     ),
+    // watermarked stream-stream interval join (click→view attribution).
+    // ORACLED, unlike the other streaming entries: AvailableNow delivers
+    // the whole file in one micro-batch and an inner interval join emits
+    // every matched pair, so the streaming result IS the batch join —
+    // DuckDB can check it exactly. Cross-micro-batch behavior (buffered
+    // state, watermark eviction) is StreamJoinSpec's job.
+    QueryDef(
+      "st_click_attribution",
+      (s, dir) => {
+        val name = s"st_attr_${System.nanoTime()}"
+        val q = EventsStreaming.attributeClicks(EventsStreaming.readEventStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_click_attribution timed out")
+        s.table(name).orderBy("user_id", "view_id", "click_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+             |v AS (SELECT user_id, event_id AS view_id, ts_us AS v_us FROM e
+             |  WHERE event_type = 'view'),
+             |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us FROM e
+             |  WHERE event_type = 'click')
+             |SELECT user_id, view_id, click_id, c_us - v_us AS lag_us
+             |FROM v JOIN c USING (user_id)
+             |WHERE v_us <= c_us AND v_us >= c_us - 1800000000
+             |ORDER BY user_id, view_id, click_id""".stripMargin),
+    ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened
     // record rows, AvailableNow + memory sink for the gate

@@ -190,6 +190,35 @@ object EventsStreaming {
       }
   }
 
+  /** Watermarked stream-stream interval join: every (view, click) pair of
+    * the same user where the view happened within `horizon` at-or-before
+    * the click — the attribution join (Flink interval join /
+    * ClickHouse-dashboard "click after view" panels). Both sides carry
+    * their OWN watermark and the join predicate is a pure event-time
+    * range (timestamp comparisons only — wrapping the columns in
+    * unix_micros would defeat Spark's state-cleanup analysis), so each
+    * side's buffered state is bounded by watermark delay + horizon per
+    * side, never the full stream history.
+    */
+  def attributeClicks(events: DataFrame, horizon: String = "30 minutes",
+                      delay: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    views.join(clicks,
+        col("v_user_id") === col("user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+              (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+                .as("lag_us"))
+  }
+
   /** java.sql.Timestamp → epoch micros (matches unix_micros). */
   def toMicros(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
