@@ -284,6 +284,28 @@ object Dedup extends QueryModule {
     materialized(out, bands, sh)
   }
 
+  /** Benchmark decontamination: count, per training doc, the 3-token
+    * shingles it shares with an eval/benchmark set — the contamination
+    * filter every LLM training pipeline runs before a corpus ships
+    * (drop or flag docs that leak eval data). The eval side is tiny by
+    * nature (benchmarks, not corpora), so its distinct gram set is
+    * BROADCAST: the corpus relation never shuffles for the join; the
+    * only exchange is the final per-doc aggregation over the matched
+    * grams — a relation bounded by contamination volume, not corpus
+    * size. Per-doc grams are already distinct (shingles applies
+    * array_distinct), so count(*) is the distinct-overlap count.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalGrams = shingles(evalDocs)
+      .select(explode(col("sh")).as("g")).distinct()
+    val corpusGrams = shingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    corpusGrams.join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB twin of lshCandidates: CTE chain ending in `cand`, with the
     * same bucket cap.
     */
@@ -417,6 +439,25 @@ object Dedup extends QueryModule {
              |WHERE ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
              |  / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 4) >= 0.2
              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    // benchmark decontamination: docs with doc_id ≡ 0 (mod 97) stand in
+    // for the eval set; every other doc sharing ≥1 3-token shingle with
+    // it is reported with its overlap count. Eval grams broadcast — the
+    // corpus side never shuffles for the join.
+    QueryDef(
+      "d_decontaminate",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        decontaminate(d.filter(col("doc_id") % 97 =!= 0),
+                      d.filter(col("doc_id") % 97 === 0))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+             |g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM g JOIN eg USING (g)
+             |WHERE doc_id % 97 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
     // shingle-set CONTAINMENT on the same LSH candidates — the
     // asymmetric near-dup Jaccard misses: a short doc fully embedded in

@@ -98,6 +98,28 @@ object TextAnalysis extends QueryModule {
              |  SELECT unnest(string_split(text,' ')) AS term FROM documents)
              |WHERE term <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin),
     ),
+    // SKETCHED corpus top terms: mergeable Misra-Gries summary (capacity
+    // 256) as a typed partial aggregate — the exchange carries one
+    // k-entry summary per partition instead of shuffling the full term
+    // dictionary like t_top_terms. Rows-only (counts are lower bounds
+    // with error ≤ N/(k+1), no DuckDB twin); HeavyHittersSpec pins
+    // exactness at small vocab, the undercount bound, heavy-term
+    // presence on an adversarial corpus, and the partial-aggregate plan.
+    QueryDef(
+      "t_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables(s, dir).documents
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "").as[String]
+        toks.select(new graft.functions.HeavyHitters(256).toColumn.name("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e._1").as("term"), col("e._2").as("est_count"))
+          .orderBy(desc("est_count"), asc("term"))
+          .limit(20)
+      },
+      None,
+    ),
     // BPE-ish regex tokenization (word / number / punctuation-run
     // classes — the lookahead-free common subset of Java and RE2 regex)
     QueryDef(
