@@ -13,6 +13,7 @@ object SparkEntry {
     Relational,
     Relational2,
     Relational3,
+    Relational4,
     Windowed,
     TextAnalysis,
     Dedup,

@@ -476,5 +476,37 @@ object Dedup extends QueryModule {
              |  / LEAST(len(sa.sh), len(sb.sh)), 4) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
+    // Bloom-prefiltered cross-corpus dedup: which candidate docs
+    // (doc_id % 10 >= 3) repeat a bag-of-words fingerprint from the
+    // reference slice (doc_id % 10 < 3)? At 100 TB the candidate side
+    // must NOT shuffle for a semi join — a Bloom filter built over the
+    // small reference side turns membership into a scan-side codegen'd
+    // predicate; only the survivors (true members + a bounded FP
+    // trickle) reach the exact verification join, which broadcasts the
+    // reference side. No false negatives ⇒ the result is EXACTLY the
+    // semi join, so the whole pipeline stays DuckDB-oracled; the FP
+    // bound and the filter's plan shape are BloomFilterSpec's job.
+    QueryDef(
+      "d_bloom_prefilter",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        val ref = d.filter(col("doc_id") % 10 < 3).select(fp.as("fp")).distinct()
+        val bits = graft.functions.BloomFilter.build(ref, col("fp"), numWords = 2048, k = 5)
+        d.filter(col("doc_id") % 10 >= 3)
+          .select(col("doc_id"), fp.as("fp"))
+          .filter(graft.functions.BloomFilter.mightContain(bits, col("fp"), k = 5))
+          .join(broadcast(ref), Seq("fp"), "left_semi")
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+             |  FROM documents)
+             |SELECT doc_id FROM fp d
+             |WHERE doc_id % 10 >= 3 AND EXISTS
+             |  (SELECT 1 FROM fp b WHERE b.doc_id % 10 < 3 AND b.fp = d.fp)
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

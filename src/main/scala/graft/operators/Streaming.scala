@@ -100,6 +100,54 @@ object Streaming extends QueryModule {
              |WHERE v_us <= c_us AND v_us >= c_us - 1800000000
              |ORDER BY user_id, view_id, click_id""".stripMargin),
     ),
+    // all-time streaming dedup guard: a Bloom filter over the STORED
+    // corpus slice (doc_id % 10 < 3 stands in for the historical table)
+    // drops re-arriving fingerprints from the stream with fixed memory
+    // and no state store. Deterministic (fixed-seed hashes) so the gate
+    // output is stable; CorpusStreamingSpec pins the containment
+    // properties (no true duplicate admitted; drops ⊆ FP bound).
+    QueryDef(
+      "st_bloom_guard",
+      (s, dir) => {
+        val name = s"st_guard_${System.nanoTime()}"
+        val d = Tables(s, dir).documents
+        val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        val hist = d.filter(col("doc_id") % 10 < 3).select(fp.as("fp")).distinct()
+        val bits = graft.functions.BloomFilter.build(hist, col("fp"), numWords = 2048, k = 5)
+        val stream = graft.streaming.CorpusStreaming.readDocumentStream(s, dir)
+          .filter(col("doc_id") % 10 >= 3)
+        val q = graft.streaming.CorpusStreaming.bloomGuard(stream, bits, k = 5)
+          .select(col("doc_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_bloom_guard timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      None,
+    ),
+    // streaming ANN-index maintenance: SRP band assignment as a
+    // stateless streaming projection (signatures are pure functions of
+    // the vector — no state store, no watermark). The batch twin is the
+    // same SrpLsh.bandedSignatures call; CorpusStreamingSpec pins
+    // stream/batch parity row for row.
+    QueryDef(
+      "st_srp_bucketize",
+      (s, dir) => {
+        val name = s"st_srp_${System.nanoTime()}"
+        val q = graft.streaming.CorpusStreaming
+          .srpBucketize(graft.streaming.CorpusStreaming.readEmbeddingStream(s, dir),
+                        dim = 64, nbits = 16, bandBits = 8)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_srp_bucketize timed out")
+        s.table(name).orderBy("vec_id", "band_i")
+      },
+      None,
+    ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened
     // record rows, AvailableNow + memory sink for the gate

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token stats,
@@ -349,6 +350,44 @@ object TextAnalysis extends QueryModule {
           .orderBy("doc_id")
       },
       None,
+    ),
+    // per-doc top-3 characteristic terms by tf·idf rank. The score is
+    // tf * 10^9 div df — EXACT BIGINT arithmetic, so Spark and DuckDB
+    // rank identically (a float log-idf would hash-drift in the last
+    // ulp). The constant numerator replaces the corpus-size factor N of
+    // textbook tf·idf: per-doc ORDERING is invariant to a constant
+    // multiplier, and dropping N also drops the scalar cross join that
+    // would otherwise attach it. tf ⋈ df and the df groupBy share the
+    // `term` hash partitioning (one shuffle of the exploded relation);
+    // the top-3 window partitions by doc_id over at most
+    // distinct-terms-per-doc rows — bounded by document length, not
+    // corpus size.
+    QueryDef(
+      "t_tfidf_top_terms",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(df, "term")
+          .withColumn("score", expr("tf * 1000000000L div df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tt GROUP BY 1),
+             |sc AS (SELECT doc_id, term, tf, df, (tf * 1000000000) // df AS score
+             |  FROM tf JOIN df USING (term)),
+             |r AS (SELECT *, row_number() OVER
+             |  (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+             |SELECT doc_id, rk, term, tf, df, score FROM r
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
     ),
   )
 }

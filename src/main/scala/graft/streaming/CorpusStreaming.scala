@@ -41,4 +41,48 @@ object CorpusStreaming {
     docs.withColumn("text_hash", md5(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-based stream over the embeddings parquet (stands in for a
+    * continuous vector feed — e.g. freshly embedded crawl documents).
+    */
+  def readEmbeddingStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embeddingSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** All-time ingest guard: drop arriving documents whose bag-of-words
+    * fingerprint already exists in the STORED corpus, using a Bloom
+    * filter built (batch, functions.BloomFilter.build) over the
+    * historical fingerprints. Complements `dedupExact`: the stateful
+    * within-watermark dedup catches redelivery bursts with state
+    * bounded by one window, while this guard covers ALL history with
+    * FIXED memory (the bit array) and ZERO state store — a stateless
+    * codegen'd filter. The cost is a bounded false-positive rate: a
+    * trickle of genuinely-new docs is dropped (size m/n for the
+    * tolerance; false negatives are impossible, so no duplicate ever
+    * slips through the guard).
+    */
+  def bloomGuard(docs: DataFrame, bits: Array[Long], k: Int): DataFrame = {
+    val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    docs.withColumn("fp", fp)
+      .filter(!graft.functions.BloomFilter.mightContain(bits, col("fp"), k))
+  }
+
+  /** Incremental ANN-index maintenance: assign each arriving vector its
+    * SRP band values. The SRP signature is a PURE FUNCTION of the vector
+    * (fixed seeded hyperplanes — api.SrpLsh), so this is a STATELESS
+    * streaming projection: no aggregation, no watermark, no state store.
+    * New vectors bucket incrementally without touching old ones — the
+    * property that makes SRP (unlike kmeans IVF, whose centroids drift
+    * as data arrives) the index of choice for a continuously-ingesting
+    * corpus. Sink the output to the bucketed index table in append mode.
+    */
+  def srpBucketize(vecs: DataFrame, dim: Int, nbits: Int, bandBits: Int): DataFrame =
+    graft.api.SrpLsh.bandedSignatures(vecs, "embedding", dim, nbits, bandBits)
 }

@@ -46,4 +46,40 @@ class CorpusStreamingSpec extends SparkSpec {
       .select(md5(col("text")).as("h")).distinct()
     assert(stream.count() === batch.count())
   }
+
+  test("st_bloom_guard admits no stored duplicate and drops only an FP trickle") {
+    val admitted = graft.operators.Streaming.entries
+      .find(_.name == "st_bloom_guard").get.fn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val d = Tables(spark, sfDir).documents
+    val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val hist = d.filter(col("doc_id") % 10 < 3).select(fp.as("fp")).distinct()
+    val exactNew = d.filter(col("doc_id") % 10 >= 3)
+      .select(col("doc_id"), fp.as("fp"))
+      .join(hist, Seq("fp"), "left_anti")
+      .select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives in the filter ⇒ every stored fingerprint is
+    // rejected ⇒ admitted is a subset of the exact anti join
+    assert(admitted.subsetOf(exactNew))
+    // and the genuinely-new docs lost to false positives are a trickle
+    // bounded by the sizing formula (m/n ≈ 873 here ⇒ ~0 expected)
+    assert((exactNew -- admitted).size <= 2, s"dropped ${(exactNew -- admitted).size}")
+    assert(admitted.nonEmpty)
+  }
+
+  test("streaming SRP bucketize matches the batch banded signatures row for row") {
+    // the signature is a pure function of the vector, so the streaming
+    // projection and the batch call must agree EXACTLY — this is the
+    // property that makes the index incrementally maintainable
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_srp_bucketize").get.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val batch = graft.api.SrpLsh.bandedSignatures(
+        Tables(spark, sfDir).embeddings.select("vec_id", "embedding"),
+        "embedding", dim = 64, nbits = 16, bandBits = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
