@@ -284,6 +284,48 @@ object Dedup extends QueryModule {
     materialized(out, bands, sh)
   }
 
+  /** Chunk-level (C4/RefinedWeb "line-level") dedup: split each doc into
+    * fixed `chunkTokens`-token chunks, keep each distinct chunk only in
+    * its earliest-doc_id occurrence (first position within that doc),
+    * and reassemble the surviving chunks in document order. Docs whose
+    * every chunk already appears in an earlier doc vanish entirely —
+    * exact-duplicate removal falls out as the degenerate case.
+    *
+    * Scale shape: explode → two hash aggregates keyed on the chunk text
+    * (the owner min and the within-doc first position — both map-side
+    * combinable), a join back on the same chunk key (partitioning
+    * reused, no extra shuffle), then a per-doc reassembly aggregate.
+    * No windows over corpus-wide orderings, no cartesian anywhere; the
+    * reassembly sorts only each doc's own surviving chunks (bounded by
+    * document length). Output: (doc_id, text, n_chunks).
+    */
+  def lineDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val chunked = docs.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, (size(split(text, ' ')) - 1) div $chunkTokens),
+         |  i -> array_join(slice(split(text, ' '), i * $chunkTokens + 1, $chunkTokens), ' '))""".stripMargin
+    )).as(Seq("idx", "chunk")))
+    // fresh aliases (kchunk/keep_doc) keep the join self-join-safe: both
+    // sides descend from `chunked`, so reusing the `chunk` attribute
+    // would be ambiguous
+    val keeper = chunked.groupBy(col("chunk").as("kchunk"))
+      .agg(min(col("doc_id")).as("keep_doc"))
+    val kept = chunked.join(keeper,
+        col("chunk") === col("kchunk") && col("doc_id") === col("keep_doc"))
+      .select(col("doc_id"), col("idx"), col("chunk"))
+    // a chunk repeated WITHIN the keeper doc survives once, at its first
+    // position; distinct chunks came from distinct positions, so the
+    // per-(doc, chunk) min positions never collide and the struct sort
+    // below is a total order
+    kept.groupBy("doc_id", "chunk").agg(min(col("idx")).as("idx"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text"),
+        count(lit(1)).as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: count, per training doc, the 3-token
     * shingles it shares with an eval/benchmark set — the contamination
     * filter every LLM training pipeline runs before a corpus ships
@@ -507,6 +549,29 @@ object Dedup extends QueryModule {
              |WHERE doc_id % 10 >= 3 AND EXISTS
              |  (SELECT 1 FROM fp b WHERE b.doc_id % 10 < 3 AND b.fp = d.fp)
              |ORDER BY doc_id""".stripMargin),
+    ),
+    // C4-style chunk-level dedup with document reassembly: every
+    // 10-token chunk survives only in its earliest-doc occurrence, docs
+    // reassemble from their surviving chunks in order, fully-duplicated
+    // docs vanish. The whole pipeline is joins + hash aggregates on the
+    // chunk key — no corpus-wide window, so it scales like the exact
+    // dedup it generalizes.
+    QueryDef(
+      "d_line_dedup",
+      (s, dir) => lineDedup(Tables(s, dir).documents, chunkTokens = 10),
+      Some("""WITH c AS (
+             |  SELECT doc_id, i AS idx,
+             |    array_to_string(list_slice(string_split(text, ' '), i*10+1, i*10+10), ' ') AS chunk
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(0, (len(string_split(text, ' '))-1)//10)) AS i
+             |        FROM documents)),
+             |m AS (SELECT chunk, min(doc_id) AS keep_doc FROM c GROUP BY 1),
+             |k AS (SELECT c.doc_id, c.idx, c.chunk
+             |      FROM c JOIN m ON c.chunk = m.chunk AND c.doc_id = m.keep_doc),
+             |k2 AS (SELECT doc_id, chunk, min(idx) AS idx FROM k GROUP BY 1, 2)
+             |SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text,
+             |       COUNT(*) AS n_chunks
+             |FROM k2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
   )
 }

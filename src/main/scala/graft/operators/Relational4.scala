@@ -64,5 +64,71 @@ object Relational4 extends QueryModule {
              |MIN(value) AS min_v, MAX(value) AS max_v
              |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
+    // arg-max/arg-min aggregates: the richest/poorest supplier per
+    // nation in ONE aggregation pass (no self-join back to the group
+    // max, no window). The ordering key folds the 2-decimal balance and
+    // the unique suppkey into one BIGINT so both engines break balance
+    // ties identically.
+    QueryDef(
+      "q_max_by",
+      (s, dir) => {
+        val sup = Tables(s, dir).supplier
+        val key = expr("CAST(round(s_acctbal * 100) AS BIGINT) * 1000000 + s_suppkey")
+        sup.groupBy("s_nationkey")
+          .agg(max_by(col("s_name"), key).as("richest"),
+               round(max(col("s_acctbal")), 2).as("max_bal"),
+               min_by(col("s_name"), key).as("poorest"),
+               round(min(col("s_acctbal")), 2).as("min_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey,
+             |arg_max(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000 + s_suppkey) AS richest,
+             |round(MAX(s_acctbal), 2) AS max_bal,
+             |arg_min(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000 + s_suppkey) AS poorest,
+             |round(MIN(s_acctbal), 2) AS min_bal
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    // distribution-position window functions: percent_rank and
+    // cume_dist per customer segment over account balances (with the
+    // unique custkey tiebreak making both deterministic). One window
+    // shuffle on the segment key; 4dp rounding keeps the ratio doubles
+    // engine-identical.
+    QueryDef(
+      "q_percent_rank",
+      (s, dir) => {
+        val c = Tables(s, dir).customer
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        c.select(col("c_mktsegment"), col("c_custkey"),
+                 round(percent_rank().over(w), 4).as("pr"),
+                 round(cume_dist().over(w), 4).as("cd"))
+          .filter(col("c_custkey") % 10 === 0)
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""WITH r AS (SELECT c_mktsegment, c_custkey,
+             |  ROUND(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 4) AS pr,
+             |  ROUND(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 4) AS cd
+             |  FROM customer)
+             |SELECT c_mktsegment, c_custkey, pr, cd FROM r
+             |WHERE c_custkey % 10 = 0 ORDER BY 1, 2""".stripMargin),
+    ),
+    // mergeable-sketch rollup — the warehouse pattern behind "distinct
+    // users over an arbitrary date range without rescanning events":
+    // per-day HLL sketches materialize once (map-side combinable), any
+    // range distinct-count is then a UNION of the day sketches. Union of
+    // sketches ≡ sketch of the union, so the merged estimate is exactly
+    // the whole-table estimate (Relational4Spec pins that identity and
+    // the error vs the exact count); no DuckDB twin → rows-only gate.
+    QueryDef(
+      "q_hll_rollup",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val daily = e.groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+          count(lit(1)).as("n_days"))
+      },
+      None,
+    ),
   )
 }

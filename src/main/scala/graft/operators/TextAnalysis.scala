@@ -17,6 +17,26 @@ object TextAnalysis extends QueryModule {
 
   private val Stop = "('the','a','of','and','to','in','is','it')"
 
+  /** The t_quality_score scalar, reused by the global-threshold filter:
+    * length-capped token share + stopword ratio + alpha density, rounded
+    * to 4dp so both engines compare identical doubles.
+    */
+  private def qualityCol = round(
+    least(lit(1.0), expr("CAST(size(split(text, ' ')) AS BIGINT)").cast("double") / 200.0) * 0.5 +
+      expr(s"CAST(size(filter(split(text, ' '), w -> w IN $Stop)) AS BIGINT)").cast("double") /
+        expr("CAST(size(split(text, ' ')) AS BIGINT)") * 0.2 +
+      expr("CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT)").cast("double") /
+        length(col("text")).cast("bigint") * 0.3, 4)
+
+  private val qualitySqlCte =
+    s"""q AS (SELECT doc_id,
+       |  ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/200.0)*0.5
+       |    + (CAST(len(list_filter(string_split(text,' '), w -> w IN $Stop)) AS DOUBLE)
+       |       / len(string_split(text,' ')))*0.2
+       |    + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |       / length(text))*0.3, 4) AS quality
+       |  FROM documents)""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "t_token_count",
@@ -388,6 +408,61 @@ object TextAnalysis extends QueryModule {
              |  (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
              |SELECT doc_id, rk, term, tf, df, score FROM r
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+    ),
+    // global-threshold quality filter — the two-pass shape every corpus
+    // filter uses at scale: pass 1 computes the corpus-wide cutoff (here
+    // the exact P25 of the quality score; a real pipeline would use
+    // approx_percentile and accept the sketch), pass 2 is a stateless
+    // scan-side filter with the cutoff as a LITERAL — no join, no
+    // broadcast relation, nothing shuffles. The driver-side scalar pull
+    // is one double, not data.
+    QueryDef(
+      "t_quality_filter",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val scored = d.select(col("doc_id"), qualityCol.as("quality"))
+        val thr = scored.agg(expr("percentile(quality, 0.25)")).head().getDouble(0)
+        scored.filter(col("quality") >= lit(thr)).orderBy("doc_id")
+      },
+      Some(s"""WITH $qualitySqlCte,
+              |t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM q)
+              |SELECT doc_id, quality FROM q, t
+              |WHERE quality >= thr ORDER BY doc_id""".stripMargin),
+    ),
+    // inverted-index build over word BIGRAMS (a phrase index — unigrams
+    // on this synthetic vocab all have corpus-scale df, which is exactly
+    // why real indexes drop stop terms): bigram → document frequency +
+    // the first 5 posting doc_ids. Postings are capped by
+    // slice-after-sort of the per-term collect_list, and posting lists
+    // are only materialized below a CORPUS-RELATIVE df ceiling (10% of
+    // docs) — rare/mid phrases, the ones an index serves; hot-phrase
+    // postings are the per-key state that explodes at scale. The ceiling
+    // is one driver-side count, a scalar literal in the plan.
+    QueryDef(
+      "t_inverted_index",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val nDocs = d.count()
+        val bigrams = d.select(col("doc_id"), explode(expr(
+            """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+              |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+              |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("term"))
+          .distinct()
+        bigrams.groupBy("term").agg(
+            count(lit(1)).as("df"),
+            array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 5), ",").as("postings"))
+          .filter(col("df") <= lit(nDocs / 10.0))
+          .orderBy("term")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |b AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS term
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+             |g AS (SELECT term, COUNT(*) AS df,
+             |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',') AS postings
+             |  FROM b GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT term, df, postings FROM g, n
+             |WHERE df <= n_docs / 10.0 ORDER BY term""".stripMargin),
     ),
   )
 }

@@ -162,4 +162,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d_line_dedup is joins + hash aggregates: no window, no cartesian") {
+    val p = plan("d_line_dedup")
+    // owner-min and first-position are hash aggregates on the chunk key;
+    // survival is an equi-join; reassembly aggregates per doc — a
+    // corpus-wide Window or CartesianProduct would mean the shape broke
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("bloom prefilter keeps the corpus side shuffle-free") {
+    val p = plan("d_bloom_prefilter")
+    // membership is a scan-side predicate + broadcast verification join:
+    // the candidate relation must never hit a SortMergeJoin exchange
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
