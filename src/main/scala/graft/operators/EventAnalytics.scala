@@ -112,5 +112,66 @@ object EventAnalytics extends QueryModule {
              |ROUND(CAST(COALESCE(n_retained, 0) AS DOUBLE) / n_users, 4) AS retention_7d
              |FROM n LEFT JOIN m USING (cohort_day) ORDER BY 1""".stripMargin),
     ),
+    // event-sequence transition matrix (first-order Markov counts): per
+    // user, each consecutive event-type pair via lag over the user's own
+    // timeline, then a global pair count + within-source probability.
+    // The window partitions on user_id (bounded by one user's events);
+    // event_id breaks timestamp ties so both engines see one sequence.
+    QueryDef(
+      "q_transition_pairs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val pairs = Tables(s, dir).events
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val w2 = Window.partitionBy("prev_type")
+        pairs
+          .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(w2), 4))
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+             |  EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+             |l AS (SELECT user_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+             |  FROM e),
+             |c AS (SELECT prev_type, event_type, COUNT(*) AS n FROM l
+             |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, event_type, n,
+             |ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+             |FROM c ORDER BY 1, 2""".stripMargin),
+    ),
+    // trailing-7-day distinct users per day — the sliding-window
+    // distinct that defeats naive windowing (distinct doesn't decompose
+    // over a sliding frame). At-scale shape: collapse events to the
+    // (day, user) distinct relation FIRST (the only corpus-sized
+    // shuffle), then explode each row into the ≤7 report days it
+    // contributes to and count distinct per day — shuffle volume is
+    // 7 × |daily-distinct|, never event volume, and no corpus-wide
+    // window state. The semi join drops report days past the data's
+    // edge.
+    QueryDef(
+      "q_rolling_distinct",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val du = e.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val days = du.select(col("d").as("report_day")).distinct()
+        du.select(explode(expr("sequence(d, date_add(d, 6))")).as("report_day"), col("user_id"))
+          .join(days, "report_day", "left_semi")
+          .groupBy("report_day")
+          .agg(countDistinct(col("user_id")).as("u7"))
+          .orderBy("report_day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |days AS (SELECT DISTINCT d AS report_day FROM du),
+             |x AS (SELECT unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS report_day,
+             |  user_id FROM du)
+             |SELECT x.report_day, COUNT(DISTINCT user_id) AS u7
+             |FROM x JOIN days USING (report_day)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
   )
 }

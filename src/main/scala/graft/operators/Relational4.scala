@@ -111,6 +111,35 @@ object Relational4 extends QueryModule {
              |SELECT c_mktsegment, c_custkey, pr, cd FROM r
              |WHERE c_custkey % 10 = 0 ORDER BY 1, 2""".stripMargin),
     ),
+    // ratio-to-report: each nation's share of its region's supplier
+    // balance. The share denominator is a window sum over the ALREADY
+    // AGGREGATED per-nation frame (25 rows) — the window never sees the
+    // fact table, so its state is dimension-sized; the only corpus
+    // shuffle is the per-nation aggregation, and both dims broadcast.
+    QueryDef(
+      "q_pct_of_total",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy("r_name")
+        t.supplier
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(moneySum(col("s_acctbal")).as("nation_bal"))
+          .withColumn("region_share",
+            round(col("nation_bal") / sum(col("nation_bal")).over(w), 4))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH nb AS (SELECT r_name, n_name,
+             |  CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS nation_bal
+             |  FROM supplier
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY 1, 2)
+             |SELECT r_name, n_name, nation_bal,
+             |ROUND(nation_bal / SUM(nation_bal) OVER (PARTITION BY r_name), 4) AS region_share
+             |FROM nb ORDER BY 1, 2""".stripMargin),
+    ),
     // mergeable-sketch rollup — the warehouse pattern behind "distinct
     // users over an arbitrary date range without rescanning events":
     // per-day HLL sketches materialize once (map-side combinable), any

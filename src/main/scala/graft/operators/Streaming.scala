@@ -100,6 +100,25 @@ object Streaming extends QueryModule {
              |WHERE v_us <= c_us AND v_us >= c_us - 1800000000
              |ORDER BY user_id, view_id, click_id""".stripMargin),
     ),
+    // stream-static broadcast enrichment: events join the static
+    // weight dimension per micro-batch — stateless, stream side never
+    // shuffles; StreamingSpec pins row-for-row parity with the batch
+    // twin join
+    QueryDef(
+      "st_static_enrich",
+      (s, dir) => {
+        val name = s"st_enrich_${System.nanoTime()}"
+        val q = EventsStreaming.enrichWithWeights(
+            EventsStreaming.readEventStream(s, dir), EventsStreaming.typeWeights(s))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_static_enrich timed out")
+        s.table(name).orderBy("event_id")
+      },
+      None,
+    ),
     // all-time streaming dedup guard: a Bloom filter over the STORED
     // corpus slice (doc_id % 10 < 3 stands in for the historical table)
     // drops re-arriving fingerprints from the stream with fixed memory

@@ -65,6 +65,29 @@ object EventsStreaming {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** The static event-type weight dimension — stands in for the
+    * reference's slowly-changing policy/rate tables. On a cluster this
+    * is a small table re-read per micro-batch (or a broadcast refreshed
+    * on change); here a literal frame keeps the gate deterministic.
+    */
+  def typeWeights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+        ("signup", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+  }
+
+  /** Stream-static enrichment: every arriving event joins the static
+    * dimension with a BROADCAST hash join — stateless (no watermark, no
+    * state store; the stream side never shuffles), the streaming twin of
+    * every batch dim join in the registry. Unmatched types keep weight 0
+    * rather than silently dropping (left join + coalesce).
+    */
+  def enrichWithWeights(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(0.0)))
+      .select(col("event_id"), col("event_type"), col("user_id"),
+              round(col("value") * col("weight"), 4).as("weighted_value"))
+
   /** The at-scale sink shape: append-mode windowed aggregation to a
     * parquet directory. Unlike the complete-mode memory-sink harness
     * entry, append mode lets the watermark evict finalized windows from

@@ -14,6 +14,16 @@ class StreamingSpec extends SparkSpec {
   private def q(name: String) =
     Streaming.entries.find(_.name == name).get.fn
 
+  test("st_static_enrich matches the batch broadcast-dim join row for row") {
+    val stream = q("st_static_enrich")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val batch = EventsStreaming.enrichWithWeights(
+        Tables(spark, sfDir).events, EventsStreaming.typeWeights(spark))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("st_sessionize matches the window-based batch q_sessionize") {
     val stream = q("st_sessionize")(spark, sfDir)
       .select("user_id", "n_events", "start_us", "end_us", "total_value")
