@@ -187,5 +187,24 @@ object Similarity extends QueryModule {
       },
       None,
     ),
+    // SemDeDup-shaped end-to-end semantic dedup: SRP near-dup pairs →
+    // connected-component clusters → keep the smallest vec_id per
+    // cluster. Every stage is the already-audited at-scale shape
+    // (capped band self-join, join/groupBy label propagation, anti
+    // join); the composite is what a pipeline actually runs. Rows-only;
+    // SemanticDedupSpec pins: kept ⊆ corpus, no surviving pair has both
+    // sides kept, every dropped vector's cluster representative is kept.
+    QueryDef(
+      "d_semantic_dedup",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val pairs = graft.api.SrpLsh.nearDupPairs(corpus, dim = 64, tau = 0.45)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+        graft.api.DedupPipeline.dedup(corpus, pairs, idCol = "vec_id")
+          .select(col("vec_id")).orderBy("vec_id")
+      },
+      None,
+    ),
   )
 }

@@ -464,5 +464,61 @@ object TextAnalysis extends QueryModule {
              |SELECT term, df, postings FROM g, n
              |WHERE df <= n_docs / 10.0 ORDER BY term""".stripMargin),
     ),
+    // context-window packing plan: assign each doc to a 2048-token bin
+    // via a running token total — per HASH BUCKET, not corpus-wide (a
+    // global cumulative sum would serialize on one partition; 32
+    // independent bucket timelines keep every window partition-local
+    // and the whole op one shuffle). A doc that crosses a bin boundary
+    // belongs to the bin it started in — greedy packing semantics; the
+    // padding/truncation decision is the trainer's, the ENGINE's job is
+    // the deterministic bin assignment and fill accounting.
+    QueryDef(
+      "t_sequence_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir).documents
+        val w = Window.partitionBy("bucket").orderBy("doc_id")
+        d.select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("bucket"),
+                 expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+          .withColumn("bin",
+            expr("CAST((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens) div 2048 AS BIGINT)"))
+          .groupBy("bucket", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy("bucket", "bin")
+      },
+      Some("""WITH t AS (SELECT doc_id, doc_id % 32 AS bucket,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |b AS (SELECT bucket, doc_id, n_tokens,
+             |  (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens) // 2048 AS bin
+             |  FROM t)
+             |SELECT bucket, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+    // temperature-scaled mixture weights per source (the multinomial
+    // sampling step of multi-source training): weight ∝ n_docs^0.5.
+    // sqrt is exactly rounded in IEEE so both engines agree bit-for-bit;
+    // the normalizing sum runs over EXACT BIGINTs (sqrt scaled to 1e6
+    // and floored) because a float sum's order would not be
+    // reproducible across engines or partitionings.
+    QueryDef(
+      "t_mixture_weights",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val bySource = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("s_scaled", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+        val total = bySource.agg(sum(col("s_scaled"))).head().getLong(0)
+        bySource
+          .select(col("source"), col("n_docs"),
+                  round(col("s_scaled").cast("double") / lit(total.toDouble), 6).as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+             |  CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS s_scaled
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT SUM(s_scaled) AS total FROM c)
+             |SELECT source, n_docs,
+             |ROUND(CAST(s_scaled AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight
+             |FROM c, t ORDER BY source""".stripMargin),
+    ),
   )
 }
