@@ -482,6 +482,40 @@ object Dedup extends QueryModule {
              |  / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 4) >= 0.2
              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
+    // edit-distance verification on the SAME LSH candidates — the
+    // fuzzy-match prong (typo-level duplicates where token-set measures
+    // saturate). Levenshtein is O(len²) per pair, which is exactly why
+    // it must only ever run on the capped candidate list, never the
+    // corpus cross product; the normalized similarity divides by the
+    // longer text so the score is symmetric.
+    QueryDef(
+      "d_fuzzy_verify",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val sh = shingles(d).persist()
+        val bands = bandedSignatures(sh)
+        val texts = d.select(col("doc_id"), col("text"))
+        val out = candidatesFrom(bands, MaxBucket)
+          .join(texts.select(col("doc_id").as("doc_a"), col("text").as("t_a")), "doc_a")
+          .join(texts.select(col("doc_id").as("doc_b"), col("text").as("t_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+                  levenshtein(col("t_a"), col("t_b")).cast("bigint").as("edit_dist"),
+                  round(lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
+                    greatest(length(col("t_a")), length(col("t_b"))), 4).as("sim"))
+          .filter(col("sim") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+        materialized(out, bands, sh)
+      },
+      Some(s"""WITH ${candSql(MaxBucket)},
+             |t AS (SELECT doc_id, text FROM documents),
+             |v AS (SELECT doc_a, doc_b,
+             |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+             |  ROUND(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+             |    / GREATEST(length(ta.text), length(tb.text)), 4) AS sim
+             |  FROM cand JOIN t ta ON ta.doc_id = doc_a JOIN t tb ON tb.doc_id = doc_b)
+             |SELECT doc_a, doc_b, edit_dist, sim FROM v
+             |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    ),
     // benchmark decontamination: docs with doc_id ≡ 0 (mod 97) stand in
     // for the eval set; every other doc sharing ≥1 3-token shingle with
     // it is reported with its overlap count. Eval grams broadcast — the

@@ -111,6 +111,41 @@ object Relational4 extends QueryModule {
              |SELECT c_mktsegment, c_custkey, pr, cd FROM r
              |WHERE c_custkey % 10 = 0 ORDER BY 1, 2""".stripMargin),
     ),
+    // full-outer metric merge — the reporting join that combines two
+    // independently aggregated series (daily clicks vs daily purchases)
+    // without losing days present in only one: both sides aggregate
+    // FIRST (day-level frames, not events), the outer join and coalesce
+    // run over those small series, and the join key's hash partitioning
+    // is shared by both groupBys.
+    QueryDef(
+      "q_outer_join_coalesce",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        def daily(t: String, out: String) =
+          e.filter(col("event_type") === t)
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as(out))
+        daily("click", "n_clicks")
+          .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+          .select(col("day"),
+                  coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+                  coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+                  round(coalesce(col("n_purchases"), lit(0L)).cast("double") /
+                    greatest(coalesce(col("n_clicks"), lit(0L)), lit(1L)), 4).as("cvr"))
+          .orderBy("day")
+      },
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+             |  FROM events WHERE event_type = 'click' GROUP BY 1),
+             |p AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT COALESCE(c.day, p.day) AS day,
+             |COALESCE(n_clicks, 0) AS n_clicks,
+             |COALESCE(n_purchases, 0) AS n_purchases,
+             |ROUND(CAST(COALESCE(n_purchases, 0) AS DOUBLE)
+             |  / GREATEST(COALESCE(n_clicks, 0), 1), 4) AS cvr
+             |FROM c FULL OUTER JOIN p ON c.day = p.day
+             |ORDER BY day""".stripMargin),
+    ),
     // ratio-to-report: each nation's share of its region's supplier
     // balance. The share denominator is a window sum over the ALREADY
     // AGGREGATED per-nation frame (25 rows) — the window never sees the
