@@ -46,6 +46,14 @@ object Relational4 extends QueryModule {
     // deterministic across engines and partitionings), then per-bucket
     // count/min/max. The window shuffles once on event_type; the
     // follow-up aggregate reuses that partitioning.
+    //
+    // SCALE LIMIT (inherent to ntile, in any engine): exact equal-count
+    // bucketing needs a per-group total order, so each of the 5
+    // event_type groups sorts in ONE task. This entry is SQL-parity
+    // coverage; the at-scale path for equi-depth bucketing is
+    // percentile thresholds + a scan-side comparison
+    // (q_quantiles_by_group / t_quality_filter), which trades the exact
+    // ±1-row bucket balance for full parallelism.
     QueryDef(
       "q_ntile",
       (s, dir) => {
@@ -92,7 +100,10 @@ object Relational4 extends QueryModule {
     // cume_dist per customer segment over account balances (with the
     // unique custkey tiebreak making both deterministic). One window
     // shuffle on the segment key; 4dp rounding keeps the ratio doubles
-    // engine-identical.
+    // engine-identical. Same inherent per-group total-order limit as
+    // q_ntile (5 segments → 5 sort tasks) — fine on a dimension table
+    // like customer; for fact-scale inputs use the percentile-threshold
+    // pattern instead.
     QueryDef(
       "q_percent_rank",
       (s, dir) => {

@@ -448,10 +448,19 @@ object TextAnalysis extends QueryModule {
               |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
               |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("term"))
           .distinct()
-        bigrams.groupBy("term").agg(
-            count(lit(1)).as("df"),
-            array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 5), ",").as("postings"))
+        // df FIRST (a bounded count aggregate), THEN postings, and only
+        // for the surviving rare/mid terms: collecting a hot term's
+        // posting list before filtering it away would materialize
+        // corpus-scale per-key state — the exact explosion the ceiling
+        // exists to prevent. The join and both aggregates share the
+        // term hash partitioning.
+        val keep = bigrams.groupBy("term").agg(count(lit(1)).as("df"))
           .filter(col("df") <= lit(nDocs / 10.0))
+        bigrams.join(keep, "term")
+          .groupBy("term")
+          .agg(first(col("df")).as("df"),
+               array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 5), ",").as("postings"))
+          .select(col("term"), col("df"), col("postings"))
           .orderBy("term")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -471,7 +480,11 @@ object TextAnalysis extends QueryModule {
     // and the whole op one shuffle). A doc that crosses a bin boundary
     // belongs to the bin it started in — greedy packing semantics; the
     // padding/truncation decision is the trainer's, the ENGINE's job is
-    // the deterministic bin assignment and fill accounting.
+    // the deterministic bin assignment and fill accounting. The bucket
+    // count is the parallelism dial: 32 fits the gate corpus; at
+    // cluster scale set it ~ executor-core count (bins are independent
+    // across buckets, so more buckets = more parallel timelines, at no
+    // cost to packing quality).
     QueryDef(
       "t_sequence_pack",
       (s, dir) => {
