@@ -106,6 +106,42 @@ object EventsStreaming {
       .trigger(trigger)
       .start()
 
+  /** Idempotent micro-batch upsert: replace exactly the day partitions
+    * this batch touches (dynamic partition overwrite), leave every
+    * other partition alone. Because the windowed aggregate is a pure
+    * function of the events in a day, REPLAYING a batch — checkpoint
+    * loss, speculative retry, manual backfill — rewrites the same
+    * partitions with the same bytes instead of appending duplicates.
+    * This is the exactly-once sink contract on plain parquet, no
+    * transactional table format required; the unit of atomicity is the
+    * partition, which is why the partition key must be a function of
+    * the DATA (window date), never of the batch id.
+    */
+  def overwriteDayPartitions(batch: DataFrame, outPath: String): Unit =
+    batch.withColumn("day", to_date(col("window_start")))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(outPath)
+
+  /** Append-mode windowed aggregation through the idempotent
+    * partition-overwrite sink — the restart-safe variant of
+    * `windowedAggToFiles` (which appends, and so duplicates finalized
+    * windows if the stream is ever replayed from scratch).
+    */
+  def windowedAggIdempotent(events: DataFrame, outPath: String, checkpoint: String,
+                            trigger: Trigger = Trigger.AvailableNow()) =
+    windowedAgg(events)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        overwriteDayPartitions(batch, outPath)
+      }
+      .trigger(trigger)
+      .start()
+
   private def cents(v: Double): Long =
     (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
 

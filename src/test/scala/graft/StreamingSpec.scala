@@ -182,6 +182,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
   }
 
+  test("idempotent sink: full replay with a fresh checkpoint leaves the table identical") {
+    // worst case after checkpoint loss: the WHOLE stream reprocesses.
+    // With the append sink that doubles every row; with dynamic
+    // partition overwrite each day partition is rewritten in place.
+    val tmp = java.nio.file.Files.createTempDirectory("win_idem").toString
+    def runOnce(ckpt: String): Unit = {
+      val q = EventsStreaming.windowedAggIdempotent(
+        EventsStreaming.readEventStream(spark, sfDir), s"$tmp/out", s"$tmp/$ckpt")
+      q.awaitTermination(300000)
+      q.stop()
+    }
+    runOnce("ckpt1")
+    val first = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.toString).sorted.toSeq
+    runOnce("ckpt2") // fresh checkpoint = full replay
+    val second = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty)
+    assert(second === first)
+  }
+
+  test("overwriteDayPartitions replaces touched partitions and keeps the rest") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("day_parts").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def frame(rows: (java.sql.Timestamp, String, Long, Double)*) =
+      rows.toDF("window_start", "event_type", "n_events", "total_value")
+    EventsStreaming.overwriteDayPartitions(
+      frame((t("2024-01-01 10:00:00"), "click", 2L, 3.0),
+            (t("2024-01-02 09:00:00"), "view", 1L, 5.0)), tmp)
+    // replay day 1 with corrected numbers; day 2 untouched
+    EventsStreaming.overwriteDayPartitions(
+      frame((t("2024-01-01 10:00:00"), "click", 4L, 6.0)), tmp)
+    val out = spark.read.parquet(tmp)
+      .select(col("day").cast("string"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(out === Seq(("2024-01-01", 4L), ("2024-01-02", 1L)))
+  }
+
   test("st_windowed_agg end-to-end totals match batch daily totals") {
     val streamTotal = q("st_windowed_agg")(spark, sfDir)
       .agg(sum("n_events")).collect().head.getLong(0)
