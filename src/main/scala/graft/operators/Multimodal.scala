@@ -137,6 +137,66 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, headerSchema)
   }
 
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("header_ok", BooleanType),
+  ))
+
+  /** Audio table whose payloads are REAL canonical WAV headers
+    * synthesized with the declared parameters — the audio twin of
+    * `imageTable`.
+    */
+  def audioTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      (col("doc_id") % 2 + 1).cast("int").as("channels"),
+      element_at(array(lit(8000), lit(16000), lit(44100)),
+        (col("doc_id") % 3 + 1).cast("int")).as("sample_rate"),
+      (col("doc_id") % 48000 + 1000).as("n_samples"))
+    val rdd = base.rdd.map { r =>
+      Row(r.getLong(0),
+          graft.functions.AudioHeaders.syntheticHeader(
+            r.getInt(1), r.getInt(2), bits = 16, nSamples = r.getLong(3)),
+          Row(r.getInt(1), r.getInt(2), r.getLong(3)))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("channels", IntegerType),
+        StructField("sample_rate", IntegerType),
+        StructField("n_samples", LongType)))),
+    ))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL audio metadata decode: parse channels/rate/bits/duration out
+    * of the payload's actual RIFF bytes (functions.AudioHeaders),
+    * batched like the image path; `header_ok` cross-checks the parsed
+    * values against the declared metadata.
+    */
+  def decodeAudioHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.AudioHeaders.parse(r.getAs[Array[Byte]](1)) match {
+          case Some((ch, rate, bits, durMs)) =>
+            val expectMs = meta.getLong(2) * 1000L / meta.getInt(1)
+            Row(r.getLong(0), ch, rate, bits, durMs,
+                ch == meta.getInt(0) && rate == meta.getInt(1) && durMs == expectMs)
+          case None =>
+            Row(r.getLong(0), 0, 0, 0, 0L, false)
+        }
+      }))
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "m_multimodal_meta",
@@ -149,6 +209,13 @@ object Multimodal extends QueryModule {
       "m_image_headers",
       (s, dir) =>
         decodeHeaders(imageTable(Tables(s, dir))).orderBy("doc_id"),
+      None,
+    ),
+    // real audio (WAV/RIFF) header decode — the audio modality's twin
+    QueryDef(
+      "m_audio_headers",
+      (s, dir) =>
+        decodeAudioHeaders(audioTable(Tables(s, dir))).orderBy("doc_id"),
       None,
     ),
   )

@@ -33,4 +33,26 @@ class MultimodalSpec extends SparkSpec {
     val many = Multimodal.extractFeatures(Multimodal.mediaTable(t).repartition(97))
     assert(one.count() == 500 && many.count() == 500)
   }
+
+  test("WAV header round-trips through synthesize → parse") {
+    import graft.functions.AudioHeaders
+    val b = AudioHeaders.syntheticHeader(channels = 2, sampleRate = 44100,
+                                         bits = 16, nSamples = 44100L)
+    assert(AudioHeaders.parse(b) === Some((2, 44100, 16, 1000L)))
+    // corrupt magic and inconsistent byteRate both reject
+    val bad = b.clone(); bad(0) = 'X'.toByte
+    assert(AudioHeaders.parse(bad).isEmpty)
+    val skew = b.clone(); skew(28) = (skew(28) ^ 0x01).toByte
+    assert(AudioHeaders.parse(skew).isEmpty)
+    assert(AudioHeaders.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("m_audio_headers parses every synthesized payload with header_ok") {
+    val df = SparkEntry.queries("m_audio_headers")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getBoolean(5)), "some header_ok=false")
+    // duration must reflect the declared sample count, not a constant
+    assert(rows.map(_.getLong(4)).distinct.length > 100)
+  }
 }
