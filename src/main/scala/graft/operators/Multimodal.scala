@@ -197,6 +197,64 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, audioSchema)
   }
 
+  val videoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("brand", StringType),
+    StructField("timescale", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("header_ok", BooleanType),
+  ))
+
+  /** Video table whose payloads are REAL minimal MP4 box streams
+    * (ftyp + moov/mvhd) with the declared timescale/duration.
+    */
+  def videoTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      element_at(array(lit("isom"), lit("mp42")),
+        (col("doc_id") % 2 + 1).cast("int")).as("brand"),
+      element_at(array(lit(600), lit(1000), lit(90000)),
+        (col("doc_id") % 3 + 1).cast("int")).as("timescale"),
+      (col("doc_id") % 3600 + 1).as("dur_s"))
+    val rdd = base.rdd.map { r =>
+      val ticks = r.getLong(3) * r.getInt(2)
+      Row(r.getLong(0),
+          graft.functions.VideoHeaders.syntheticHeader(r.getString(1), r.getInt(2), ticks),
+          Row(r.getString(1), r.getInt(2), r.getLong(3)))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("brand", StringType),
+        StructField("timescale", IntegerType),
+        StructField("dur_s", LongType)))),
+    ))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL video metadata decode: parse brand/timescale/duration out of
+    * the payload's actual MP4 boxes (functions.VideoHeaders), batched
+    * like the other modalities.
+    */
+  def decodeVideoHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.VideoHeaders.parse(r.getAs[Array[Byte]](1)) match {
+          case Some((brand, ts, durMs)) =>
+            Row(r.getLong(0), brand, ts, durMs,
+                brand == meta.getString(0) && ts == meta.getInt(1) &&
+                  durMs == meta.getLong(2) * 1000L)
+          case None =>
+            Row(r.getLong(0), "unknown", 0, 0L, false)
+        }
+      }))
+    spark.createDataFrame(rdd, videoSchema)
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "m_multimodal_meta",
@@ -216,6 +274,13 @@ object Multimodal extends QueryModule {
       "m_audio_headers",
       (s, dir) =>
         decodeAudioHeaders(audioTable(Tables(s, dir))).orderBy("doc_id"),
+      None,
+    ),
+    // real video (MP4 ftyp/moov/mvhd) header decode — completes the triple
+    QueryDef(
+      "m_video_headers",
+      (s, dir) =>
+        decodeVideoHeaders(videoTable(Tables(s, dir))).orderBy("doc_id"),
       None,
     ),
   )

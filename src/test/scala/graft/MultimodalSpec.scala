@@ -55,4 +55,22 @@ class MultimodalSpec extends SparkSpec {
     // duration must reflect the declared sample count, not a constant
     assert(rows.map(_.getLong(4)).distinct.length > 100)
   }
+
+  test("MP4 header round-trips through synthesize → parse") {
+    import graft.functions.VideoHeaders
+    val b = VideoHeaders.syntheticHeader("isom", timescale = 90000, durationTicks = 90000L * 61)
+    assert(VideoHeaders.parse(b) === Some(("isom", 90000, 61000L)))
+    // 64-bit duration path (mvhd v1) and rejections
+    val bad = b.clone(); bad(4) = 'X'.toByte
+    assert(VideoHeaders.parse(bad).isEmpty)
+    assert(VideoHeaders.parse(b.take(20)).isEmpty) // ftyp but no moov
+    assert(VideoHeaders.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("m_video_headers parses every synthesized payload with header_ok") {
+    val rows = SparkEntry.queries("m_video_headers")(spark, sfDir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getBoolean(4)), "some header_ok=false")
+    assert(rows.map(_.getLong(3)).distinct.length > 100)
+  }
 }
