@@ -30,8 +30,11 @@ object AudioHeaders {
     val bits = le16(b, 34)
     val dataSize = le32(b, 40)
     // internal consistency: byteRate must equal rate*channels*bits/8,
-    // or the header is corrupt/mislabeled
-    if (channels == 0 || sampleRate == 0L || bits == 0 ||
+    // or the header is corrupt/mislabeled. byteRate must ALSO be
+    // nonzero on its own: bits=4, channels=1, rate=1 makes the product
+    // floor to 0, and a 0 byteRate would turn the duration division
+    // into an executor-killing ArithmeticException
+    if (channels == 0 || sampleRate == 0L || bits == 0 || byteRate == 0L ||
         byteRate != sampleRate * channels * bits / 8) return None
     Some((channels, sampleRate.toInt, bits,
           dataSize * 1000L / byteRate))

@@ -566,7 +566,7 @@ object Dedup extends QueryModule {
       "d_bloom_prefilter",
       (s, dir) => {
         val d = Tables(s, dir).documents
-        val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        val fp = graft.functions.TextFp.bagOfWords(col("text"))
         val ref = d.filter(col("doc_id") % 10 < 3).select(fp.as("fp")).distinct()
         val bits = graft.functions.BloomFilter.build(ref, col("fp"), numWords = 2048, k = 5)
         d.filter(col("doc_id") % 10 >= 3)

@@ -151,27 +151,35 @@ object EventAnalytics extends QueryModule {
     // shuffle), then explode each row into the ≤7 report days it
     // contributes to and count distinct per day — shuffle volume is
     // 7 × |daily-distinct|, never event volume, and no corpus-wide
-    // window state. The semi join drops report days past the data's
-    // edge.
+    // window state. Report days span the FULL [min, max] calendar range
+    // (one tiny min/max scan, a literal in the plan): a day with no
+    // events of its own still reports its trailing window, and a day
+    // with no trailing activity at all reports 0 — restricting to
+    // event-bearing days would silently hole the series on sparse data.
     QueryDef(
       "q_rolling_distinct",
       (s, dir) => {
         val e = Tables(s, dir).events
         val du = e.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-        val days = du.select(col("d").as("report_day")).distinct()
-        du.select(explode(expr("sequence(d, date_add(d, 6))")).as("report_day"), col("user_id"))
-          .join(days, "report_day", "left_semi")
+        val days = du.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+          .select(explode(expr("sequence(lo, hi)")).as("report_day"))
+        val counts = du
+          .select(explode(expr("sequence(d, date_add(d, 6))")).as("report_day"), col("user_id"))
           .groupBy("report_day")
           .agg(countDistinct(col("user_id")).as("u7"))
+        days.join(counts, Seq("report_day"), "left")
+          .select(col("report_day"), coalesce(col("u7"), lit(0L)).as("u7"))
           .orderBy("report_day")
       },
       Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
-             |days AS (SELECT DISTINCT d AS report_day FROM du),
+             |days AS (SELECT unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE
+             |  AS report_day FROM du),
              |x AS (SELECT unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS report_day,
-             |  user_id FROM du)
-             |SELECT x.report_day, COUNT(DISTINCT user_id) AS u7
-             |FROM x JOIN days USING (report_day)
-             |GROUP BY 1 ORDER BY 1""".stripMargin),
+             |  user_id FROM du),
+             |c AS (SELECT report_day, COUNT(DISTINCT user_id) AS u7 FROM x GROUP BY 1)
+             |SELECT days.report_day, COALESCE(u7, 0) AS u7
+             |FROM days LEFT JOIN c USING (report_day)
+             |ORDER BY 1""".stripMargin),
     ),
   )
 }

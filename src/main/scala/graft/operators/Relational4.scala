@@ -76,12 +76,15 @@ object Relational4 extends QueryModule {
     // nation in ONE aggregation pass (no self-join back to the group
     // max, no window). The ordering key folds the 2-decimal balance and
     // the unique suppkey into one BIGINT so both engines break balance
-    // ties identically.
+    // ties identically. The suppkey slot is 10^12 (balance cents ≤ 10^6
+    // × 10^12 < 2^63), so the key stays collision-free up to a trillion
+    // suppliers — a narrower slot would let a huge suppkey leak into
+    // the balance ordering and silently crown the wrong supplier.
     QueryDef(
       "q_max_by",
       (s, dir) => {
         val sup = Tables(s, dir).supplier
-        val key = expr("CAST(round(s_acctbal * 100) AS BIGINT) * 1000000 + s_suppkey")
+        val key = expr("CAST(round(s_acctbal * 100) AS BIGINT) * 1000000000000 + s_suppkey")
         sup.groupBy("s_nationkey")
           .agg(max_by(col("s_name"), key).as("richest"),
                round(max(col("s_acctbal")), 2).as("max_bal"),
@@ -90,9 +93,9 @@ object Relational4 extends QueryModule {
           .orderBy("s_nationkey")
       },
       Some("""SELECT s_nationkey,
-             |arg_max(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000 + s_suppkey) AS richest,
+             |arg_max(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000000000 + s_suppkey) AS richest,
              |round(MAX(s_acctbal), 2) AS max_bal,
-             |arg_min(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000 + s_suppkey) AS poorest,
+             |arg_min(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000000000 + s_suppkey) AS poorest,
              |round(MIN(s_acctbal), 2) AS min_bal
              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin),
     ),

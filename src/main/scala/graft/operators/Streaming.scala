@@ -130,7 +130,7 @@ object Streaming extends QueryModule {
       (s, dir) => {
         val name = s"st_guard_${System.nanoTime()}"
         val d = Tables(s, dir).documents
-        val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        val fp = graft.functions.TextFp.bagOfWords(col("text"))
         val hist = d.filter(col("doc_id") % 10 < 3).select(fp.as("fp")).distinct()
         val bits = graft.functions.BloomFilter.build(hist, col("fp"), numWords = 2048, k = 5)
         val stream = graft.streaming.CorpusStreaming.readDocumentStream(s, dir)

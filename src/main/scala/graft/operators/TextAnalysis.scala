@@ -95,7 +95,7 @@ object TextAnalysis extends QueryModule {
       (s, dir) => {
         val d = Tables(s, dir).documents
         d.select(col("doc_id"),
-                 md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+                 graft.functions.TextFp.bagOfWords(col("text")).as("fp"))
           .groupBy("fp")
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
           .orderBy("fp")

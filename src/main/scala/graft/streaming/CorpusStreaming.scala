@@ -69,7 +69,7 @@ object CorpusStreaming {
     * slips through the guard).
     */
   def bloomGuard(docs: DataFrame, bits: Array[Long], k: Int): DataFrame = {
-    val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val fp = graft.functions.TextFp.bagOfWords(col("text"))
     docs.withColumn("fp", fp)
       .filter(!graft.functions.BloomFilter.mightContain(bits, col("fp"), k))
   }

@@ -106,23 +106,26 @@ object EventsStreaming {
       .trigger(trigger)
       .start()
 
-  /** Idempotent micro-batch upsert: replace exactly the day partitions
-    * this batch touches (dynamic partition overwrite), leave every
-    * other partition alone. Because the windowed aggregate is a pure
-    * function of the events in a day, REPLAYING a batch — checkpoint
-    * loss, speculative retry, manual backfill — rewrites the same
-    * partitions with the same bytes instead of appending duplicates.
-    * This is the exactly-once sink contract on plain parquet, no
-    * transactional table format required; the unit of atomicity is the
-    * partition, which is why the partition key must be a function of
-    * the DATA (window date), never of the batch id.
+  /** Idempotent micro-batch upsert: replace exactly the WINDOW
+    * partitions this batch touches (dynamic partition overwrite), leave
+    * every other partition alone. The partition key must satisfy two
+    * constraints at once: (a) be a function of the DATA (never the
+    * batch id) so replays rewrite the same partitions with the same
+    * bytes, and (b) be at least as fine as the append granularity — the
+    * watermark finalizes each (window, type) group exactly once, but
+    * DIFFERENT windows of the same day can finalize in different
+    * micro-batches, so partitioning by day would let a later batch
+    * clobber the day's earlier windows. Partitioning by the window
+    * start itself makes each partition's contents a pure function of
+    * that window's events — the exactly-once sink contract on plain
+    * parquet, no transactional table format required.
     */
-  def overwriteDayPartitions(batch: DataFrame, outPath: String): Unit =
-    batch.withColumn("day", to_date(col("window_start")))
+  def overwriteWindowPartitions(batch: DataFrame, outPath: String): Unit =
+    batch.withColumn("win", date_format(col("window_start"), "yyyy-MM-dd-HH"))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("day")
+      .partitionBy("win")
       .parquet(outPath)
 
   /** Append-mode windowed aggregation through the idempotent
@@ -137,7 +140,7 @@ object EventsStreaming {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        overwriteDayPartitions(batch, outPath)
+        overwriteWindowPartitions(batch, outPath)
       }
       .trigger(trigger)
       .start()

@@ -47,7 +47,7 @@ class BloomFilterSpec extends SparkSpec {
     val result = SparkEntry.queries("d_bloom_prefilter")(spark, sfDir)
       .collect().map(_.getLong(0)).toSeq
     val d = Tables(spark, sfDir).documents
-    val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val fp = graft.functions.TextFp.bagOfWords(col("text"))
     val ref = d.filter(col("doc_id") % 10 < 3).select(fp.as("fp")).distinct()
     val exact = d.filter(col("doc_id") % 10 >= 3)
       .select(col("doc_id"), fp.as("fp"))

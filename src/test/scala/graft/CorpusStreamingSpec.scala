@@ -52,7 +52,7 @@ class CorpusStreamingSpec extends SparkSpec {
       .find(_.name == "st_bloom_guard").get.fn(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
     val d = Tables(spark, sfDir).documents
-    val fp = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+    val fp = graft.functions.TextFp.bagOfWords(col("text"))
     val hist = d.filter(col("doc_id") % 10 < 3).select(fp.as("fp")).distinct()
     val exactNew = d.filter(col("doc_id") % 10 >= 3)
       .select(col("doc_id"), fp.as("fp"))

@@ -29,7 +29,7 @@ class Relational4Spec extends SparkSpec {
   test("q_max_by picks the same suppliers as a window-based recomputation") {
     import org.apache.spark.sql.expressions.Window
     val sup = Tables(spark, sfDir).supplier
-    val key = expr("CAST(round(s_acctbal * 100) AS BIGINT) * 1000000 + s_suppkey")
+    val key = expr("CAST(round(s_acctbal * 100) AS BIGINT) * 1000000000000 + s_suppkey")
     val w = Window.partitionBy("s_nationkey").orderBy(col("k").desc)
     val expectTop = sup.withColumn("k", key)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

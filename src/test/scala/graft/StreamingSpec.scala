@@ -203,22 +203,27 @@ class StreamingSpec extends SparkSpec {
     assert(second === first)
   }
 
-  test("overwriteDayPartitions replaces touched partitions and keeps the rest") {
+  test("overwriteWindowPartitions replaces touched windows and keeps the rest") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("day_parts").toString
+    val tmp = java.nio.file.Files.createTempDirectory("win_parts").toString
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     def frame(rows: (java.sql.Timestamp, String, Long, Double)*) =
       rows.toDF("window_start", "event_type", "n_events", "total_value")
-    EventsStreaming.overwriteDayPartitions(
+    // batch 1 finalizes two windows — one per day
+    EventsStreaming.overwriteWindowPartitions(
       frame((t("2024-01-01 10:00:00"), "click", 2L, 3.0),
             (t("2024-01-02 09:00:00"), "view", 1L, 5.0)), tmp)
-    // replay day 1 with corrected numbers; day 2 untouched
-    EventsStreaming.overwriteDayPartitions(
-      frame((t("2024-01-01 10:00:00"), "click", 4L, 6.0)), tmp)
+    // batch 2 finalizes a LATER window of day 1 (the cross-batch case
+    // that day-level partitioning would clobber) and replays the 10:00
+    // window with corrected numbers
+    EventsStreaming.overwriteWindowPartitions(
+      frame((t("2024-01-01 11:00:00"), "click", 7L, 1.0),
+            (t("2024-01-01 10:00:00"), "click", 4L, 6.0)), tmp)
     val out = spark.read.parquet(tmp)
-      .select(col("day").cast("string"), col("n_events"))
+      .select(col("win"), col("n_events"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
-    assert(out === Seq(("2024-01-01", 4L), ("2024-01-02", 1L)))
+    assert(out === Seq(("2024-01-01-10", 4L), ("2024-01-01-11", 7L),
+                       ("2024-01-02-09", 1L)))
   }
 
   test("st_windowed_agg end-to-end totals match batch daily totals") {
