@@ -79,6 +79,22 @@ object EventAnalytics extends QueryModule {
       .orderBy("cohort_day")
   }
 
+  /** Per-user consecutive-day streak summary (see q_islands). */
+  def islands(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val streaks = du
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+           count(lit(1)).as("n_streaks"),
+           max(col("len")).as("max_streak"))
+      .orderBy("user_id")
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "q_funnel",
@@ -180,6 +196,25 @@ object EventAnalytics extends QueryModule {
              |SELECT days.report_day, COALESCE(u7, 0) AS u7
              |FROM days LEFT JOIN c USING (report_day)
              |ORDER BY 1""".stripMargin),
+    ),
+    // gaps-and-islands: per-user consecutive-day activity streaks via
+    // the classic day − row_number anchor (consecutive days share one
+    // anchor date). The corpus collapses to the (user, day) distinct
+    // relation FIRST, so the window partitions on user_id over ≤31 rows
+    // per user — per-partition state is calendar-bounded no matter how
+    // many events a user has, and one hash partitioning on user_id
+    // carries distinct → window → both groupBys.
+    QueryDef(
+      "q_islands",
+      (s, dir) => islands(Tables(s, dir).events),
+      Some("""WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |r AS (SELECT user_id, day,
+             |  day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+             |  FROM du),
+             |g AS (SELECT user_id, anchor, COUNT(*) AS len FROM r GROUP BY 1, 2)
+             |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+             |COUNT(*) AS n_streaks, MAX(len) AS max_streak
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
   )
 }

@@ -189,6 +189,56 @@ object Relational4 extends QueryModule {
              |ROUND(nation_bal / SUM(nation_bal) OVER (PARTITION BY r_name), 4) AS region_share
              |FROM nb ORDER BY 1, 2""".stripMargin),
     ),
+    // second-moment statistics (variance / stddev / correlation) from
+    // exact decimal power sums: one map-side-combinable aggregation
+    // collects (n, Σx, Σx², Σy, Σy², Σxy) per group — all exact
+    // decimals, so partial-aggregation order can't drift them — and the
+    // moments are derived in a projection whose double arithmetic is
+    // TEXTUALLY identical to the oracle's (same operand order, same
+    // parenthesisation → same IEEE result). This is how var/corr must be
+    // computed at 100 TB anyway: built-in var_samp/corr stream in
+    // arbitrary partition order and aren't bit-reproducible run-to-run.
+    QueryDef(
+      "q_stats_moments",
+      (s, dir) => {
+        val l = Tables(s, dir).lineitem
+        val sums = l.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Money)).cast("double").as("sx"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"))
+            .cast("double").as("sx2"),
+          sum(col("l_extendedprice").cast(Money)).cast("double").as("sy"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+            .cast("double").as("sy2"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
+            .cast("double").as("sxy"))
+        sums.select(
+            col("l_returnflag"), col("n"),
+            expr("round(sx / CAST(n AS DOUBLE), 4)").as("mean_qty"),
+            expr("round((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4)")
+              .as("var_qty"),
+            expr("round(sqrt((sy2 - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 4)")
+              .as("std_price"),
+            expr("""round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                   |sqrt((CAST(n AS DOUBLE) * sx2 - sx * sx) * (CAST(n AS DOUBLE) * sy2 - sy * sy)), 6)"""
+                 .stripMargin).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |round(sx / CAST(n AS DOUBLE), 4) AS mean_qty,
+             |round((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4) AS var_qty,
+             |round(sqrt((sy2 - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 4) AS std_price,
+             |round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+             |sqrt((CAST(n AS DOUBLE) * sx2 - sx * sx) * (CAST(n AS DOUBLE) * sy2 - sy * sy)), 6) AS corr_qty_price
+             |FROM s ORDER BY 1""".stripMargin),
+    ),
     // mergeable-sketch rollup — the warehouse pattern behind "distinct
     // users over an arbitrary date range without rescanning events":
     // per-day HLL sketches materialize once (map-side combinable), any

@@ -135,6 +135,54 @@ object Similarity extends QueryModule {
       },
       None,
     ),
+    // kNN majority-vote classification: predict each query vector's
+    // label from its 10 nearest labeled neighbors — the standard
+    // embedding-quality probe (a label that can't be recovered from
+    // neighbors signals a broken embedding space). Same at-scale shape
+    // as s_cosine_topk: queries broadcast, corpus never shuffles, top-k
+    // rides the bounded-heap partial aggregate; the vote is a tiny
+    // (queries × labels) aggregate with a collision-free max_by key
+    // (votes dominate, label asc breaks exact vote ties identically in
+    // both engines).
+    QueryDef(
+      "s_knn_classify",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir).embeddings
+        val labeled = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val scored = labeled.join(broadcast(queries))
+          .withColumn("cos", expr(cos))
+          .select(col("q_id"), col("vec_id"), col("cos")).as[(Long, Long, Double)]
+        val topk = scored.groupByKey(_._1)
+          .agg(new graft.functions.TopKByScore(10).toColumn)
+          .flatMap { case (q, hits) => hits.map { case (v, _) => (q, v) } }
+          .toDF("q_id", "vec_id")
+        topk.join(labeled.select("vec_id", "label"), "vec_id")
+          .groupBy("q_id", "label")
+          .agg(count(lit(1)).as("votes"))
+          .groupBy("q_id")
+          .agg(max_by(col("label"), expr("votes * 1000 - label")).as("pred_label"),
+               max(col("votes")).as("votes"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, label,
+              |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+              |c AS (SELECT * FROM n WHERE vec_id >= 10),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM n WHERE vec_id < 10),
+              |scored AS (SELECT q_id, c.vec_id, label,
+              |  ROUND(${duckDot("q_vec", "embedding")} / (nrm * q_nrm), 4) AS cos
+              |  FROM c, q),
+              |ranked AS (SELECT *, ROW_NUMBER() OVER
+              |  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM scored),
+              |v AS (SELECT q_id, label, COUNT(*) AS votes FROM ranked
+              |  WHERE rn <= 10 GROUP BY 1, 2)
+              |SELECT q_id, arg_max(label, votes * 1000 - label) AS pred_label,
+              |MAX(votes) AS votes
+              |FROM v GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // embedding hygiene stats per label: L2-norm distribution — the
     // sanity panel a vector pipeline runs before indexing (zero-norm or
     // exploding vectors break cosine). Per-row norm is a sequential
