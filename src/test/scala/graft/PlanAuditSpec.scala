@@ -123,7 +123,7 @@ class PlanAuditSpec extends SparkSpec {
     // equi-condition
     val allowed = Set(
       "s_cosine_topk", "d_embedding_neardup", "d_embedding_neardup_ivf",
-      "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk")
+      "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).filterNot(streamingEntries)
     val offenders = sweepPlans(names).collect {
