@@ -24,18 +24,25 @@ object Bench {
     // JVM+Spark warmup on the smallest SF so steady-state throughput is
     // measured, not first-call codegen/classloading.
     Headline.foreach(n => queries(n)(spark, "/root/testdata/sf0.001").count())
-    // Median of 3 timed passes per query: a single sample on a shared
-    // machine can record a phantom multi-x regression from transient
-    // load; the median is robust to one bad pass.
+    // Median of 3 timed passes per query, passes INTERLEAVED round-robin
+    // (pass 1 of every query, then pass 2, ...): back-to-back passes let
+    // one sustained co-tenant load burst poison every sample of a single
+    // query and survive the median (observed: one LSH variant recording
+    // a phantom 5× while its neighbors measured clean). Interleaving
+    // spreads each query's samples across the whole bench window, so a
+    // burst degrades at most one sample per query.
     val Passes = 3
-    val results = Headline.map { name =>
-      val times = (0 until Passes).map { _ =>
-        val t0 = System.nanoTime()
-        // a failed query must NOT record its (tiny) elapsed-to-failure
-        // time as a plausible sample — report the -1 sentinel instead
+    val samples = Array.fill(Headline.size, Passes)(0.0)
+    for (p <- 0 until Passes; (name, qi) <- Headline.zipWithIndex) {
+      val t0 = System.nanoTime()
+      // a failed query must NOT record its (tiny) elapsed-to-failure
+      // time as a plausible sample — report the -1 sentinel instead
+      samples(qi)(p) =
         try { queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      }.sorted
+    }
+    val results = Headline.zipWithIndex.map { case (name, qi) =>
+      val times = samples(qi).toSeq.sorted
       name -> (if (times.head < 0) -1.0 else times(Passes / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
