@@ -23,6 +23,7 @@ object SparkEntry {
     Streaming,
     Multimodal,
     Scale,
+    Maintenance,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
