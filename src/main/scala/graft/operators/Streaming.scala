@@ -46,6 +46,35 @@ object Streaming extends QueryModule {
       },
       None,
     ),
+    // streaming second-moment stats — ORACLED like st_click_attribution:
+    // power sums (n, Σx, Σx²) are the mergeable form of variance, so the
+    // complete-mode streaming aggregation over AvailableNow equals the
+    // batch aggregation exactly and DuckDB can hash-check it. The same
+    // property is what makes the aggregation restartable mid-stream on a
+    // real feed (partial windows resume from exact state).
+    QueryDef(
+      "st_stats_moments",
+      (s, dir) => {
+        val name = s"st_mom_${System.nanoTime()}"
+        val q = EventsStreaming.windowedMoments(EventsStreaming.readEventStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_stats_moments timed out")
+        s.table(name).orderBy("window_us", "event_type")
+      },
+      Some("""WITH s AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+             |  FROM events GROUP BY 1, 2)
+             |SELECT EPOCH_US(CAST(day AS TIMESTAMP)) AS window_us, event_type, n,
+             |round(sx / CAST(n AS DOUBLE), 4) AS mean_value,
+             |CASE WHEN n > 1
+             |THEN round((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4)
+             |ELSE CAST(NULL AS DOUBLE) END AS var_value
+             |FROM s ORDER BY 1, 2""".stripMargin),
+    ),
     // streaming exact dedup (the d_dedup_exact twin): first copy of each
     // text admitted, later copies dropped while their hash is inside the
     // watermark window. Output is the admitted hash set — deterministic

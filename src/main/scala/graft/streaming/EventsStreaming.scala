@@ -65,6 +65,30 @@ object EventsStreaming {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** Tumbling 1-day windowed second-moment stats per event type. The
+    * state per (window, type) group is the power-sum triple (n, Σx, Σx²)
+    * — exact decimals, so micro-batch arrival order can't drift the
+    * result — and the mean/variance derivation happens in the output
+    * projection. This is why the power-sum formulation (q_stats_moments)
+    * matters for streaming: unlike a finished variance, power sums merge
+    * incrementally, so the same aggregation runs batch or streaming with
+    * identical results (the oracle checks this cross-engine).
+    */
+  def windowedMoments(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sx"),
+           sum(expr("CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))"))
+             .cast("double").as("sx2"))
+      .select(unix_micros(col("window.start")).as("window_us"), col("event_type"),
+              col("n"),
+              expr("round(sx / CAST(n AS DOUBLE), 4)").as("mean_value"),
+              expr("""CASE WHEN n > 1
+                     |THEN round((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4)
+                     |ELSE CAST(NULL AS DOUBLE) END""".stripMargin).as("var_value"))
+
   /** The static event-type weight dimension — stands in for the
     * reference's slowly-changing policy/rate tables. On a cluster this
     * is a small table re-read per micro-batch (or a broadcast refreshed

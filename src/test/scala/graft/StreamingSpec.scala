@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "view", 2L, 12.0)))
   }
 
+  test("windowedMoments merges power sums exactly across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val query = EventsStreaming.windowedMoments(df)
+      .writeStream.format("memory").queryName("mom_test")
+      .outputMode("complete").start()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // click samples 1,2,3,4 split across batches: mean 2.5, var_samp 5/3
+    mem.addData((1L, t("2024-01-01 10:00:00"), "click", 1.0),
+                (2L, t("2024-01-01 11:00:00"), "click", 2.0))
+    query.processAllAvailable()
+    mem.addData((3L, t("2024-01-01 12:00:00"), "click", 3.0),
+                (4L, t("2024-01-01 13:00:00"), "click", 4.0),
+                (5L, t("2024-01-01 14:00:00"), "view", 9.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("mom_test")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+                           if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+    query.stop()
+    assert(rows == Set(
+      ("click", 4L, 2.5, Some(1.6667)),
+      // a single sample has no sample variance — null, not 0 or NaN
+      ("view", 1L, 9.0, None)))
+  }
+
   test("streaming sessionize emits each session exactly once across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
