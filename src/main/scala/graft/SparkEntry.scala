@@ -14,6 +14,7 @@ object SparkEntry {
     Relational2,
     Relational3,
     Relational4,
+    RelationalTpch,
     Windowed,
     TextAnalysis,
     Dedup,

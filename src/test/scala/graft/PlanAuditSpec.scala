@@ -121,9 +121,13 @@ class PlanAuditSpec extends SparkSpec {
     // vector-scoring crossJoins (queries/planes/centroids broadcast
     // against the corpus); anywhere else it means a join lost its
     // equi-condition
+    // ...plus the ONE-ROW scalar-threshold broadcasts (TPC-H Q11/Q20/Q22
+    // shapes): a computed scalar (corpus mean / avg balance) crossJoined
+    // onto the frame it filters — a 1-row broadcast, bounded at any scale
     val allowed = Set(
       "s_cosine_topk", "d_embedding_neardup", "d_embedding_neardup_ivf",
-      "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify")
+      "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify",
+      "q11_important_value", "q20_excess_shippers", "q22_inactive_customers")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).filterNot(streamingEntries)
     val offenders = sweepPlans(names).collect {
