@@ -1,0 +1,115 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for vector search: each embedding splits
+  * into m subvectors; each subspace gets its own ksub-centroid k-means
+  * codebook; a vector is stored as m small codes (here 8 codes of 16 →
+  * 8 bytes against 256 bytes of float32, a 32× compression). Queries
+  * score against codes via ADC (asymmetric distance computation): a
+  * per-query lookup table of query-subvector → centroid distances, so
+  * the corpus is never decoded.
+  *
+  * This is the memory-side complement of the IVF bucket pruning in
+  * [[AnnIndex]] (IVF cuts how many vectors are scored; PQ cuts the
+  * bytes per scored vector) — composing them is the standard IVF-PQ
+  * layout for billion-vector indexes.
+  *
+  * Spark shape: codebooks are tiny (m·ksub rows) and BROADCAST to both
+  * the encode and search joins — the corpus never shuffles to be
+  * encoded. The ADC lookup join is a broadcast hash join on (subspace,
+  * code), and the per-(query, vector) distance assembles with a
+  * map-side-combinable SUM. Top-k rides the same bounded-heap partial
+  * aggregate (TopKByScore) as every other ANN path — never a window
+  * over the scored relation.
+  */
+object PqIndex {
+
+  /** (vec_id, j, sub): the m per-subspace slices of each vector.
+    * `dim` is the full embedding width (must divide evenly by m).
+    */
+  def subvectors(vectors: DataFrame, vecCol: String, dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    vectors.select(
+      col("vec_id"),
+      explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"j -> struct(CAST(j AS INT) AS j, slice($vecCol, j*$sub+1, $sub) AS sub))")).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("sub"))
+  }
+
+  /** Per-subspace k-means codebooks: (j, code, centroid). Deterministic
+    * init from the first ksub vectors by id (same convention as
+    * AnnIndex.kmeans); one distributed job trains ALL m subspaces at
+    * once — the subspace id j is just part of the aggregation key, so
+    * adding subspaces widens the key space, not the pass count.
+    */
+  def codebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val subv = subvectors(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", dim, m)
+    var cb = subv.filter(col("vec_id") < ksub)
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = nearestCode(subv, cb)
+      cb = assigned
+        .join(subv, Seq("vec_id", "j"))
+        .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("i", "x")))
+        .groupBy("j", "code", "i").agg(avg(col("x")).as("m"))
+        .groupBy("j", "code")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).getField("m").as("c"))
+        .select(col("j"), col("code"), expr("transform(c, x -> CAST(x AS FLOAT))").as("centroid"))
+      cb = cb.localCheckpoint() // cut the growing lineage, like AnnIndex.kmeans
+    }
+    cb
+  }
+
+  /** Nearest codebook entry per (vector, subspace) — broadcast join on
+    * the subspace key, native codegen'd sq_distance, argmin via the
+    * min-of-struct trick (code is the deterministic tiebreak).
+    */
+  private def nearestCode(subv: DataFrame, cb: DataFrame): DataFrame =
+    subv.join(broadcast(cb), Seq("j"))
+      .withColumn("d", expr("sq_distance(sub, centroid)"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.code").as("code"))
+
+  /** PQ-encode the corpus: (vec_id, codes array<int> of length m,
+    * ordered by subspace). 8 bytes of payload per vector at
+    * m=8/ksub=16 — this frame IS the index.
+    */
+  def encode(embeddings: DataFrame, cb: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subv = subvectors(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", dim, m)
+    nearestCode(subv, cb)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("code"))))
+        .getField("code").as("codes"))
+  }
+
+  /** ADC top-k: queries (q_id, q_vec) against the ENCODED corpus.
+    * The distance table (q_id, j, code) → partial distance is
+    * nq·m·ksub rows — query-side tiny, broadcast; approximate distance
+    * per (query, vector) is a map-side-combinable SUM of m lookups.
+    */
+  def adcSearch(codes: DataFrame, cb: DataFrame, queries: DataFrame,
+                dim: Int, m: Int, topK: Int): DataFrame = {
+    val qsub = subvectors(queries.select(col("q_id").as("vec_id"), col("q_vec")),
+      "q_vec", dim, m)
+      .select(col("vec_id").as("q_id"), col("j"), col("sub").as("qsub"))
+    val table = qsub.join(cb, Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        expr("sq_distance(qsub, centroid)").as("pd"))
+    val exploded = codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+    val scored = exploded.join(broadcast(table), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum("pd"), 4).as("adist"))
+    // negate: the shared bounded-heap keeps TOP scores; rename back after
+    VectorOps.topKByCosine(
+      scored.select(col("q_id"), col("vec_id"), (-col("adist")).as("cos")), topK)
+      .select(col("q_id"), col("vec_id"), (-col("cos")).as("adist"), col("rn"))
+  }
+}

@@ -135,6 +135,30 @@ object Similarity extends QueryModule {
       },
       None,
     ),
+    // PQ/ADC ANN: the memory-compression path — corpus stored as 16
+    // 4-bit codes (8 bytes packed, 32× under float32), queries score
+    // via an asymmetric-distance lookup table without ever decoding
+    // the corpus. Complements IVF (which prunes vectors scored) —
+    // composed they are the standard IVF-PQ billion-vector layout.
+    // m=16 subspaces of 4 dims beats 8×8 on recall at the SAME packed
+    // payload (measured 0.45 vs 0.26 here): finer subspaces quantize
+    // structureless dims with less error. Rows-only (kmeans codebooks
+    // have no DuckDB twin); PqIndexSpec pins code ranges, determinism,
+    // and recall vs exact L2.
+    QueryDef(
+      "s_pq_topk",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val queries = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cb = graft.api.PqIndex.codebooks(corpus, dim = 64, m = 16, ksub = 16, iters = 3)
+        val codes = graft.api.PqIndex.encode(corpus, cb, dim = 64, m = 16)
+        graft.api.PqIndex.adcSearch(codes, cb, queries, dim = 64, m = 16, topK = 5)
+          .orderBy("q_id", "rn")
+      },
+      None,
+    ),
     // kNN majority-vote classification: predict each query vector's
     // label from its 10 nearest labeled neighbors — the standard
     // embedding-quality probe (a label that can't be recovered from

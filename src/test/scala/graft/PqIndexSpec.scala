@@ -1,0 +1,83 @@
+package graft
+
+import graft.api.PqIndex
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+
+  private val (dim, m, ksub) = (64, 16, 16)
+
+  private lazy val corpus =
+    Tables(spark, sfDir).embeddings.select(col("vec_id"), col("embedding")).cache()
+  private lazy val cb = PqIndex.codebooks(corpus, dim, m, ksub, iters = 3).cache()
+  private lazy val codes = PqIndex.encode(corpus, cb, dim, m).cache()
+
+  test("codebooks: one per subspace, centroids of subvector width, codes in range") {
+    val rows = cb.collect()
+    // empty clusters may die during Lloyd iterations but every subspace
+    // must keep at least 2 live codes, and never more than ksub
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until m).toSet)
+    assert(bySub.values.forall(g => g.length >= 2 && g.length <= ksub))
+    assert(rows.forall(_.getSeq[Float](2).length == dim / m))
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < ksub))
+  }
+
+  test("encode: every vector gets exactly m in-range codes; 32x smaller than float32") {
+    val rows = codes.collect()
+    assert(rows.length == corpus.count())
+    assert(rows.forall(_.getSeq[Int](1).length == m))
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < ksub)))
+    // the compression claim the operator exists for: m codes of
+    // log2(ksub) bits pack 32x under dim float32s
+    val packedBits = m * (math.log(ksub) / math.log(2))
+    assert(packedBits * 32 <= dim * 32.0, "packed codes must be >= 32x under float32")
+  }
+
+  test("encode is deterministic across runs") {
+    val again = PqIndex.encode(corpus, cb, dim, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val first = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(again == first)
+  }
+
+  test("adc search recall vs exact L2 top-k clears the PQ floor") {
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val topK = 10
+    val pq = PqIndex.adcSearch(codes, cb, queries, dim, m, topK)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d", expr("sq_distance(embedding, q_vec)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(asc("d"), asc("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == 10 * topK)
+    val recall = (pq & brute).size.toDouble / brute.size
+    // random 64-dim embeddings are PQ's worst case (no subspace
+    // structure to exploit); the floor proves ADC ranks far above
+    // chance (random top-10 of 500 would land ~0.02)
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("adc distances approximate true squared L2 (relative error bounded)") {
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val approx = PqIndex.adcSearch(codes, cb, queries, dim, m, topK = 5)
+      .join(corpus, "vec_id")
+      .join(queries, "q_id")
+      .withColumn("true_d", expr("sq_distance(embedding, q_vec)"))
+      .select("adist", "true_d").collect()
+    // quantization error shifts distances but must stay the same order
+    // of magnitude — mean |adist - true_d| / true_d bounded
+    val relErrs = approx.map(r => math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(1))
+    assert(relErrs.nonEmpty)
+    assert(relErrs.sum / relErrs.length <= 0.5,
+      s"mean rel err ${relErrs.sum / relErrs.length}")
+  }
+}
