@@ -89,6 +89,41 @@ object PqIndex {
         .getField("code").as("codes"))
   }
 
+  /** IVF-PQ: the composed billion-vector layout — IVF centroids prune
+    * WHICH vectors are scored (nprobe buckets per query), PQ codes cut
+    * the BYTES per scored vector, ADC scores without decoding. The
+    * coarse assignment and the code join both ride broadcast hash
+    * joins; the corpus shuffles only once, to co-locate (cluster,
+    * codes) — the layout a real index would already be stored in.
+    */
+  def ivfpqSearch(corpus: DataFrame, centroids: DataFrame, cb: DataFrame,
+                  queries: DataFrame, dim: Int, m: Int,
+                  nprobe: Int, topK: Int): DataFrame = {
+    val assigned = AnnIndex.assign(corpus, centroids)
+    val coded = encode(corpus, cb, dim, m).join(assigned, "vec_id")
+    val qProbes = queries.crossJoin(broadcast(centroids))
+      .withColumn("d", expr("sq_distance(q_vec, centroid)"))
+      .groupBy("q_id")
+      .agg(slice(array_sort(collect_list(struct(col("d"), col("cluster")))), 1, nprobe)
+        .as("top"))
+      .select(col("q_id"), explode(col("top.cluster")).as("cluster"))
+    val qtable = subvectors(queries.select(col("q_id").as("vec_id"), col("q_vec")),
+      "q_vec", dim, m)
+      .select(col("vec_id").as("q_id"), col("j"), col("sub").as("qsub"))
+      .join(cb, Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        expr("sq_distance(qsub, centroid)").as("pd"))
+    val scored = coded.join(broadcast(qProbes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qtable), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum("pd"), 4).as("adist"))
+    VectorOps.topKByCosine(
+      scored.select(col("q_id"), col("vec_id"), (-col("adist")).as("cos")), topK)
+      .select(col("q_id"), col("vec_id"), (-col("cos")).as("adist"), col("rn"))
+  }
+
   /** ADC top-k: queries (q_id, q_vec) against the ENCODED corpus.
     * The distance table (q_id, j, code) → partial distance is
     * nq·m·ksub rows — query-side tiny, broadcast; approximate distance

@@ -159,6 +159,25 @@ object Similarity extends QueryModule {
       },
       None,
     ),
+    // IVF-PQ composed: coarse centroids prune WHICH vectors are scored,
+    // PQ codes cut the BYTES per scored vector — the standard
+    // billion-vector index layout, here as one DataFrame pipeline.
+    // Rows-only; PqIndexSpec pins the composed recall floor.
+    QueryDef(
+      "s_ivfpq_topk",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val queries = corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val centroids = graft.api.AnnIndex.kmeans(corpus, k = 8, iters = 3)
+        val cb = graft.api.PqIndex.codebooks(corpus, dim = 64, m = 16, ksub = 16, iters = 3)
+        graft.api.PqIndex.ivfpqSearch(corpus, centroids, cb, queries,
+          dim = 64, m = 16, nprobe = 3, topK = 5)
+          .orderBy("q_id", "rn")
+      },
+      None,
+    ),
     // kNN majority-vote classification: predict each query vector's
     // label from its 10 nearest labeled neighbors — the standard
     // embedding-quality probe (a label that can't be recovered from

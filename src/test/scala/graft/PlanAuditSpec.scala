@@ -127,6 +127,7 @@ class PlanAuditSpec extends SparkSpec {
     val allowed = Set(
       "s_cosine_topk", "d_embedding_neardup", "d_embedding_neardup_ivf",
       "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify",
+      "s_pq_topk", "s_ivfpq_topk",
       "q11_important_value", "q20_excess_shippers", "q22_inactive_customers")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).filterNot(streamingEntries)
