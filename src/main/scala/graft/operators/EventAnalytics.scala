@@ -204,6 +204,45 @@ object EventAnalytics extends QueryModule {
     // per user — per-partition state is calendar-bounded no matter how
     // many events a user has, and one hash partitioning on user_id
     // carries distinct → window → both groupBys.
+    // robust outlier detection per event type: median + MAD (median
+    // absolute deviation), flag |v − med| > 3·1.4826·MAD — the robust
+    // z-score that a mean/stddev rule gets wrong under the very
+    // outliers it hunts. Two passes over events by construction (MAD
+    // needs the median first); both tiny per-type quantile frames
+    // broadcast back, so the event relation itself never shuffles —
+    // at 100 TB the groupBy-percentile would swap to an approx sketch
+    // cutoff, same shape.
+    QueryDef(
+      "q_mad_outliers",
+      (s, dir) => {
+        val e = Tables(s, dir).events.select(col("event_type"), col("value"))
+        val med = e.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = e.join(broadcast(med), Seq("event_type"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("adev") > lit(3.0) * (lit(1.4826) * col("mad")), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            round(max(col("med")), 4).as("med"),
+            round(max(col("mad")), 4).as("mad"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) med
+             |  FROM events GROUP BY 1),
+             |dev AS (SELECT e.event_type, value, med, ABS(value - med) adev
+             |  FROM events e JOIN med USING (event_type)),
+             |mad AS (SELECT event_type, QUANTILE_CONT(adev, 0.5) mad FROM dev GROUP BY 1)
+             |SELECT d.event_type, COUNT(*) AS n,
+             |CAST(SUM(CASE WHEN adev > 3.0*(1.4826*mad) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |ROUND(MAX(med),4) AS med, ROUND(MAX(d.mad),4) AS mad
+             |FROM (SELECT dev.*, mad.mad FROM dev JOIN mad USING (event_type)) d
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     QueryDef(
       "q_islands",
       (s, dir) => islands(Tables(s, dir).events),
