@@ -379,6 +379,22 @@ object Dedup extends QueryModule {
   }
 
   override def entries: Seq[QueryDef] = Seq(
+    // the one-call corpus preparation composite (api.TrainingData):
+    // hygiene → exact dedup → LSH near-dup dedup → quality floor →
+    // hash split → packing plan, surfaced here as its per-stage row
+    // accounting so the driver gate watches the whole pipeline run.
+    // Rows-only (LSH has no DuckDB twin); TrainingDataSpec pins stage
+    // monotonicity, duplicate-free output, split determinism, and the
+    // bin token budget.
+    QueryDef(
+      "d_training_prepare",
+      (s, dir) => {
+        import s.implicits._
+        graft.api.TrainingData.prepare(Tables(s, dir).documents)
+          .stages.toDF("stage", "rows")
+      },
+      None,
+    ),
     QueryDef(
       "d_dedup_exact",
       (s, dir) => {

@@ -21,7 +21,7 @@ object TextAnalysis extends QueryModule {
     * length-capped token share + stopword ratio + alpha density, rounded
     * to 4dp so both engines compare identical doubles.
     */
-  private def qualityCol = round(
+  private[graft] def qualityCol = round(
     least(lit(1.0), expr("CAST(size(split(text, ' ')) AS BIGINT)").cast("double") / 200.0) * 0.5 +
       expr(s"CAST(size(filter(split(text, ' '), w -> w IN $Stop)) AS BIGINT)").cast("double") /
         expr("CAST(size(split(text, ' ')) AS BIGINT)") * 0.2 +
