@@ -69,9 +69,9 @@ object Streaming extends QueryModule {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
              |  FROM events GROUP BY 1, 2)
              |SELECT EPOCH_US(CAST(day AS TIMESTAMP)) AS window_us, event_type, n,
-             |round(sx / CAST(n AS DOUBLE), 4) AS mean_value,
+             |sx / CAST(n AS DOUBLE) AS mean_value,
              |CASE WHEN n > 1
-             |THEN round((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4)
+             |THEN (sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
              |ELSE CAST(NULL AS DOUBLE) END AS var_value
              |FROM s ORDER BY 1, 2""".stripMargin),
     ),

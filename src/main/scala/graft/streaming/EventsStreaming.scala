@@ -82,11 +82,16 @@ object EventsStreaming {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sx"),
            sum(expr("CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))"))
              .cast("double").as("sx2"))
+      // NO round on the derived moments: the division chains are IEEE
+      // ops on identical inputs, so the raw doubles are bit-identical in
+      // both engines — but round()-at-4dp is NOT (Spark rounds the exact
+      // binary expansion, DuckDB the scaled value; they disagree exactly
+      // at display-tie boundaries like x.xxxx5, observed at sf0.001)
       .select(unix_micros(col("window.start")).as("window_us"), col("event_type"),
               col("n"),
-              expr("round(sx / CAST(n AS DOUBLE), 4)").as("mean_value"),
+              expr("sx / CAST(n AS DOUBLE)").as("mean_value"),
               expr("""CASE WHEN n > 1
-                     |THEN round((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4)
+                     |THEN (sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
                      |ELSE CAST(NULL AS DOUBLE) END""".stripMargin).as("var_value"))
 
   /** The static event-type weight dimension — stands in for the

@@ -89,7 +89,9 @@ class StreamingSpec extends SparkSpec {
                            if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
     query.stop()
     assert(rows == Set(
-      ("click", 4L, 2.5, Some(1.6667)),
+      // unrounded moments (rounding a derived double is engine-divergent
+      // at display-tie boundaries): var = (sx2 - sx²/n)/(n-1) bit-exact
+      ("click", 4L, 2.5, Some((30.0 - 10.0 * 10.0 / 4.0) / 3.0)),
       // a single sample has no sample variance — null, not 0 or NaN
       ("view", 1L, 9.0, None)))
   }
