@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) for vector search: each embedding splits
   * into m subvectors; each subspace gets its own ksub-centroid k-means
-  * codebook; a vector is stored as m small codes (here 8 codes of 16 →
-  * 8 bytes against 256 bytes of float32, a 32× compression). Queries
-  * score against codes via ADC (asymmetric distance computation): a
-  * per-query lookup table of query-subvector → centroid distances, so
-  * the corpus is never decoded.
+  * codebook; a vector is stored as m small codes (the call sites use
+  * m=16, ksub=16: 16 4-bit codes, which [[packCodes]] packs into 8
+  * literal bytes against 256 bytes of float32 — 32× compression).
+  * Queries score against codes via ADC (asymmetric distance
+  * computation): a per-query lookup table of query-subvector → centroid
+  * distances, so the corpus is never decoded.
   *
   * This is the memory-side complement of the IVF bucket pruning in
   * [[AnnIndex]] (IVF cuts how many vectors are scored; PQ cuts the
@@ -77,8 +78,9 @@ object PqIndex {
       .select(col("vec_id"), col("j"), col("best.code").as("code"))
 
   /** PQ-encode the corpus: (vec_id, codes array<int> of length m,
-    * ordered by subspace). 8 bytes of payload per vector at
-    * m=8/ksub=16 — this frame IS the index.
+    * ordered by subspace). The working representation for ADC joins;
+    * [[packCodes]] is the stored-index form that realizes the byte
+    * claim.
     */
   def encode(embeddings: DataFrame, cb: DataFrame, dim: Int, m: Int): DataFrame = {
     val subv = subvectors(embeddings.select(col("vec_id"), col("embedding")),
@@ -87,6 +89,19 @@ object PqIndex {
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("j"), col("code"))))
         .getField("code").as("codes"))
+  }
+
+  /** The STORED index layout: codes bit-packed into a binary column —
+    * one hex nibble per code at ksub ≤ 16 (m/2 literal bytes per
+    * vector; m=16 → 8 bytes, 32× under 64 float32s). Pure codegen'd
+    * string/bit ops, no UDF.
+    */
+  def packCodes(codes: DataFrame, ksub: Int): DataFrame = {
+    require(ksub <= 16, s"nibble packing needs ksub <= 16, got $ksub")
+    codes.select(col("vec_id"),
+      unhex(concat_ws("",
+        expr("transform(codes, c -> substring('0123456789abcdef', c + 1, 1))")))
+        .as("packed"))
   }
 
   /** IVF-PQ: the composed billion-vector layout — IVF centroids prune

@@ -207,11 +207,13 @@ object EventAnalytics extends QueryModule {
     // robust outlier detection per event type: median + MAD (median
     // absolute deviation), flag |v − med| > 3·1.4826·MAD — the robust
     // z-score that a mean/stddev rule gets wrong under the very
-    // outliers it hunts. Two passes over events by construction (MAD
-    // needs the median first); both tiny per-type quantile frames
-    // broadcast back, so the event relation itself never shuffles —
-    // at 100 TB the groupBy-percentile would swap to an approx sketch
-    // cutoff, same shape.
+    // outliers it hunts. MAD is two SEQUENTIAL order statistics, so the
+    // event relation is scanned twice (median, then deviations); the
+    // slim (type, value, med, adev) deviation frame is persisted so the
+    // final flag pass reads the cache instead of a third scan. Both
+    // per-type quantile frames broadcast back — events itself never
+    // shuffles. At 100 TB the groupBy-percentile swaps to an approx
+    // sketch cutoff, same shape.
     QueryDef(
       "q_mad_outliers",
       (s, dir) => {
@@ -220,9 +222,10 @@ object EventAnalytics extends QueryModule {
           .agg(expr("percentile(value, 0.5)").as("med"))
         val dev = e.join(broadcast(med), Seq("event_type"))
           .withColumn("adev", abs(col("value") - col("med")))
+          .persist()
         val mad = dev.groupBy("event_type")
           .agg(expr("percentile(adev, 0.5)").as("mad"))
-        dev.join(broadcast(mad), Seq("event_type"))
+        val out = dev.join(broadcast(mad), Seq("event_type"))
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n"),
@@ -231,6 +234,7 @@ object EventAnalytics extends QueryModule {
             round(max(col("med")), 4).as("med"),
             round(max(col("mad")), 4).as("mad"))
           .orderBy("event_type")
+        Materialize(out, dev)
       },
       Some("""WITH med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) med
              |  FROM events GROUP BY 1),

@@ -91,6 +91,14 @@ class PlanAuditSpec extends SparkSpec {
   // the whole stream — exclude from the registry-wide sweeps
   private val streamingEntries = Set("st_windowed_agg", "st_sessionize", "st_report_intake")
 
+  // composite-pipeline entries whose registry frame is driver-local
+  // stage ACCOUNTING (LocalTableScan) — building one executes the whole
+  // eager pipeline (counts + percentile pulls) while offering nothing
+  // for a plan sweep to audit; their constituent stages (Corpus.clean,
+  // minhashLsh64, DedupPipeline, quality filter, sequence pack) are all
+  // swept through their own registry entries
+  private val eagerComposites = Set("d_training_prepare")
+
   /** Registry plans with pipeline materialization DISABLED — entries
     * that localCheckpoint (dedup/ANN pipelines) otherwise truncate to a
     * scan of the checkpoint and the sweep would be vacuous for exactly
@@ -109,7 +117,8 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-bounded scoring crossJoins compile to
     // BroadcastNestedLoopJoin; a raw CartesianProduct anywhere means an
     // unhinted cross join slipped in — fail the build, name the query
-    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(streamingEntries)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(streamingEntries).filterNot(eagerComposites)
     val offenders = sweepPlans(names).collect {
       case (name, p) if p.contains("CartesianProduct") => name
     }
@@ -123,14 +132,16 @@ class PlanAuditSpec extends SparkSpec {
     // equi-condition
     // ...plus the ONE-ROW scalar-threshold broadcasts (TPC-H Q11/Q20/Q22
     // shapes): a computed scalar (corpus mean / avg balance) crossJoined
-    // onto the frame it filters — a 1-row broadcast, bounded at any scale
+    // onto the frame it filters — a 1-row broadcast, bounded at any scale.
+    // NOT allowed: s_pq_topk — the whole PQ path is broadcast EQUI joins
+    // on (j, code); if it ever plans a nested loop, a join lost its keys.
     val allowed = Set(
       "s_cosine_topk", "d_embedding_neardup", "d_embedding_neardup_ivf",
       "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify",
-      "s_pq_topk", "s_ivfpq_topk",
+      "s_ivfpq_topk",
       "q11_important_value", "q20_excess_shippers", "q22_inactive_customers")
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(allowed).filterNot(streamingEntries)
+      .filterNot(allowed).filterNot(streamingEntries).filterNot(eagerComposites)
     val offenders = sweepPlans(names).collect {
       case (name, p) if p.contains("BroadcastNestedLoopJoin") => name
     }

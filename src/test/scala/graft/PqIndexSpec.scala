@@ -23,15 +23,27 @@ class PqIndexSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < ksub))
   }
 
-  test("encode: every vector gets exactly m in-range codes; 32x smaller than float32") {
+  test("encode: every vector gets exactly m in-range codes") {
     val rows = codes.collect()
     assert(rows.length == corpus.count())
     assert(rows.forall(_.getSeq[Int](1).length == m))
     assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < ksub)))
-    // the compression claim the operator exists for: m codes of
-    // log2(ksub) bits pack 32x under dim float32s
-    val packedBits = m * (math.log(ksub) / math.log(2))
-    assert(packedBits * 32 <= dim * 32.0, "packed codes must be >= 32x under float32")
+  }
+
+  test("packCodes realizes the 32x compression as actual bytes, losslessly") {
+    val packed = PqIndex.packCodes(codes, ksub).collect()
+    // the REAL data property, not constants arithmetic: every stored
+    // vector is m/2 literal bytes vs dim*4 bytes of float32 (= 32x)
+    assert(packed.length == corpus.count())
+    assert(packed.forall(_.getAs[Array[Byte]]("packed").length == m / 2))
+    assert((m / 2) * 32 <= dim * 4)
+    // lossless: unpacking the nibbles reproduces the codes exactly
+    val byId = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    packed.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("packed")
+      val nibbles = bytes.flatMap(b => Seq((b >> 4) & 0xf, b & 0xf)).toSeq
+      assert(nibbles == byId(r.getLong(0)), s"vec ${r.getLong(0)}")
+    }
   }
 
   test("encode is deterministic across runs") {

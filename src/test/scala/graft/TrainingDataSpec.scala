@@ -28,12 +28,16 @@ class TrainingDataSpec extends SparkSpec {
   }
 
   test("near-duplicate representatives: no surviving LSH pair has both sides kept") {
+    // assert against the SAME pair set prepare() acted on — re-running
+    // LSH on the deduped corpus could surface pairs the oversized-bucket
+    // cap suppressed in the original corpus (shrunken buckets fall back
+    // under the cap), which prepare() by design never saw
     val ids = prepared.corpus.select("doc_id")
-    val pairs = graft.operators.Dedup.minhashLsh64(
-      prepared.corpus.select(col("doc_id"), col("text")))
-    assert(pairs.join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+    assert(prepared.pairs
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
       .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
       .isEmpty)
+    assert(prepared.pairs.count() > 0, "testdata must exercise the dedup stage")
   }
 
   test("quality floor holds: kept minimum >= the requested corpus quantile") {
