@@ -148,6 +148,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"nested-loop join in: ${offenders.mkString(", ")}")
   }
 
+  test("q6 is a pure pushed-down scan+agg: no join, filters reach parquet") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_discount") && p.contains("l_quantity"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q19 scores through a broadcast part join, never a window") {
+    val p = plan("q19_disjunctive_rev")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q18/q21 collapse their EXISTS/HAVING semantics into aggregates, not windows") {
+    assert(!plan("q18_large_volume").contains("Window"))
+    assert(!plan("q21_waiting_supplier").contains("Window"))
+  }
+
+  test("q13 keeps zero-order customers through a real outer join") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter"), p)
+  }
+
+  test("q10's top-20 is TakeOrderedAndProject, not a global sort") {
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
+  }
+
   test("rank-filter top-N uses WindowGroupLimit (bounded per-partition state)") {
     val p = plan("q_window_topn_per_group")
     assert(p.contains("WindowGroupLimit"), p)
