@@ -258,5 +258,49 @@ object Relational4 extends QueryModule {
       },
       None,
     ),
+    // mergeable QUANTILE rollup — the quantile twin of q_hll_rollup:
+    // per-day fixed-grid histograms (4096 bins over the declared
+    // [0, 1024) metric domain, bin width 0.25) merge to any-range
+    // quantiles by LOSSLESS vector addition — no rescan, no
+    // re-sketching, deterministic (unlike KLL/t-digest there is no
+    // randomness and no merge-order dependence), and estimate error is
+    // bounded by the bin width in value space. The cumulative window
+    // runs over the ≤4096-row merged histogram — sketch-sized, never
+    // the event relation; the day-level sketch table is what a real
+    // deployment materializes. Fully SQL-expressible → hash-oracled.
+    QueryDef(
+      "q_quantile_sketch_rollup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 4096
+        val e = Tables(s, dir).events
+        val sk = e.select(to_date(col("ts")).as("day"),
+          least(greatest(floor(col("value") / 1024.0 * B), lit(0.0)),
+            lit((B - 1).toDouble)).cast("int").as("bin"))
+          .groupBy("day", "bin").agg(count(lit(1)).as("c"))
+        val merged = sk.groupBy("bin").agg(sum("c").as("c"))
+        val cum = merged
+          .withColumn("cum", sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("c").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        def est(p: Double) =
+          ((min(when(col("cum").cast("double") >= lit(p) * col("n").cast("double"),
+            col("bin"))) + 1).cast("double") * lit(0.25))
+        cum.agg(est(0.5).as("q50_est"), est(0.9).as("q90_est"),
+          est(0.99).as("q99_est"), max(col("n")).as("n"))
+      },
+      Some("""WITH sk AS (SELECT CAST(ts AS DATE) AS day,
+             |  CAST(LEAST(GREATEST(FLOOR(value / 1024.0 * 4096), 0), 4095) AS INT) AS bin,
+             |  COUNT(*) AS c FROM events GROUP BY 1, 2),
+             |m AS (SELECT bin, SUM(c) AS c FROM sk GROUP BY 1),
+             |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum, SUM(c) OVER () AS n FROM m)
+             |SELECT
+             |CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5*CAST(n AS DOUBLE) THEN bin END) + 1 AS DOUBLE)*0.25 AS q50_est,
+             |CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9*CAST(n AS DOUBLE) THEN bin END) + 1 AS DOUBLE)*0.25 AS q90_est,
+             |CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.99*CAST(n AS DOUBLE) THEN bin END) + 1 AS DOUBLE)*0.25 AS q99_est,
+             |MAX(n) AS n
+             |FROM cum""".stripMargin),
+    ),
   )
 }

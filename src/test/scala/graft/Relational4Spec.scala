@@ -26,6 +26,24 @@ class Relational4Spec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact <= 0.05, s"$est vs $exact")
   }
 
+  test("q_quantile_sketch_rollup estimates land within one bin width of exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("q_quantile_sketch_rollup")(spark, sfDir)
+      .collect().head
+    val exact = Tables(spark, sfDir).events.agg(
+      expr("percentile(value, 0.5)"), expr("percentile(value, 0.9)"),
+      expr("percentile(value, 0.99)")).collect().head
+    // the estimate is the upper edge of the crossing bin; the exact
+    // interpolated quantile lies in (or at the edge of) that bin —
+    // error bounded by the 0.25 bin width (plus the interpolation
+    // epsilon at the boundary)
+    Seq(0, 1, 2).foreach { i =>
+      val err = math.abs(row.getDouble(i) - exact.getDouble(i))
+      assert(err <= 0.5, s"probe $i: est=${row.getDouble(i)} exact=${exact.getDouble(i)}")
+    }
+    assert(row.getLong(3) == Tables(spark, sfDir).events.count())
+  }
+
   test("q_max_by picks the same suppliers as a window-based recomputation") {
     import org.apache.spark.sql.expressions.Window
     val sup = Tables(spark, sfDir).supplier
