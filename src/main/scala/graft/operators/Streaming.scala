@@ -75,6 +75,49 @@ object Streaming extends QueryModule {
              |ELSE CAST(NULL AS DOUBLE) END AS var_value
              |FROM s ORDER BY 1, 2""".stripMargin),
     ),
+    // streaming-maintained quantile sketch (the st twin of
+    // q_quantile_sketch_rollup): the stream maintains per-day histogram
+    // bin counts — one count per (window, bin) of state, trivially
+    // mergeable, order-insensitive — and quantiles derive from the
+    // sketch-sized sink afterwards, exactly as they would against the
+    // materialized sketch table on a cluster. ORACLED: AvailableNow
+    // complete-mode counts ≡ the batch histogram, so DuckDB checks the
+    // whole path end to end.
+    QueryDef(
+      "st_quantile_sketch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val name = s"st_qsk_${System.nanoTime()}"
+        val q = EventsStreaming.windowedHistogram(EventsStreaming.readEventStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_quantile_sketch timed out")
+        val cum = s.table(name)
+          .withColumn("cum", sum("c").over(
+            Window.partitionBy("window_us").orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("c").over(Window.partitionBy("window_us")))
+        def est(p: Double) =
+          ((min(when(col("cum").cast("double") >= lit(p) * col("n").cast("double"),
+            col("bin"))) + 1).cast("double") * lit(0.25))
+        cum.groupBy("window_us")
+          .agg(est(0.5).as("q50_est"), est(0.9).as("q90_est"), max(col("n")).as("n"))
+          .orderBy("window_us")
+      },
+      Some("""WITH sk AS (SELECT EPOCH_US(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS window_us,
+             |  CAST(LEAST(GREATEST(FLOOR(value / 1024.0 * 4096), 0), 4095) AS INT) AS bin,
+             |  COUNT(*) AS c FROM events GROUP BY 1, 2),
+             |cum AS (SELECT window_us, bin,
+             |  SUM(c) OVER (PARTITION BY window_us ORDER BY bin) AS cum,
+             |  SUM(c) OVER (PARTITION BY window_us) AS n FROM sk)
+             |SELECT window_us,
+             |CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5*CAST(n AS DOUBLE) THEN bin END) + 1 AS DOUBLE)*0.25 AS q50_est,
+             |CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9*CAST(n AS DOUBLE) THEN bin END) + 1 AS DOUBLE)*0.25 AS q90_est,
+             |MAX(n) AS n
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // streaming exact dedup (the d_dedup_exact twin): first copy of each
     // text admitted, later copies dropped while their hash is inside the
     // watermark window. Output is the admitted hash set — deterministic

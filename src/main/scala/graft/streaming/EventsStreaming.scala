@@ -94,6 +94,25 @@ object EventsStreaming {
                      |THEN (sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
                      |ELSE CAST(NULL AS DOUBLE) END""".stripMargin).as("var_value"))
 
+  /** Streaming-maintained quantile sketch: per-day fixed-grid histogram
+    * bin counts (the q_quantile_sketch_rollup sketch table, maintained
+    * incrementally). The state per (window, bin) group is ONE count —
+    * histograms are the trivially-mergeable sketch, so micro-batch
+    * arrival order can't change the result and the sketch is queryable
+    * mid-stream at any time. Quantile DERIVATION stays a tiny batch
+    * read over the sink (≤4096 rows per window), exactly as it would
+    * against the materialized sketch table on a cluster.
+    */
+  def windowedHistogram(events: DataFrame, bins: Int = 4096,
+                        domain: Double = 1024.0): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"),
+        least(greatest(floor(col("value") / domain * bins), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("window.start")).as("window_us"), col("bin"), col("c"))
+
   /** The static event-type weight dimension — stands in for the
     * reference's slowly-changing policy/rate tables. On a cluster this
     * is a small table re-read per micro-batch (or a broadcast refreshed

@@ -96,6 +96,33 @@ class StreamingSpec extends SparkSpec {
       ("view", 1L, 9.0, None)))
   }
 
+  test("windowedHistogram merges bin counts exactly across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val query = EventsStreaming.windowedHistogram(df)
+      .writeStream.format("memory").queryName("hist_test")
+      .outputMode("complete").start()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // values 0.1 and 0.3 share bin 0 ([0, 0.25) would be bin 0 for 0.1;
+    // 0.3 lands in bin 1); 600.0 lands in bin floor(600/1024*4096)=2400
+    mem.addData((1L, t("2024-01-01 10:00:00"), "click", 0.1))
+    query.processAllAvailable()
+    mem.addData((2L, t("2024-01-01 11:00:00"), "click", 0.3),
+                (3L, t("2024-01-01 12:00:00"), "view", 600.0),
+                (4L, t("2024-01-01 13:00:00"), "view", 0.1))
+    query.processAllAvailable()
+
+    val rows = spark.table("hist_test")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    query.stop()
+    // bin 0 merged across the two micro-batches: 0.1 (batch 1) + 0.1
+    // (batch 2) = 2; the later value did not reset the earlier count
+    assert(rows == Set((0, 2L), (1, 1L), (2400, 1L)))
+  }
+
   test("streaming sessionize emits each session exactly once across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
