@@ -257,6 +257,49 @@ object Similarity extends QueryModule {
               |ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
               |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+    // per-label CENTROID norms — the class-separation half of the
+    // embedding-quality panel (s_vector_stats covers per-vector norms).
+    // Per-dimension sums must be order-free AND cross-engine exact; a
+    // double→DECIMAL cast is NOT (Spark rounds the exact binary
+    // expansion, DuckDB a scaled double product — they drift a ulp on
+    // ordinary values, observed here). Instead each float scales by
+    // 2^62: a power-of-two multiply only shifts the exponent (exact in
+    // double), every float32 with exponent ≥ −62 becomes an exact
+    // BIGINT (|x| < 2 fits), and integer sums are engine-identical.
+    // The 64 per-dim means then fold SEQUENTIALLY (index-ordered
+    // aggregate lambda ≡ DuckDB's ordered list_reduce) so the norm is
+    // bit-identical. Shape: one explode + two map-side-combinable
+    // aggregates — 64 rows per label cross the exchange, never vectors.
+    QueryDef(
+      "s_label_centroids",
+      (s, dir) => {
+        val P62 = "4611686018427387904.0" // 2^62
+        val e = Tables(s, dir).embeddings
+        val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg(sum(expr(s"CAST(CAST(CAST(x AS DOUBLE) * $P62 AS BIGINT) AS DECIMAL(38,0))")).as("sx"),
+            count(lit(1)).as("n"))
+        comp.select(col("label"), col("i"),
+          expr(s"CAST(sx AS DOUBLE) / n / $P62").as("m"), col("n"))
+          .groupBy("label")
+          .agg(max("n").as("n_vectors"),
+            array_sort(collect_list(struct(col("i"), col("m"))))
+              .getField("m").as("mv"))
+          .select(col("label"), col("n_vectors"),
+            expr("sqrt(aggregate(mv, CAST(0 AS DOUBLE), (a, v) -> a + v * v))")
+              .as("centroid_norm"))
+          .orderBy("label")
+      },
+      Some("""WITH comp AS (SELECT label, i,
+             |  SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) * 4611686018427387904.0 AS BIGINT) AS DECIMAL(38,0))) AS sx,
+             |  COUNT(*) AS n
+             |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
+             |  GROUP BY 1, 2),
+             |means AS (SELECT label, i, CAST(sx AS DOUBLE)/n/4611686018427387904.0 AS m, n FROM comp)
+             |SELECT label, MAX(n) AS n_vectors,
+             |sqrt(list_reduce(list_transform(list(m ORDER BY i), v -> v*v), (a, b) -> a + b)) AS centroid_norm
+             |FROM means GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // IVF-style ANN: k-means bucketing (graft.api.AnnIndex), queries
     // probe the 3 nearest of 8 buckets. Rows-only: recall and structure
     // are spec-tested against the brute-force baseline.
