@@ -247,6 +247,37 @@ object EventAnalytics extends QueryModule {
              |FROM (SELECT dev.*, mad.mad FROM dev JOIN mad USING (event_type)) d
              |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+    // EWMA smoothing of the daily value series per event type — the
+    // forecasting-panel shape (ClickHouse's exponentialMovingAverage
+    // twin). Deterministic cross-engine because α = 0.5 keeps every
+    // weight an exact power of two (s·0.5 and x·0.5 are exponent
+    // shifts) and the fold runs SEQUENTIALLY in day order in both
+    // engines (Spark aggregate over the day-sorted array ≡ DuckDB
+    // list_reduce over list(v ORDER BY day), zero-seeded via prepend).
+    // The collect_list state is the ~30-day daily series per type —
+    // calendar-bounded, never event rows.
+    QueryDef(
+      "q_ewma_daily",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(Det.moneySum(col("value")).as("v"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            array_sort(collect_list(struct(col("day"), col("v"))))
+              .getField("v").as("vs"))
+          .select(col("event_type"), col("n_days"),
+            expr("aggregate(vs, CAST(0 AS DOUBLE), (s, x) -> s * 0.5 + x * 0.5)")
+              .as("ewma"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, COUNT(*) AS n_days,
+             |list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY day)), (s, x) -> s * 0.5 + x * 0.5) AS ewma
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     QueryDef(
       "q_islands",
       (s, dir) => islands(Tables(s, dir).events),
