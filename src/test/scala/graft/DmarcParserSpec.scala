@@ -54,6 +54,18 @@ class DmarcParserSpec extends AnyFunSuite {
     assert(AggregateXmlParser.parse(bytes(s"$samples/aggregate/invalid_xml.xml")).isLeft)
   }
 
+  test("reference invalid-sample parity: aggregate_invalid + empty.xml reject") {
+    // the reference's own negative fixtures (parser_test.go:201-212,
+    // wantErr: true): report_with_upper_cased_pass.xml actually fails
+    // on its 97-hour date range (parser.go:1174's 48h guard), not the
+    // letter case — mixed-case pass values themselves are tolerated and
+    // lowercased (parser.go:1236) on both sides
+    assert(AggregateXmlParser
+      .parse(bytes(s"$samples/aggregate_invalid/report_with_upper_cased_pass.xml"))
+      .isLeft)
+    assert(AggregateXmlParser.parse(bytes(s"$samples/empty.xml")).isLeft)
+  }
+
   test("gzip and zip payloads extract to the same report") {
     val plain = AggregateXmlParser.parseAny(bytes(s"$samples/extract_report/nice-input.xml"))
     val gz = AggregateXmlParser.parseAny(bytes(s"$samples/extract_report/nice-input.xml.gz"))
