@@ -58,4 +58,52 @@ object AudioHeaders {
     tag("data"); w32(dataSize)
     b.toByteArray
   }
+
+  /** REAL sample decode for PCM16 WAV — no codec needed: the data chunk
+    * is raw 16-bit LE samples. Returns (n_samples, rms, peak) over all
+    * samples (channel-interleaved counted individually), or None unless
+    * the header is canonical PCM16 with a complete data payload.
+    * Compressed audio keeps its decode stubbed pending codecs — this is
+    * the one audio format the engine decodes END TO END.
+    */
+  def decodePcmSamples(b: Array[Byte]): Option[(Long, Double, Int)] =
+    parse(b).flatMap { case (_, _, bits, _) =>
+      if (bits != 16) None
+      else {
+        val dataSize = le32(b, 40)
+        if (44L + dataSize > b.length || dataSize % 2 != 0) None
+        else {
+          val n = (dataSize / 2).toInt
+          var sumSq = 0L
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val s = (le16(b, 44 + 2 * i) << 16) >> 16 // sign-extend
+            sumSq += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+          Some((n.toLong, rms, peak))
+        }
+      }
+    }
+
+  /** Complete PCM16 WAV (header + samples) carrying a ±amplitude square
+    * wave — a REAL decodable waveform whose RMS equals the amplitude
+    * exactly (every sample contributes amplitude² to the mean square).
+    */
+  def syntheticSquareWav(channels: Int, sampleRate: Int, amplitude: Short,
+                         nFrames: Int): Array[Byte] = {
+    val header = syntheticHeader(channels, sampleRate, bits = 16, nSamples = nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream(header.length + nFrames * channels * 2)
+    out.write(header, 0, header.length)
+    var i = 0
+    while (i < nFrames * channels) {
+      val s = if ((i / channels) % 2 == 0) amplitude.toInt else -amplitude.toInt
+      out.write(s & 0xff); out.write((s >> 8) & 0xff)
+      i += 1
+    }
+    out.toByteArray
+  }
 }

@@ -81,4 +81,71 @@ object ImageHeaders {
       out
     case other => throw new IllegalArgumentException(s"no synthetic header for $other")
   }
+
+  /** REAL pixel decode for uncompressed 24-bit BMP — the format needs
+    * no codec, just the spec: pixel-array offset at byte 10 (LE32),
+    * LE dimensions in the DIB header, BGR byte order, rows bottom-up
+    * and padded to 4-byte multiples. Returns (w, h, meanR, meanG,
+    * meanB) over every pixel, or None for anything that is not a
+    * well-formed uncompressed 24bpp BMP (compressed formats keep their
+    * decode stubbed pending codecs — this is the one image format the
+    * engine decodes END TO END).
+    */
+  def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val row = off + y * rowBytes
+      while (x < w) {
+        val i = row + x * 3
+        sb += u8(b, i); sg += u8(b, i + 1); sr += u8(b, i + 2)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  /** Complete uncompressed 24bpp BMP (54-byte header + padded BGR rows)
+    * filled with one solid color — a REAL decodable image, not a header
+    * fragment.
+    */
+  def syntheticBmp(w: Int, h: Int, r: Int, g: Int, bl: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def w16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
+    def w32(i: Int, v: Int): Unit = (0 until 4).foreach(j => out(i + j) = ((v >> (8 * j)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, size); w32(10, 54)     // file size, pixel-array offset
+    w32(14, 40)                   // BITMAPINFOHEADER
+    w32(18, w); w32(22, h)
+    w16(26, 1); w16(28, 24)       // planes, bpp
+    w32(30, 0)                    // BI_RGB (uncompressed)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val row = 54 + y * rowBytes
+      while (x < w) {
+        val i = row + x * 3
+        out(i) = bl.toByte; out(i + 1) = g.toByte; out(i + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

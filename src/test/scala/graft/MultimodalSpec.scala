@@ -73,4 +73,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getBoolean(4)), "some header_ok=false")
     assert(rows.map(_.getLong(3)).distinct.length > 100)
   }
+
+  test("BMP pixel decode round-trips exactly: solid color -> per-channel means") {
+    import graft.functions.ImageHeaders
+    val b = ImageHeaders.syntheticBmp(7, 5, r = 200, g = 100, bl = 50)
+    assert(ImageHeaders.decodeBmpPixels(b) === Some((7, 5, 200.0, 100.0, 50.0)))
+    // header-only fragments and non-24bpp payloads must decode to None,
+    // not throw or return garbage
+    assert(ImageHeaders.decodeBmpPixels(b.take(40)).isEmpty)
+    assert(ImageHeaders.decodeBmpPixels(ImageHeaders.syntheticHeader("bmp", 7, 5)).isEmpty)
+  }
+
+  test("m_bmp_pixels: every payload's pixels decode to the declared color") {
+    val rows = SparkEntry.queries("m_bmp_pixels")(spark, sfDir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getBoolean(6)), "some pixels_ok=false")
+  }
+
+  test("PCM decode: square wave RMS equals the amplitude exactly") {
+    import graft.functions.AudioHeaders
+    val wav = AudioHeaders.syntheticSquareWav(channels = 2, sampleRate = 16000,
+      amplitude = 1234, nFrames = 50)
+    val Some((n, rms, peak)) = AudioHeaders.decodePcmSamples(wav)
+    assert(n == 100L && rms == 1234.0 && peak == 1234)
+    // truncated data chunk → None (a partial upload must not decode)
+    assert(AudioHeaders.decodePcmSamples(wav.dropRight(3)).isEmpty)
+  }
+
+  test("m_pcm_samples: every waveform decodes with samples_ok") {
+    val rows = SparkEntry.queries("m_pcm_samples")(spark, sfDir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getBoolean(4)), "some samples_ok=false")
+  }
 }

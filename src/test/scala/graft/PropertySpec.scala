@@ -33,11 +33,13 @@ class PropertySpec extends AnyFunSuite {
   test("image/audio/video header parsers and decompress are total on arbitrary bytes") {
     check(Prop.forAllNoShrink(bytesGen) { b =>
       ImageHeaders.parse(b); AudioHeaders.parse(b); VideoHeaders.parse(b)
+      ImageHeaders.decodeBmpPixels(b); AudioHeaders.decodePcmSamples(b)
       graft.sources.Extract.decompress(b)
       true
     })
     check(Prop.forAllNoShrink(magicPrefixed) { b =>
       ImageHeaders.parse(b); AudioHeaders.parse(b); VideoHeaders.parse(b)
+      ImageHeaders.decodeBmpPixels(b); AudioHeaders.decodePcmSamples(b)
       true
     })
   }
