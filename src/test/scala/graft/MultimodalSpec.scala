@@ -105,4 +105,24 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 500)
     assert(rows.forall(_.getBoolean(4)), "some samples_ok=false")
   }
+
+  test("AVI frame sampling: step-2 decode visits exactly the even frames") {
+    import graft.functions.AviFrames
+    // 4 frames colored r=100+i: sampled {0,2} → mean red 101; a
+    // decode-everything averages {0..3} → 101.5 — the differing mean
+    // AND sample count prove the sampler skips frames
+    val avi = AviFrames.synthetic(w = 4, h = 3, nFrames = 4, r = 100, g = 10, bl = 20)
+    assert(AviFrames.decode(avi, frameStep = 2) ===
+      Some((4, 3, 4, 2, 101.0, 11.0, 21.0)))
+    assert(AviFrames.decode(avi, frameStep = 1) ===
+      Some((4, 3, 4, 4, 101.5, 11.5, 21.5)))
+    // truncated container rejects
+    assert(AviFrames.decode(avi.dropRight(5), 1).isEmpty)
+  }
+
+  test("m_avi_frames: every synthesized video decodes with frames_ok") {
+    val rows = SparkEntry.queries("m_avi_frames")(spark, sfDir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getBoolean(6)), "some frames_ok=false")
+  }
 }
