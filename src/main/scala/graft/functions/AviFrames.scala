@@ -31,29 +31,37 @@ object AviFrames {
     var w, h = 0
     var nFrames, nSampled = 0
     var sr, sg, sb = 0L
-    var off = 12
+    // ALL offset/size arithmetic in Long: declared chunk sizes are
+    // attacker-controlled, and Int `off + 8 + size` wraps negative for
+    // sizes near Int.MaxValue, silently defeating the bounds checks
+    // (an AIOOBE here kills an executor task on one corrupt blob)
+    var off = 12L
     while (off + 8 <= b.length) {
-      val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
-      if (tag(b, off, "LIST") && size >= 4) {
-        if (tag(b, off + 8, "hdrl")) {
+      val size = le32(b, (off + 4).toInt).toLong & 0xffffffffL
+      if (off + 8 + size > b.length) return None
+      if (tag(b, off.toInt, "LIST") && size >= 4) {
+        if (tag(b, (off + 8).toInt, "hdrl")) {
           // first subchunk must be avih: dwWidth/dwHeight at offsets
-          // 32/36 of its payload
+          // 32/36 of its payload — every read bounded by the ACTUAL
+          // enclosing LIST size, not just the avih's own declared size
           val a = off + 12
-          if (!tag(b, a, "avih") || le32(b, a + 4) < 40) return None
-          w = le32(b, a + 8 + 32)
-          h = le32(b, a + 8 + 36)
-          if (w <= 0 || h <= 0) return None
-        } else if (tag(b, off + 8, "movi")) {
+          if (a + 8 + 40 > off + 8 + size || !tag(b, a.toInt, "avih")) return None
+          val avihSize = le32(b, (a + 4).toInt).toLong & 0xffffffffL
+          if (avihSize < 40 || a + 8 + avihSize > off + 8 + size) return None
+          w = le32(b, (a + 8 + 32).toInt)
+          h = le32(b, (a + 8 + 36).toInt)
+          // cap dims so rowBytes/frameBytes stay far from Int overflow
+          if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+        } else if (tag(b, (off + 8).toInt, "movi")) {
           if (w == 0) return None // hdrl must precede movi
-          val rowBytes = (w * 3 + 3) / 4 * 4
+          val rowBytes = (w.toLong * 3 + 3) / 4 * 4
           val frameBytes = rowBytes * h
           var in = off + 12
           val end = off + 8 + size
           while (in + 8 <= end) {
-            val fsz = le32(b, in + 4)
-            if (fsz < 0 || in + 8 + fsz > end) return None
-            if (tag(b, in, "00db")) {
+            val fsz = le32(b, (in + 4).toInt).toLong & 0xffffffffL
+            if (in + 8 + fsz > end) return None
+            if (tag(b, in.toInt, "00db")) {
               if (fsz != frameBytes) return None
               if (nFrames % frameStep == 0) {
                 var y = 0
@@ -61,7 +69,7 @@ object AviFrames {
                   var x = 0
                   val row = in + 8 + y * rowBytes
                   while (x < w) {
-                    val i = row + x * 3
+                    val i = (row + x * 3).toInt
                     sb += u8(b, i); sg += u8(b, i + 1); sr += u8(b, i + 2)
                     x += 1
                   }

@@ -99,8 +99,13 @@ object ImageHeaders {
     val h = math.abs(hRaw)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
-    val rowBytes = (w * 3 + 3) / 4 * 4
+    // cap declared dims: a width near 2^30 overflows `w * 3` to a
+    // NEGATIVE rowBytes, which makes the bounds check below trivially
+    // pass and the pixel loop read past the array (Long math + cap
+    // keeps every later Int product safe)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
+        w > (1 << 20) || h > (1 << 20)) return None
+    val rowBytes = ((w.toLong * 3 + 3) / 4 * 4).toInt
     if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return None
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0

@@ -29,6 +29,34 @@ trait QueryModule {
   *     timestamps (parquet TIMESTAMP(NANOS) reaches the two engines at
   *     different precisions).
   */
+/** Fixed-grid histogram quantile sketch — ONE definition of the bin
+  * function and the quantile estimator shared by the batch rollup
+  * (q_quantile_sketch_rollup), the streaming maintenance path
+  * (EventsStreaming.windowedHistogram), and st_quantile_sketch's
+  * derivation, so the three can't silently desynchronize. The SQL
+  * oracles textually mirror these constants.
+  */
+object HistogramSketch {
+  val Bins = 4096
+  val Domain = 1024.0
+  /** Bin width in value units — the quantile estimate's error bound. */
+  val Width: Double = Domain / Bins
+
+  import org.apache.spark.sql.functions._
+
+  /** Clamped fixed-grid bin index of a value column. */
+  def bin(value: Column, bins: Int = Bins, domain: Double = Domain): Column =
+    least(greatest(floor(value / domain * bins), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+
+  /** Quantile-p estimate over a frame carrying (bin, cum, n): the upper
+    * edge of the bin where the cumulative count crosses p·n.
+    */
+  def est(p: Double): Column =
+    ((min(when(col("cum").cast("double") >= lit(p) * col("n").cast("double"),
+      col("bin"))) + 1).cast("double") * lit(Width))
+}
+
 object Det {
   val Money: DecimalType = DecimalType(18, 2)
 

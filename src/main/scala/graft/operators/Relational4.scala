@@ -272,11 +272,10 @@ object Relational4 extends QueryModule {
       "q_quantile_sketch_rollup",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val B = 4096
+        import HistogramSketch.est
         val e = Tables(s, dir).events
         val sk = e.select(to_date(col("ts")).as("day"),
-          least(greatest(floor(col("value") / 1024.0 * B), lit(0.0)),
-            lit((B - 1).toDouble)).cast("int").as("bin"))
+          HistogramSketch.bin(col("value")).as("bin"))
           .groupBy("day", "bin").agg(count(lit(1)).as("c"))
         val merged = sk.groupBy("bin").agg(sum("c").as("c"))
         val cum = merged
@@ -284,9 +283,6 @@ object Relational4 extends QueryModule {
             Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("n", sum("c").over(
             Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        def est(p: Double) =
-          ((min(when(col("cum").cast("double") >= lit(p) * col("n").cast("double"),
-            col("bin"))) + 1).cast("double") * lit(0.25))
         cum.agg(est(0.5).as("q50_est"), est(0.9).as("q90_est"),
           est(0.99).as("q99_est"), max(col("n")).as("n"))
       },

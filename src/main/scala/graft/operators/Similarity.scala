@@ -262,14 +262,17 @@ object Similarity extends QueryModule {
     // Per-dimension sums must be order-free AND cross-engine exact; a
     // double→DECIMAL cast is NOT (Spark rounds the exact binary
     // expansion, DuckDB a scaled double product — they drift a ulp on
-    // ordinary values, observed here). Instead each float scales by
-    // 2^62: a power-of-two multiply only shifts the exponent (exact in
-    // double), every float32 with exponent ≥ −62 becomes an exact
-    // BIGINT (|x| < 2 fits), and integer sums are engine-identical.
-    // The 64 per-dim means then fold SEQUENTIALLY (index-ordered
-    // aggregate lambda ≡ DuckDB's ordered list_reduce) so the norm is
-    // bit-identical. Shape: one explode + two map-side-combinable
-    // aggregates — 64 rows per label cross the exchange, never vectors.
+    // ordinary values, observed here). Instead each component is
+    // quantized to the 2^-62 grid with FLOOR: the power-of-two multiply
+    // only shifts the exponent (exact in double), and floor of
+    // identical doubles is identical in every engine at ANY magnitude —
+    // unlike a double→BIGINT cast, where a sub-2^-39 component is
+    // fractional after scaling and Spark truncates while DuckDB rounds.
+    // Integer sums are then engine-identical. The 64 per-dim means fold
+    // SEQUENTIALLY (index-ordered aggregate lambda ≡ DuckDB's ordered
+    // list_reduce) so the norm is bit-identical. Shape: one explode +
+    // two map-side-combinable aggregates — 64 rows per label cross the
+    // exchange, never vectors.
     QueryDef(
       "s_label_centroids",
       (s, dir) => {
@@ -277,7 +280,7 @@ object Similarity extends QueryModule {
         val e = Tables(s, dir).embeddings
         val comp = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
           .groupBy("label", "i")
-          .agg(sum(expr(s"CAST(CAST(CAST(x AS DOUBLE) * $P62 AS BIGINT) AS DECIMAL(38,0))")).as("sx"),
+          .agg(sum(expr(s"CAST(FLOOR(CAST(x AS DOUBLE) * $P62) AS DECIMAL(38,0))")).as("sx"),
             count(lit(1)).as("n"))
         comp.select(col("label"), col("i"),
           expr(s"CAST(sx AS DOUBLE) / n / $P62").as("m"), col("n"))
@@ -291,7 +294,7 @@ object Similarity extends QueryModule {
           .orderBy("label")
       },
       Some("""WITH comp AS (SELECT label, i,
-             |  SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) * 4611686018427387904.0 AS BIGINT) AS DECIMAL(38,0))) AS sx,
+             |  SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 4611686018427387904.0) AS DECIMAL(38,0))) AS sx,
              |  COUNT(*) AS n
              |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
              |  GROUP BY 1, 2),

@@ -87,6 +87,7 @@ object Streaming extends QueryModule {
       "st_quantile_sketch",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        import HistogramSketch.est
         val name = s"st_qsk_${System.nanoTime()}"
         val q = EventsStreaming.windowedHistogram(EventsStreaming.readEventStream(s, dir))
           .writeStream.format("memory").queryName(name)
@@ -99,9 +100,6 @@ object Streaming extends QueryModule {
             Window.partitionBy("window_us").orderBy("bin")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("n", sum("c").over(Window.partitionBy("window_us")))
-        def est(p: Double) =
-          ((min(when(col("cum").cast("double") >= lit(p) * col("n").cast("double"),
-            col("bin"))) + 1).cast("double") * lit(0.25))
         cum.groupBy("window_us")
           .agg(est(0.5).as("q50_est"), est(0.9).as("q90_est"), max(col("n")).as("n"))
           .orderBy("window_us")

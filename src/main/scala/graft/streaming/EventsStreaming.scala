@@ -103,13 +103,13 @@ object EventsStreaming {
     * read over the sink (≤4096 rows per window), exactly as it would
     * against the materialized sketch table on a cluster.
     */
-  def windowedHistogram(events: DataFrame, bins: Int = 4096,
-                        domain: Double = 1024.0): DataFrame =
+  def windowedHistogram(events: DataFrame,
+                        bins: Int = graft.operators.HistogramSketch.Bins,
+                        domain: Double = graft.operators.HistogramSketch.Domain): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 day"),
-        least(greatest(floor(col("value") / domain * bins), lit(0.0)),
-          lit((bins - 1).toDouble)).cast("int").as("bin"))
+        graft.operators.HistogramSketch.bin(col("value"), bins, domain).as("bin"))
       .agg(count(lit(1)).as("c"))
       .select(unix_micros(col("window.start")).as("window_us"), col("bin"), col("c"))
 

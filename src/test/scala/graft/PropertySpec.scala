@@ -34,14 +34,42 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAllNoShrink(bytesGen) { b =>
       ImageHeaders.parse(b); AudioHeaders.parse(b); VideoHeaders.parse(b)
       ImageHeaders.decodeBmpPixels(b); AudioHeaders.decodePcmSamples(b)
+      graft.functions.AviFrames.decode(b)
       graft.sources.Extract.decompress(b)
       true
     })
     check(Prop.forAllNoShrink(magicPrefixed) { b =>
       ImageHeaders.parse(b); AudioHeaders.parse(b); VideoHeaders.parse(b)
       ImageHeaders.decodeBmpPixels(b); AudioHeaders.decodePcmSamples(b)
+      graft.functions.AviFrames.decode(b)
       true
     })
+  }
+
+  test("crafted adversarial payloads: overflow sizes and truncated headers reject, not throw") {
+    import graft.functions.AviFrames
+    def w32le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // chunk size near Int.MaxValue: Int arithmetic would wrap the
+    // bounds check negative and index with a negative offset
+    val overflowAvi = "RIFF".getBytes ++ w32le(100) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ w32le(0x7fffffff)
+    assert(AviFrames.decode(overflowAvi).isEmpty)
+    // truncated hdrl: avih tag present but its payload reads past the
+    // buffer unless bounded by the ACTUAL enclosing LIST size
+    val truncatedHdrl = "RIFF".getBytes ++ w32le(20) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ w32le(8) ++ "hdrl".getBytes ++ "avih".getBytes
+    assert(AviFrames.decode(truncatedHdrl).isEmpty)
+    // BMP declaring width 2^30: w*3 wraps negative in Int, defeating
+    // the row-bytes bounds check
+    val hugeBmp = new Array[Byte](54)
+    hugeBmp(0) = 'B'; hugeBmp(1) = 'M'
+    System.arraycopy(w32le(54), 0, hugeBmp, 10, 4)
+    System.arraycopy(w32le(0x40000000), 0, hugeBmp, 18, 4)
+    System.arraycopy(w32le(1), 0, hugeBmp, 22, 4)
+    hugeBmp(28) = 24
+    assert(graft.functions.ImageHeaders.decodeBmpPixels(hugeBmp).isEmpty)
   }
 
   test("image header round-trip: synthetic headers parse back to their dimensions") {
