@@ -116,6 +116,30 @@ object Streaming extends QueryModule {
              |MAX(n) AS n
              |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+    // streaming Misra-Gries heavy hitters (the t_heavy_hitters twin):
+    // the k-counter summary is the ENTIRE streaming state — bounded
+    // regardless of vocabulary or stream length — and merges across
+    // micro-batches by the same mergeable-summaries math as the batch
+    // partial aggregate, so the frequency-floor guarantee survives
+    // arbitrary batch boundaries (StreamingSpec pins it across a
+    // multi-batch MemoryStream against exact counts). Rows-only:
+    // which sub-floor terms survive is summary-order-dependent by
+    // design, as with the batch entry.
+    QueryDef(
+      "st_heavy_hitters",
+      (s, dir) => {
+        val name = s"st_hh_${System.nanoTime()}"
+        val q = graft.streaming.CorpusStreaming.heavyHitters(
+          graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_heavy_hitters timed out")
+        s.table(name).orderBy(desc("est_count"), asc("term")).limit(20)
+      },
+      None,
+    ),
     // streaming exact dedup (the d_dedup_exact twin): first copy of each
     // text admitted, later copies dropped while their hash is inside the
     // watermark window. Output is the admitted hash set — deterministic

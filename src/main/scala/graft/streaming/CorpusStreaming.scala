@@ -83,6 +83,26 @@ object CorpusStreaming {
     * as data arrives) the index of choice for a continuously-ingesting
     * corpus. Sink the output to the bucketed index table in append mode.
     */
+  /** Streaming Misra-Gries heavy hitters: the k-counter summary IS the
+    * streaming state (one bounded map regardless of vocabulary size or
+    * stream length — the sketch property that makes all-time top terms
+    * feasible on an unbounded stream, where an exact count's state
+    * grows with the dictionary). The typed aggregator's partial/merge
+    * path is the same mergeable-summaries math the batch entry uses, so
+    * micro-batch boundaries can't break the frequency-floor guarantee
+    * (every term above n/(k+1) is present; counts never overcount).
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").as[String]
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.HeavyHitters(k).toColumn.name("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("term"), col("e._2").as("est_count"))
+  }
+
   def srpBucketize(vecs: DataFrame, dim: Int, nbits: Int, bandBits: Int): DataFrame =
     graft.api.SrpLsh.bandedSignatures(vecs, "embedding", dim, nbits, bandBits)
 }

@@ -123,6 +123,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((0, 2L), (1, 1L), (2400, 1L)))
   }
 
+  test("streaming heavy hitters keeps the frequency floor across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val k = 4
+    val query = graft.streaming.CorpusStreaming.heavyHitters(docs, k)
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode("complete").start()
+
+    // "alpha" is heavy across BOTH batches but never dominant within
+    // one — only correct cross-batch summary merging keeps it
+    mem.addData((1L, "alpha beta gamma delta epsilon"),
+                (2L, "alpha zeta eta theta iota"))
+    query.processAllAvailable()
+    mem.addData((3L, "alpha kappa lambda mu nu"),
+                (4L, "alpha alpha xi omicron pi rho"))
+    query.processAllAvailable()
+
+    val reported = spark.table("hh_test")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    query.stop()
+    val n = 21 // total tokens streamed
+    val exact = Map("alpha" -> 5L)
+    // floor guarantee: alpha (5 > 21/5) must be present; no overcount
+    assert(reported.contains("alpha"), reported.toString)
+    assert(reported("alpha") <= exact("alpha"))
+    assert(reported.size <= k)
+    assert(n / (k + 1) < 5)
+  }
+
   test("streaming sessionize emits each session exactly once across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
