@@ -127,5 +127,57 @@ object Windowed extends QueryModule {
              |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
              |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
     ),
+    // session-duration analytics — the panel users run ON TOP of
+    // sessionization: corpus-level session count, mean events and
+    // duration (exact BIGINT sums → identical double divisions), and
+    // exact duration percentiles (the proven percentile/QUANTILE_CONT
+    // cross-engine pattern). Same per-user window derivation as
+    // q_sessionize; the final rollup is one map-side-combinable
+    // aggregate over the session-level frame.
+    QueryDef(
+      "q_session_stats",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val gapUs = 6L * 3600 * 1000000
+        val sess = e
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        sess.agg(
+          count(lit(1)).as("n_sessions"),
+          (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
+          (sum(col("dur_us")).cast("double") / count(lit(1)) / 1000000.0).as("avg_duration_s"),
+          round(expr("percentile(dur_us, 0.5)"), 4).as("p50_dur_us"),
+          round(expr("percentile(dur_us, 0.9)"), 4).as("p90_dur_us"))
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM base)),
+             |sessions AS (
+             |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM flagged),
+             |sess AS (
+             |  SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  MAX(ts_us) - MIN(ts_us) AS dur_us
+             |  FROM sessions GROUP BY 1,2)
+             |SELECT COUNT(*) AS n_sessions,
+             |CAST(SUM(n_events) AS DOUBLE)/COUNT(*) AS avg_events,
+             |CAST(SUM(dur_us) AS DOUBLE)/COUNT(*)/1000000.0 AS avg_duration_s,
+             |ROUND(QUANTILE_CONT(dur_us, 0.5),4) AS p50_dur_us,
+             |ROUND(QUANTILE_CONT(dur_us, 0.9),4) AS p90_dur_us
+             |FROM sess""".stripMargin),
+    ),
   )
 }
