@@ -278,6 +278,67 @@ object EventAnalytics extends QueryModule {
              |list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY day)), (s, x) -> s * 0.5 + x * 0.5) AS ewma
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+    // new-vs-returning users per day — the growth panel: first-touch
+    // day per user (one aggregate), then each active (user, day) splits
+    // into new/returning. Both frames are user-level (never event
+    // rows); the join shares the user_id hash partitioning.
+    QueryDef(
+      "q_new_vs_returning",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val fs = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+        val du = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        du.join(fs, "user_id")
+          .groupBy("day")
+          .agg(count(lit(1)).as("active_users"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+            sum(when(col("day") > col("first_day"), 1L).otherwise(0L)).as("returning_users"))
+          .orderBy("day")
+      },
+      Some("""WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+             |  FROM events GROUP BY 1),
+             |du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+             |SELECT day, COUNT(*) AS active_users,
+             |CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             |CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+             |FROM du JOIN fs USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    // Gini concentration of per-user value — the inequality panel (how
+    // concentrated is spend/engagement): the sort-based exact formula
+    // G = 2·Σ(rank·v)/(n·Σv) − (n+1)/n over values ranked ascending
+    // with a user_id tiebreak. rank·v products and both sums are exact
+    // (BIGINT × DECIMAL), the final expression is one identical IEEE
+    // chain — emitted UNROUNDED (rounding a derived double is the
+    // cross-engine tie trap). The global rank runs over the per-USER
+    // frame, corpus-collapsed first — same documented total-order
+    // scope as q_ntile.
+    QueryDef(
+      "q_gini_value",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events
+        val u = e.groupBy("user_id")
+          .agg(sum(col("value").cast(Det.Money)).as("v"))
+        val r = u
+          .withColumn("rk", row_number().over(Window.orderBy("v", "user_id")))
+          .withColumn("n", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("tot", sum("v").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        r.agg(
+          (lit(2.0) * sum(col("rk") * col("v")).cast("double") /
+            (max("n") * max("tot").cast("double")) -
+            (max("n").cast("double") + lit(1.0)) / max("n")).as("gini"),
+          max("n").as("n_users"))
+      },
+      Some("""WITH u AS (SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS v
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, user_id) AS rk,
+             |      COUNT(*) OVER () AS n, SUM(v) OVER () AS tot FROM u)
+             |SELECT 2.0*CAST(SUM(rk*v) AS DOUBLE)/(MAX(n)*CAST(MAX(tot) AS DOUBLE))
+             |  - (CAST(MAX(n) AS DOUBLE)+1.0)/MAX(n) AS gini,
+             |MAX(n) AS n_users FROM r""".stripMargin),
+    ),
     QueryDef(
       "q_islands",
       (s, dir) => islands(Tables(s, dir).events),
