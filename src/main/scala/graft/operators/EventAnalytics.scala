@@ -197,6 +197,46 @@ object EventAnalytics extends QueryModule {
              |FROM days LEFT JOIN c USING (report_day)
              |ORDER BY 1""".stripMargin),
     ),
+    // DAU/WAU stickiness — the engagement-ratio panel composing the two
+    // distinct-count shapes above: daily actives over trailing-7-day
+    // actives per calendar day (gap days surface as 0, not missing
+    // rows). Both inputs are (day, user)-level frames; the ratio is an
+    // identical BIGINT→double division, emitted unrounded.
+    QueryDef(
+      "q_stickiness",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val du = e.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val days = du.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+          .select(explode(expr("sequence(lo, hi)")).as("report_day"))
+        val dau = du.groupBy(col("d").as("report_day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val wau = du
+          .select(explode(expr("sequence(d, date_add(d, 6))")).as("report_day"), col("user_id"))
+          .groupBy("report_day")
+          .agg(countDistinct(col("user_id")).as("wau"))
+        days.join(dau, Seq("report_day"), "left").join(wau, Seq("report_day"), "left")
+          .select(col("report_day"),
+            coalesce(col("dau"), lit(0L)).as("dau"),
+            coalesce(col("wau"), lit(0L)).as("wau"),
+            when(coalesce(col("wau"), lit(0L)) > 0,
+              coalesce(col("dau"), lit(0L)).cast("double") / col("wau"))
+              .otherwise(lit(0.0)).as("stickiness"))
+          .orderBy("report_day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |days AS (SELECT unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE
+             |  AS report_day FROM du),
+             |a AS (SELECT d AS report_day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+             |x AS (SELECT unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS report_day,
+             |  user_id FROM du),
+             |w AS (SELECT report_day, COUNT(DISTINCT user_id) AS wau FROM x GROUP BY 1)
+             |SELECT days.report_day, COALESCE(dau, 0) AS dau, COALESCE(wau, 0) AS wau,
+             |CASE WHEN COALESCE(wau, 0) > 0
+             |  THEN CAST(COALESCE(dau, 0) AS DOUBLE)/wau ELSE 0.0 END AS stickiness
+             |FROM days LEFT JOIN a USING (report_day) LEFT JOIN w USING (report_day)
+             |ORDER BY 1""".stripMargin),
+    ),
     // gaps-and-islands: per-user consecutive-day activity streaks via
     // the classic day − row_number anchor (consecutive days share one
     // anchor date). The corpus collapses to the (user, day) distinct
