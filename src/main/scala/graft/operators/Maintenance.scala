@@ -1,17 +1,86 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.ZOrder
 import graft.sources.Compaction
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators: the upkeep a continuously ingested
   * parquet table needs that queries don't express (ClickHouse does the
-  * equivalent as background part merges).
+  * equivalent as background part merges and multi-column ORDER BY keys
+  * on its parts — clickhouse.go:79-228).
   */
 object Maintenance extends QueryModule {
 
+  /** events projected to the two layout dimensions z-ordering interleaves:
+    * the low 16 bits of user_id and of the epoch-day of ts. Both lanes are
+    * non-negative and < 2^16 by construction.
+    */
+  private def zDims(events: org.apache.spark.sql.DataFrame) =
+    events.select(
+      col("event_id"),
+      col("user_id").bitwiseAND(lit(65535L)).as("u16"),
+      (unix_micros(col("ts")) / 86400000000L).cast("long")
+        .bitwiseAND(lit(65535L)).as("d16"))
+
+  private val u16Sql = "(user_id & 65535)"
+  private val d16Sql = "((EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000) & 65535)"
+
   override def entries: Seq[QueryDef] = Seq(
+    // Z-order (Morton) code per row: the sort key a multi-dimensional
+    // layout rewrite clusters by. Fully oracled — the DuckDB twin
+    // unrolls the SAME shift-or-mask ladder (one Steps list feeds both
+    // engines), so the gate pins every bit of the curve. Pure
+    // projection: no shuffle, whole-stage codegen over bit ops.
+    QueryDef(
+      "q_zorder_code",
+      (s, dir) => {
+        val d = zDims(Tables(s, dir).events)
+        d.select(col("event_id"), col("u16"), col("d16"),
+            ZOrder.morton16(col("u16"), col("d16")).as("z"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, $u16Sql AS u16, $d16Sql AS d16,
+              |${ZOrder.mortonSql(u16Sql, d16Sql)} AS z
+              |FROM events ORDER BY event_id""".stripMargin),
+    ),
+    // Z-order layout rewrite, demonstrated end to end: range-partition
+    // the events table by its morton code (so each output file covers a
+    // small rectangle of (user, day) space), write, and report each
+    // file's min/max footer rectangle. A predicate on EITHER dimension
+    // now prunes most files — single-column sort only prunes its own
+    // column. Rows-only: file layout has no DuckDB twin; ZOrderSpec pins
+    // the curve against a JVM reference and proves the pruning claim
+    // against a linear layout.
+    QueryDef(
+      "w_zorder",
+      (s, dir) => {
+        val coded = zDims(Tables(s, dir).events)
+          .withColumn("z", ZOrder.morton16(col("u16"), col("d16")))
+        val table = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+        coded.repartitionByRange(16, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(table)
+        // per-file min/max rectangles — what parquet footer stats expose
+        // to the scan planner (temp-path file names are dropped: they are
+        // not deterministic across runs)
+        val out = s.read.parquet(table)
+          .groupBy(input_file_name().as("file"))
+          .agg(min("u16").as("min_u"), max("u16").as("max_u"),
+               min("d16").as("min_d"), max("d16").as("max_d"),
+               count(lit(1)).as("n_rows"))
+          .select("min_u", "max_u", "min_d", "max_d", "n_rows")
+          .orderBy("min_u", "min_d", "max_u", "max_d", "n_rows")
+        val rows = out.collect()
+        val root = new Path(table)
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        import s.implicits._
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSeq.toDF("min_u", "max_u", "min_d", "max_d", "n_rows")
+      },
+      None,
+    ),
     // small-file compaction, demonstrated end to end: fragment the
     // events table into a month-partitioned tree of deliberately tiny
     // files (8 writer tasks × every month — the shape a streaming sink
