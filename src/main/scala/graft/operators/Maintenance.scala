@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.ZOrder
-import graft.sources.Compaction
+import graft.sources.{Compaction, Merge}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,43 @@ object Maintenance extends QueryModule {
         val out = reports
           .map(r => (r.partition, r.filesBefore.toLong, r.filesAfter.toLong))
           .toDF("partition", "files_before", "files_after")
+          .orderBy("partition")
+        val root = new Path(table)
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        out
+      },
+      None,
+    ),
+    // keyed MERGE into a day-partitioned snapshot, demonstrated end to
+    // end: replay a corrected batch (5% of the newest day re-valued)
+    // plus fresh rows landing on that day, then report per-partition
+    // before/updated/inserted/after accounting. Only the touched days
+    // are read or rewritten — the ReplacingMergeTree convergence
+    // discipline as an O(touched) maintenance pass. Rows-only: file
+    // layout has no DuckDB twin; UpsertSpec pins value replacement,
+    // key uniqueness, and untouched-partition byte-identity.
+    QueryDef(
+      "w_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val table = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+        val events = Tables(s, dir).events
+          .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        events.write.mode("overwrite").partitionBy("day").parquet(table)
+
+        val maxDay = events.agg(max("day")).collect()(0).getString(0)
+        val corrections = events
+          .filter(col("day") === maxDay && pmod(col("event_id"), lit(20)) === 0)
+          .withColumn("value", col("value") + 1000.0)
+        val inserts = events
+          .filter(col("day") === maxDay && pmod(col("event_id"), lit(100)) === 1)
+          .withColumn("event_id", col("event_id") + 10000000L)
+        val reports = Merge.upsertPartitioned(
+          s, table, corrections.unionByName(inserts), "event_id", "day")
+
+        val out = reports
+          .map(r => (r.partition, r.rowsBefore, r.updated, r.inserted, r.rowsAfter))
+          .toDF("partition", "rows_before", "updated", "inserted", "rows_after")
           .orderBy("partition")
         val root = new Path(table)
         root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
