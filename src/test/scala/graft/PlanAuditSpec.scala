@@ -224,4 +224,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("salted join actually takes the salted shuffle path, keyed on (key, salt)") {
+    val p = plan("q_skew_join_salted")
+    // the pattern exists for dims too big to broadcast — the hint must
+    // hold the join off the broadcast path, and salt must be a join key
+    // (that's what spreads a hot key over saltBuckets reducers)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse("")
+    assert(joinLine.contains("salt"), joinLine)
+  }
 }
