@@ -533,5 +533,49 @@ object TextAnalysis extends QueryModule {
              |ROUND(CAST(s_scaled AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight
              |FROM c, t ORDER BY source""".stripMargin),
     ),
+    // per-doc bigram novelty: the fraction of a doc's distinct word
+    // bigrams that occur in NO other document — high novelty flags
+    // fresh/unique content, low novelty flags boilerplate assembled
+    // from corpus-common phrasing (a dedup-adjacent quality signal the
+    // pair-level operators don't give: it needs no candidate pairs).
+    // Shape: explode distinct bigrams (slice+zip_with, never an
+    // indexed-lambda re-split), one map-side-combined count per bigram,
+    // then a co-partitioned big-big join back on the bigram and a
+    // per-doc aggregate — every exchange keys on (bigram) or (doc_id),
+    // nothing quadratic. The ratio divides two exact BIGINTs as
+    // doubles, unrounded (Det rule: never round a derived double).
+    QueryDef(
+      "t_ngram_novelty",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+          .filter(size(split(col("text"), " ")) >= 2)
+        val bigramsExpr =
+          """array_distinct(
+            |  zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |           slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |           (a, b) -> concat(a, ' ', b)))""".stripMargin
+        val bg = d.select(col("doc_id"), explode(expr(bigramsExpr)).as("g"))
+        val gdf = bg.groupBy("g").agg(count(lit(1)).as("df"))
+        bg.join(gdf, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novel_frac",
+            col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bg AS (SELECT doc_id,
+             |  unnest(list_distinct(list_transform(
+             |    generate_series(1, len(string_split(text,' ')) - 1),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS g
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |gdf AS (SELECT g, COUNT(*) AS df FROM bg GROUP BY g)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |  / CAST(COUNT(*) AS DOUBLE) AS novel_frac
+             |FROM bg JOIN gdf USING(g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
