@@ -577,5 +577,33 @@ object TextAnalysis extends QueryModule {
              |FROM bg JOIN gdf USING(g)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    // deterministic weight-biased sample (top-100 by priority): each doc
+    // races with priority u/w where u is a 52-bit integer from its md5
+    // (the proven cross-engine hash surface, exact in a double) and
+    // w = n_chars, so longer docs win proportionally more often — the
+    // exponential-race shape of weighted reservoir sampling with the
+    // uniform draw replaced by a hash (reproducible across runs,
+    // engines, and repartitionings; the race uses u directly rather
+    // than -ln(u), keeping the priority an exact one-step division —
+    // libm log is not bit-stable across engines). Global top-k compiles
+    // to TakeOrderedAndProject: each partition ships ≤ k rows, no
+    // global sort.
+    QueryDef(
+      "t_weighted_sample",
+      (s, dir) => {
+        val d = Tables(s, dir).documents.filter(col("n_chars") > 0)
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("bigint")
+        d.select(col("doc_id"), col("n_chars"),
+            (u.cast("double") / col("n_chars").cast("double")).as("priority"))
+          .orderBy("priority", "doc_id")
+          .limit(100)
+      },
+      Some("""SELECT doc_id, n_chars,
+             |CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+             |  / CAST(n_chars AS DOUBLE) AS priority
+             |FROM documents WHERE n_chars > 0
+             |ORDER BY priority, doc_id LIMIT 100""".stripMargin),
+    ),
   )
 }
