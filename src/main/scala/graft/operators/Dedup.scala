@@ -429,6 +429,37 @@ object Dedup extends QueryModule {
       (s, dir) => minhashLsh64(Tables(s, dir).documents),
       None,
     ),
+    // near-dup pairs → duplicate CLUSTERS: min-label propagation over
+    // the LSH pair graph (DedupPipeline.clusters — two hash joins per
+    // iteration, iterations bounded by component diameter, no
+    // driver-side graph). Oracled end to end against a RECURSIVE-CTE
+    // transitive closure over the SAME pair derivation: the gate
+    // hash-checks that the iterative distributed algorithm reaches the
+    // exact fixpoint a textbook closure computes. (The closure is the
+    // oracle's luxury — O(edges·nodes) worst case is fine on the gate
+    // corpus; the propagation is the shape that survives 100 TB.)
+    QueryDef(
+      "d_dedup_clusters",
+      (s, dir) => {
+        val pairs = minhashLsh(Tables(s, dir).documents)
+        graft.api.DedupPipeline.clusters(pairs).orderBy("doc_id")
+      },
+      Some {
+        s"""WITH RECURSIVE ${candSql(MaxBucket)},
+           |jac AS (SELECT doc_a, doc_b,
+           |  ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+           |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardTau),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (SELECT a AS src, b AS dst FROM edges
+           |          UNION
+           |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+           |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      },
+    ),
     QueryDef(
       "d_simhash",
       (s, dir) => {
