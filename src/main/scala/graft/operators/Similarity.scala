@@ -62,6 +62,70 @@ object Similarity extends QueryModule {
               |SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
               |ORDER BY q_id, rn""".stripMargin),
     ),
+    // two-stage prefix rerank (matryoshka-style): stage 1 scores only
+    // the first 16 of 64 dims (4× less arithmetic and — with truncated
+    // storage — 4× fewer bytes scanned) and keeps top-20 candidates per
+    // query through the bounded-heap partial aggregate; stage 2 exact-
+    // rescores ONLY those Q×20 rows at full width. Fully oracled
+    // because both stages are deterministic (the coarse dot is an
+    // unrounded sequential fold — bit-identical cross-engine — so both
+    // engines pick the SAME candidate set before the exact pass).
+    // Retrieval quality is a property of the EMBEDDINGS, not the
+    // operator: the prefix is only a faithful proxy when the model was
+    // trained front-loaded (matryoshka); on this synthetic testdata
+    // (no front-loading) recall vs exact top-5 measures ~0.32 — the
+    // documented reason there is no recall-floor spec here, unlike the
+    // IVF/SRP/PQ paths which quantize ALL dims. PrefixRerankSpec
+    // instead pins the mechanism against an independent JVM
+    // recomputation.
+    QueryDef(
+      "s_prefix_rerank_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val coarse = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cdot",
+            expr("dot_product(slice(q_vec, 1, 16), slice(embedding, 1, 16))"))
+          .select(col("q_id"), col("vec_id"), col("cdot")).as[(Long, Long, Double)]
+        val cands = coarse.groupByKey(_._1)
+          .agg(new graft.functions.TopKByScore(20).toColumn)
+          .flatMap { case (q, hits) => hits.map { case (v, _) => (q, v) } }
+          .toDF("q_id", "vec_id")
+        val rescored = cands
+          .join(e, "vec_id")
+          .join(broadcast(queries), "q_id")
+          .withColumn("cos", expr(cos))
+          .select(col("q_id"), col("vec_id"), col("cos")).as[(Long, Long, Double)]
+        rescored.groupByKey(_._1)
+          .agg(new graft.functions.TopKByScore(5).toColumn)
+          .flatMap { case (q, hits) =>
+            hits.zipWithIndex.map { case ((v, c), i) => (q, v, c, i + 1) }
+          }
+          .toDF("q_id", "vec_id", "cos", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some {
+        val prefixDot =
+          "list_reduce(list_transform(generate_series(1, 16), i -> q_vec[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)"
+        s"""WITH c AS (SELECT vec_id, embedding,
+           |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM c WHERE vec_id < 10),
+           |coarse AS (SELECT q_id, vec_id, $prefixDot AS cdot
+           |  FROM c, q WHERE vec_id <> q_id),
+           |cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+           |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cdot DESC, vec_id) AS crn
+           |  FROM coarse) WHERE crn <= 20),
+           |rescored AS (SELECT cand.q_id, cand.vec_id,
+           |  ROUND(${duckDot("q_vec", "embedding")} / (nrm * q_nrm), 4) AS cos
+           |  FROM cand JOIN c ON c.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id),
+           |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER
+           |  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rn FROM rescored)
+           |SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
+           |ORDER BY q_id, rn""".stripMargin
+      },
+    ),
     // near-duplicate pairs by cosine over a bounded probe set
     QueryDef(
       "d_embedding_neardup",

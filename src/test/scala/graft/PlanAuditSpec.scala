@@ -138,7 +138,7 @@ class PlanAuditSpec extends SparkSpec {
     val allowed = Set(
       "s_cosine_topk", "d_embedding_neardup", "d_embedding_neardup_ivf",
       "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify",
-      "s_ivfpq_topk",
+      "s_ivfpq_topk", "s_prefix_rerank_topk",
       "q11_important_value", "q20_excess_shippers", "q22_inactive_customers")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).filterNot(streamingEntries).filterNot(eagerComposites)
