@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * on its parts — clickhouse.go:79-228).
   */
 object Maintenance extends QueryModule {
+  import Det._
+
+  /** Daily rollup of an events slice — the materialized view
+    * w_rollup_refresh maintains. Each day's row is computed from that
+    * day's rows alone, so a day can be refreshed independently.
+    */
+  private def dailyAgg(events: org.apache.spark.sql.DataFrame) =
+    events.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
 
   /** events projected to the two layout dimensions z-ordering interleaves:
     * the low 16 bits of user_id and of the epoch-day of ts. Both lanes are
@@ -28,6 +37,63 @@ object Maintenance extends QueryModule {
   private val d16Sql = "((EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000) & 65535)"
 
   override def entries: Seq[QueryDef] = Seq(
+    // data-quality audit panel: the constraint checks a continuously
+    // ingested fact table runs before publishing a partition (the
+    // Deequ/dbt-test staples) — null keys, domain ranges, duplicate
+    // primary keys, referential orphans — as ONE registry entry whose
+    // row-level checks ride a single scan (conditional sums), with the
+    // key/referential checks as two anti-join counts and one
+    // group-having count. Every check is a plain aggregate: at 100 TB
+    // each is one map-side-combined pass, and the orphan checks shuffle
+    // only keys.
+    QueryDef(
+      "q_dq_checks",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val l = t.lineitem
+        val rowChecks = l.agg(
+            sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"),
+            sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpositive_quantity"),
+            sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("discount_out_of_range"),
+            sum(when(col("l_tax") < 0, 1L).otherwise(0L)).as("negative_tax"))
+          .selectExpr(
+            """stack(4,
+              |  'null_shipdate', null_shipdate,
+              |  'nonpositive_quantity', nonpositive_quantity,
+              |  'discount_out_of_range', discount_out_of_range,
+              |  'negative_tax', negative_tax) AS (check_name, n_viol)""".stripMargin)
+        val dupKey = l.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(count(lit(1)).as("n_viol"))
+          .select(lit("duplicate_line_key").as("check_name"), col("n_viol"))
+        val orphanLine = l.join(t.orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_viol"))
+          .select(lit("orphan_lineitem").as("check_name"), col("n_viol"))
+        val orphanOrder = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_viol"))
+          .select(lit("orphan_order").as("check_name"), col("n_viol"))
+        rowChecks.unionByName(dupKey).unionByName(orphanLine).unionByName(orphanOrder)
+          .orderBy("check_name")
+      },
+      Some("""SELECT 'null_shipdate' AS check_name, COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS n_viol FROM lineitem
+             |UNION ALL
+             |SELECT 'nonpositive_quantity', COUNT(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+             |UNION ALL
+             |SELECT 'discount_out_of_range', COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) FROM lineitem
+             |UNION ALL
+             |SELECT 'negative_tax', COUNT(*) FILTER (WHERE l_tax < 0) FROM lineitem
+             |UNION ALL
+             |SELECT 'duplicate_line_key', COUNT(*) FROM (
+             |  SELECT l_orderkey, l_linenumber FROM lineitem
+             |  GROUP BY 1, 2 HAVING COUNT(*) > 1)
+             |UNION ALL
+             |SELECT 'orphan_lineitem', COUNT(*) FROM lineitem
+             |  ANTI JOIN orders ON l_orderkey = o_orderkey
+             |UNION ALL
+             |SELECT 'orphan_order', COUNT(*) FROM orders
+             |  ANTI JOIN customer ON o_custkey = c_custkey
+             |ORDER BY 1""".stripMargin),
+    ),
     // Z-order (Morton) code per row: the sort key a multi-dimensional
     // layout rewrite clusters by. Fully oracled — the DuckDB twin
     // unrolls the SAME shift-or-mask ladder (one Steps list feeds both
@@ -151,6 +217,45 @@ object Maintenance extends QueryModule {
         out
       },
       None,
+    ),
+    // incremental MATERIALIZED-VIEW refresh, fully oracled: a daily
+    // rollup table is built from a stale snapshot (everything before
+    // noon of the newest day), late data "arrives", and the refresh
+    // recomputes ONLY the days the new batch touches — one partition's
+    // aggregation + a keyed merge of those rows — never the whole view.
+    // The DuckDB oracle is the full recompute (plain GROUP BY over all
+    // events): the gate hash-checks that stale-state + per-day refresh
+    // CONVERGES to exactly the from-scratch answer, which is the whole
+    // correctness claim of incremental view maintenance. At 100 TB the
+    // refresh cost is O(touched days), not O(table).
+    QueryDef(
+      "w_rollup_refresh",
+      (s, dir) => {
+        import s.implicits._
+        val table = java.nio.file.Files.createTempDirectory("graft-mv").toString
+        val e = Tables(s, dir).events
+          .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        val maxDay = e.agg(max("day")).collect()(0).getString(0)
+        val cutoff = expr(s"to_timestamp('$maxDay', 'yyyyMMdd') + INTERVAL 12 HOURS")
+        // stale view: built before the newest day finished
+        dailyAgg(e.filter(col("ts") < cutoff))
+          .write.mode("overwrite").partitionBy("day").parquet(table)
+        // late data lands; refresh recomputes exactly the touched days
+        val touched = e.filter(col("ts") >= cutoff).select("day").distinct()
+        val refreshed = dailyAgg(e.join(broadcast(touched), "day"))
+        Merge.upsertPartitioned(s, table, refreshed, "day", "day")
+        val rows = s.read.parquet(table)
+          .select(col("day").cast("string"), col("n_events"), col("total_value"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        val root = new Path(table)
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        rows.toSeq.toDF("day", "n_events", "total_value").orderBy("day")
+      },
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day,
+             |COUNT(*) AS n_events,
+             |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
   )
 }

@@ -50,6 +50,7 @@ object Merge {
 
     val parts = batch.select(col(partCol)).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
+    if (parts.isEmpty) { batch.unpersist(); return Seq.empty }
     val touchedDirs = parts.map(v => s"$tablePath/$partCol=$v")
     touchedDirs.filterNot(d => fs.exists(new Path(d))).foreach { d =>
       fs.mkdirs(new Path(d)) // insert-only partition: new directory
