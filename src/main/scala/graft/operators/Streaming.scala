@@ -282,5 +282,53 @@ object Streaming extends QueryModule {
       },
       None,
     ),
+    // streaming CDC apply: a correction feed (5% of rows re-delivered
+    // with fixed values) streams into foreachBatch, and each micro-batch
+    // keyed-MERGEs into the day-partitioned serving table — the
+    // ReplacingMergeTree-style convergence loop a continuously corrected
+    // fact table runs, now as the streaming twin of w_upsert. ORACLED:
+    // the converged table's daily rollup must equal DuckDB recomputing
+    // the corrections from scratch — upsert-apply loses nothing and
+    // double-applies nothing (idempotent on re-delivery by key). The
+    // per-batch cost is O(touched partitions), so the loop holds at
+    // 100 TB where "refresh the table" does not.
+    QueryDef(
+      "st_upsert_apply",
+      (s, dir) => {
+        import s.implicits._
+        val table = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+        val e = Tables(s, dir).events
+          .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        e.write.mode("overwrite").partitionBy("day").parquet(table)
+        val corrections = EventsStreaming.readEventStream(s, dir)
+          .filter(pmod(col("event_id"), lit(20)) === 0)
+          .withColumn("value", col("value") + 1000.0)
+          .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        val q = corrections.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              graft.sources.Merge.upsertPartitioned(s, table, batch, "event_id", "day")
+              ()
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_upsert_apply timed out")
+        val rows = s.read.parquet(table)
+          .groupBy(col("day").cast("string").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+               Det.moneySum(col("value")).as("total_value"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        val root = new org.apache.hadoop.fs.Path(table)
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        rows.toSeq.toDF("day", "n_events", "total_value").orderBy("day")
+      },
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day,
+             |COUNT(*) AS n_events,
+             |CAST(ROUND(SUM(CAST(CASE WHEN event_id % 20 = 0
+             |  THEN value + 1000.0 ELSE value END AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
   )
 }
