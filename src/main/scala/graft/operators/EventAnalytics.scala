@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over the events table: conversion funnel
@@ -317,6 +318,38 @@ object EventAnalytics extends QueryModule {
              |SELECT event_type, COUNT(*) AS n_days,
              |list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY day)), (s, x) -> s * 0.5 + x * 0.5) AS ewma
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    // trailing-7-day MEDIAN of the per-type daily series — the robust
+    // smoothing twin of q_ewma_daily (a burst day shifts a mean but not
+    // a median). The window partitions on event_type (hash-partitioned,
+    // never a single-partition total order) over the already-aggregated
+    // daily frame, so per-partition state is one tiny series. The frame
+    // is pinned to exactly 7 rows (leading rows with shorter windows
+    // are dropped via row_number): an odd count makes the median the
+    // exact middle ELEMENT in both engines — no interpolation
+    // arithmetic to drift a ulp cross-engine.
+    QueryDef(
+      "q_rolling_median",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(Det.moneySum(col("value")).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.select(col("event_type"), col("day"), col("v"),
+            expr("percentile(v, 0.5)").over(w.rowsBetween(-6, 0)).as("med7"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") >= 7).drop("rn")
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, day, v,
+             |  MEDIAN(v) OVER (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7,
+             |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d)
+             |SELECT event_type, day, v, med7 FROM m WHERE rn >= 7
+             |ORDER BY 1, 2""".stripMargin),
     ),
     // new-vs-returning users per day — the growth panel: first-touch
     // day per user (one aggregate), then each active (user, day) splits

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.ZOrder
-import graft.sources.{Compaction, Merge}
+import graft.sources.{Compaction, Merge, Retention}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
@@ -256,6 +256,37 @@ object Maintenance extends QueryModule {
              |COUNT(*) AS n_events,
              |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    // partition-expiry retention, demonstrated end to end: day-partition
+    // the events table, expire everything before the newest 10 days
+    // (ALTER TABLE ... DROP PARTITION semantics on plain parquet — a
+    // directory delete per expired partition, nothing read or
+    // rewritten), and report what was dropped plus a `kept` marker row
+    // per surviving partition. The Spark-side claim that matters at
+    // 100 TB: retention cost is O(expired partitions) metadata work.
+    // Rows-only: file layout has no DuckDB twin; RetentionSpec pins the
+    // drop boundary, survivor byte-identity, and idempotence.
+    QueryDef(
+      "w_retention",
+      (s, dir) => {
+        import s.implicits._
+        val table = java.nio.file.Files.createTempDirectory("graft-retain").toString
+        val events = Tables(s, dir).events
+          .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+        events.write.mode("overwrite").partitionBy("day").parquet(table)
+        val days = Compaction.partitionStats(s, table).map(_.partition.split("=", 2)(1)).sorted
+        val cutoff = days.takeRight(10).head
+        val dropped = Retention.dropPartitionsBefore(s, table, cutoff)
+        val kept = Compaction.partitionStats(s, table)
+        val out = (dropped.map(p => (p.partition, "dropped", p.files.toLong)) ++
+            kept.map(p => (p.partition, "kept", p.files.toLong)))
+          .toDF("partition", "status", "files")
+          .orderBy("partition")
+        val root = new Path(table)
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        out
+      },
+      None,
     ),
   )
 }
