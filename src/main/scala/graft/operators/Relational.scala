@@ -257,6 +257,32 @@ object Relational extends QueryModule {
              |FROM events e1 WHERE e1.event_type = 'purchase'
              |ORDER BY e1.event_id""".stripMargin),
     ),
+    // forward as-of: each click's NEXT purchase by the same user
+    // (time-to-convert) — the mirror of q_asof_prior_event, same
+    // Spark-first shape: one window over the user_id hash partitioning
+    // with a forward frame, never a self-join
+    QueryDef(
+      "q_asof_next_event",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir).events.select("event_id", "user_id", "event_type", "ts")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        e.withColumn("next_purchase_us",
+            unix_micros(min(when(col("event_type") === "purchase", col("ts"))).over(w)))
+          .filter(col("event_type") === "click")
+          .select("event_id", "user_id", "next_purchase_us")
+          .orderBy("event_id")
+      },
+      Some("""SELECT e1.event_id, e1.user_id,
+             |(SELECT EPOCH_US(CAST(MIN(e2.ts) AS TIMESTAMP)) FROM events e2
+             |  WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase'
+             |    AND (CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+             |         OR (CAST(e2.ts AS TIMESTAMP) = CAST(e1.ts AS TIMESTAMP)
+             |             AND e2.event_id > e1.event_id))) AS next_purchase_us
+             |FROM events e1 WHERE e1.event_type = 'click'
+             |ORDER BY e1.event_id""".stripMargin),
+    ),
     // semi + anti join per nation
     QueryDef(
       "q_semi_anti_join",
