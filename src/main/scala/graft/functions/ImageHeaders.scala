@@ -123,6 +123,46 @@ object ImageHeaders {
     Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
+  /** Nearest-neighbor thumbnail of an uncompressed 24bpp BMP — the
+    * resize operation of the multimodal brief, END TO END for the
+    * codec-free format: sample the source pixel at
+    * (floor(tx·w/tw), floor(ty·h/th)) for each thumbnail cell (rows in
+    * STORAGE order; BMP bottom-up orientation doesn't matter to
+    * downstream features). Returns (tw, th, meanR, meanG, meanB, fnv)
+    * where fnv is FNV-1a over the sampled B,G,R bytes in row order —
+    * a positional fingerprint means can't fake.
+    */
+  def thumbnailBmp(b: Array[Byte], tw: Int, th: Int): Option[(Int, Int, Double, Double, Double, Long)] = {
+    if (tw <= 0 || th <= 0) return None
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    if (le16(b, 28) != 24 || le32(b, 30) != 0 || w <= 0 || h <= 0 ||
+        w > (1 << 20) || h > (1 << 20)) return None
+    val rowBytes = ((w.toLong * 3 + 3) / 4 * 4).toInt
+    if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var fnv = 0xcbf29ce484222325L
+    def mix(v: Int): Unit = { fnv ^= (v & 0xff); fnv *= 0x100000001b3L }
+    var ty = 0
+    while (ty < th) {
+      val sy = (ty.toLong * h / th).toInt
+      var tx = 0
+      while (tx < tw) {
+        val sx = (tx.toLong * w / tw).toInt
+        val i = off + sy * rowBytes + sx * 3
+        val (pb, pg, pr) = (u8(b, i), u8(b, i + 1), u8(b, i + 2))
+        sb += pb; sg += pg; sr += pr
+        mix(pb); mix(pg); mix(pr)
+        tx += 1
+      }
+      ty += 1
+    }
+    val n = tw.toLong * th
+    Some((tw, th, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, fnv))
+  }
+
   /** Complete uncompressed 24bpp BMP (54-byte header + padded BGR rows)
     * filled with one solid color — a REAL decodable image, not a header
     * fragment.

@@ -265,6 +265,40 @@ object Multimodal extends QueryModule {
     StructField("pixels_ok", BooleanType),
   ))
 
+  val thumbSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("thumb_w", IntegerType),
+    StructField("thumb_h", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("pixel_fnv", LongType),
+    StructField("thumb_ok", BooleanType),
+  ))
+
+  /** Nearest-neighbor thumbnails over a (doc_id, payload, meta) media
+    * frame — the resize stage of the multimodal brief, real for the
+    * codec-free BMP format. Same batched mapPartitions shape as
+    * decodePixels; thumb_ok cross-checks the thumbnail's channel means
+    * against the declared solid source color (a solid image downsamples
+    * to itself at any grid).
+    */
+  def decodeThumbnails(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.ImageHeaders.thumbnailBmp(r.getAs[Array[Byte]](1), tw, th) match {
+          case Some((w, h, mr, mg, mb, fnv)) =>
+            Row(r.getLong(0), w, h, mr, mg, mb, fnv,
+                mr == meta.getInt(2).toDouble && mg == meta.getInt(3).toDouble &&
+                  mb == meta.getInt(4).toDouble)
+          case None => Row(r.getLong(0), 0, 0, 0.0, 0.0, 0.0, 0L, false)
+        }
+      }))
+    spark.createDataFrame(rdd, thumbSchema)
+  }
+
   /** Image table whose payloads are COMPLETE uncompressed 24bpp BMPs
     * (solid color derived from doc_id) — real pixel arrays, not header
     * fragments. Dimensions stay small (≤19×15) so 500 full images are
@@ -475,6 +509,17 @@ object Multimodal extends QueryModule {
       "m_bmp_pixels",
       (s, dir) =>
         decodePixels(bmpTable(Tables(s, dir))).orderBy("doc_id"),
+      None,
+    ),
+    // END-TO-END resize: 4×4 nearest-neighbor thumbnails of the real
+    // BMPs — the multimodal brief's resize stage, with a positional
+    // FNV fingerprint of the sampled bytes (means can't fake sample
+    // positions); ThumbnailSpec pins the sampler against an
+    // independent gradient-image recomputation
+    QueryDef(
+      "m_bmp_thumbnail",
+      (s, dir) =>
+        decodeThumbnails(bmpTable(Tables(s, dir)), 4, 4).orderBy("doc_id"),
       None,
     ),
     // END-TO-END sample decode: complete PCM16 WAV square waves decoded
