@@ -94,6 +94,55 @@ object Maintenance extends QueryModule {
              |  ANTI JOIN customer ON o_custkey = c_custkey
              |ORDER BY 1""".stripMargin),
     ),
+    // ANALYZE TABLE twin: per-column optimizer statistics (row count,
+    // null count, exact NDV, min/max) for the CBO-feeding maintenance
+    // pass every warehouse schedules. One scan computes all row-level
+    // stats as conditional aggregates; NDVs are per-column exact
+    // distinct aggregates (count_distinct partial-aggregates map-side).
+    // min/max stringify only the string/int/date columns — double
+    // min/max is deliberately excluded from the string surface (double
+    // → VARCHAR formatting is not cross-engine stable).
+    QueryDef(
+      "q_table_stats",
+      (s, dir) => {
+        val l = Tables(s, dir).lineitem
+        def statRow(c: String, toStr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          l.agg(count(lit(1)).as("n_rows"),
+                sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+                countDistinct(col(c)).as("n_distinct"),
+                toStr(min(col(c))).as("min_str"),
+                toStr(max(col(c))).as("max_str"))
+            .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+                    col("n_distinct"), col("min_str"), col("max_str"))
+        statRow("l_orderkey", _.cast("string"))
+          .unionByName(statRow("l_linenumber", _.cast("string")))
+          .unionByName(statRow("l_returnflag", _.cast("string")))
+          .unionByName(statRow("l_shipdate", _.cast("date").cast("string")))
+          .orderBy("column_name")
+      },
+      Some("""SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+             |  COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS n_nulls,
+             |  COUNT(DISTINCT l_orderkey) AS n_distinct,
+             |  CAST(MIN(l_orderkey) AS VARCHAR) AS min_str,
+             |  CAST(MAX(l_orderkey) AS VARCHAR) AS max_str FROM lineitem
+             |UNION ALL
+             |SELECT 'l_linenumber', COUNT(*),
+             |  COUNT(*) FILTER (WHERE l_linenumber IS NULL),
+             |  COUNT(DISTINCT l_linenumber),
+             |  CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_returnflag', COUNT(*),
+             |  COUNT(*) FILTER (WHERE l_returnflag IS NULL),
+             |  COUNT(DISTINCT l_returnflag),
+             |  CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_shipdate', COUNT(*),
+             |  COUNT(*) FILTER (WHERE l_shipdate IS NULL),
+             |  COUNT(DISTINCT l_shipdate),
+             |  CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+             |  CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) FROM lineitem
+             |ORDER BY 1""".stripMargin),
+    ),
     // Z-order (Morton) code per row: the sort key a multi-dimensional
     // layout rewrite clusters by. Fully oracled — the DuckDB twin
     // unrolls the SAME shift-or-mask ladder (one Steps list feeds both
