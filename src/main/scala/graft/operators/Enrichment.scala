@@ -37,6 +37,44 @@ object Enrichment extends QueryModule {
            |ORDER BY n_nationkey""".stripMargin
       },
     ),
+    // the normalization battery (utils.go NormalizeHost/NormalizeEmail +
+    // IsValidIPAddress) under the hash gate: messy inputs derived from
+    // nation keys — mixed case, trailing dots, padding whitespace, IPv4
+    // and compressed IPv6 — normalized identically in both engines. The
+    // regex constants are SHARED Scala values injected into the oracle
+    // text, so the two sides cannot drift.
+    QueryDef(
+      "f_normalize",
+      (s, dir) => {
+        val n = Tables(s, dir).nation
+        val key = col("n_nationkey")
+        val raw = when(key % 4 === 0, concat(lit("Mail.Example"), key, lit(".COM.")))
+          .when(key % 4 === 1, concat(lit("  User"), key, lit("@EXAMPLE.ORG ")))
+          .when(key % 4 === 2,
+            concat(lit("10."), (key % 256).cast("string"), lit(".2.3")))
+          .otherwise(concat(lit("fe80::"), key.cast("string")))
+        n.select(key, raw.as("raw"))
+          .withColumn("norm_host", normalizeHost(col("raw")))
+          .withColumn("norm_email", normalizeEmail(col("raw")))
+          .withColumn("valid_ip", isValidIp(col("raw")))
+          .orderBy("n_nationkey")
+      },
+      Some {
+        val rawSql =
+          """CASE WHEN n_nationkey % 4 = 0 THEN 'Mail.Example' || CAST(n_nationkey AS VARCHAR) || '.COM.'
+            |WHEN n_nationkey % 4 = 1 THEN '  User' || CAST(n_nationkey AS VARCHAR) || '@EXAMPLE.ORG '
+            |WHEN n_nationkey % 4 = 2 THEN '10.' || CAST(n_nationkey % 256 AS VARCHAR) || '.2.3'
+            |ELSE 'fe80::' || CAST(n_nationkey AS VARCHAR) END""".stripMargin
+        s"""SELECT n_nationkey, raw,
+           |regexp_replace(lower(raw), '\\.$$', '') AS norm_host,
+           |lower(trim(raw)) AS norm_email,
+           |(regexp_matches(raw, '${Ipv4Regex}')
+           |  OR (regexp_matches(raw, '^([0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$$')
+           |      AND contains(raw, ':'))) AS valid_ip
+           |FROM (SELECT n_nationkey, $rawSql AS raw FROM nation)
+           |ORDER BY n_nationkey""".stripMargin
+      },
+    ),
     // geo/rDNS enrichment end-to-end: deterministic IPv4s derived from
     // events.user_id → broadcast fixture lookup → top-countries panel
     // (overview p5, the panel that is always empty on "Unknown" stubs)
