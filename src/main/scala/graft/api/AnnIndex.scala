@@ -97,7 +97,7 @@ object AnnIndex {
       .select(col("q_id"), col("q_vec"), col("cluster"))
     val scored = assigned.join(broadcast(qProbes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(expr("cosine_similarity(q_vec, embedding)"), 4))
+      .withColumn("cos", expr("cosine_similarity(q_vec, embedding)"))
     // bounded-heap top-k (partial aggregate, ≤ k rows per query per
     // partition cross the exchange) — not a window over all scored rows
     VectorOps.topKByCosine(scored, topK)

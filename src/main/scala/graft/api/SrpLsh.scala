@@ -143,7 +143,7 @@ object SrpLsh {
     val scored = cand
       .join(queries, "q_id")
       .join(corpus, "vec_id")
-      .withColumn("cos", round(expr("cosine_similarity(q_vec, embedding)"), 4))
+      .withColumn("cos", expr("cosine_similarity(q_vec, embedding)"))
     VectorOps.topKByCosine(scored, topK)
   }
 }

@@ -17,7 +17,7 @@ private[api] object VectorOps {
     cand
       .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("va")), "a_id")
       .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("vb")), "b_id")
-      .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
+      .withColumn("cos", expr("cosine_similarity(va, vb)"))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
 

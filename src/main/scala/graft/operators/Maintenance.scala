@@ -30,7 +30,13 @@ object Maintenance extends QueryModule {
     events.select(
       col("event_id"),
       col("user_id").bitwiseAND(lit(65535L)).as("u16"),
-      (unix_micros(col("ts")) / 86400000000L).cast("long")
+      // FLOOR division via pmod-subtraction, exact in integer space:
+      // plain `/`+cast truncates toward zero and Spark's `div` does too,
+      // but the DuckDB oracle's `//` floors — they'd disagree on any
+      // pre-1970 timestamp. (x - pmod(x, d)) is an exact multiple of d
+      // within double's 2^53, so the division is exact for either sign.
+      ((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(86400000000L)))
+        / 86400000000L).cast("long")
         .bitwiseAND(lit(65535L)).as("d16"))
 
   private val u16Sql = "(user_id & 65535)"
@@ -106,18 +112,30 @@ object Maintenance extends QueryModule {
       "q_table_stats",
       (s, dir) => {
         val l = Tables(s, dir).lineitem
-        def statRow(c: String, toStr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-          l.agg(count(lit(1)).as("n_rows"),
-                sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-                countDistinct(col(c)).as("n_distinct"),
-                toStr(min(col(c))).as("min_str"),
-                toStr(max(col(c))).as("max_str"))
-            .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
-                    col("n_distinct"), col("min_str"), col("max_str"))
-        statRow("l_orderkey", _.cast("string"))
-          .unionByName(statRow("l_linenumber", _.cast("string")))
-          .unionByName(statRow("l_returnflag", _.cast("string")))
-          .unionByName(statRow("l_shipdate", _.cast("date").cast("string")))
+        def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+        // ONE aggregate over one scan (the multi-countDistinct plans as
+        // a single Expand-fed hash aggregate, not four jobs)
+        l.agg(
+            count(lit(1)).as("n_rows"),
+            nulls("l_orderkey").as("nu_ok"), countDistinct(col("l_orderkey")).as("nd_ok"),
+            min(col("l_orderkey")).cast("string").as("mn_ok"),
+            max(col("l_orderkey")).cast("string").as("mx_ok"),
+            nulls("l_linenumber").as("nu_ln"), countDistinct(col("l_linenumber")).as("nd_ln"),
+            min(col("l_linenumber")).cast("string").as("mn_ln"),
+            max(col("l_linenumber")).cast("string").as("mx_ln"),
+            nulls("l_returnflag").as("nu_rf"), countDistinct(col("l_returnflag")).as("nd_rf"),
+            min(col("l_returnflag")).cast("string").as("mn_rf"),
+            max(col("l_returnflag")).cast("string").as("mx_rf"),
+            nulls("l_shipdate").as("nu_sd"), countDistinct(col("l_shipdate")).as("nd_sd"),
+            min(col("l_shipdate")).cast("date").cast("string").as("mn_sd"),
+            max(col("l_shipdate")).cast("date").cast("string").as("mx_sd"))
+          .selectExpr(
+            """stack(4,
+              |  'l_orderkey',   n_rows, nu_ok, nd_ok, mn_ok, mx_ok,
+              |  'l_linenumber', n_rows, nu_ln, nd_ln, mn_ln, mx_ln,
+              |  'l_returnflag', n_rows, nu_rf, nd_rf, mn_rf, mx_rf,
+              |  'l_shipdate',   n_rows, nu_sd, nd_sd, mn_sd, mx_sd)
+              |AS (column_name, n_rows, n_nulls, n_distinct, min_str, max_str)""".stripMargin)
           .orderBy("column_name")
       },
       Some("""SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,

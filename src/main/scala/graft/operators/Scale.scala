@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Scale extends QueryModule {
 
-  /** Two-stage salted aggregation: count + decimal sum per key. */
-  def saltedSum(df: DataFrame, key: Column, value: Column, saltBuckets: Int): DataFrame = {
-    val salt = pmod(crc32(col("event_id").cast("string")), lit(saltBuckets))
+  /** Two-stage salted aggregation: count + decimal sum per key. `rowId`
+    * seeds the deterministic salt (any column unique-ish per row).
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column, saltBuckets: Int,
+                rowId: Column = col("event_id")): DataFrame = {
+    val salt = pmod(crc32(rowId.cast("string")), lit(saltBuckets))
     df.groupBy(key.as("k"), salt.as("s"))
       .agg(count(lit(1)).as("pn"), sum(value.cast("decimal(18,2)")).as("pv"))
       .groupBy(col("k"))

@@ -25,7 +25,13 @@ object Similarity extends QueryModule {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
-  private val cos = "round(cosine_similarity(q_vec, embedding), 4)"
+  // UNROUNDED on purpose: bit-identical doubles hash identically via
+  // repr(), while round()ing a derived double at a display precision is
+  // the documented cross-engine tie trap (Spark rounds the exact binary
+  // expansion, DuckDB the scaled value) — and here the value feeds
+  // top-k SELECTION and d_embedding_neardup's tau MEMBERSHIP, where a
+  // one-ulp disagreement flips rows, not just digits.
+  private val cos = "cosine_similarity(q_vec, embedding)"
 
   override def entries: Seq[QueryDef] = Seq(
     // brute-force cosine top-k: the exact baseline every ANN variant is
@@ -55,7 +61,7 @@ object Similarity extends QueryModule {
               |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
               |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM c WHERE vec_id < 10),
               |scored AS (SELECT q_id, vec_id,
-              |  ROUND(${duckDot("q_vec", "embedding")} / (nrm * q_nrm), 4) AS cos
+              |  ${duckDot("q_vec", "embedding")} / (nrm * q_nrm) AS cos
               |  FROM c, q WHERE vec_id <> q_id),
               |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER
               |  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rn FROM scored)
@@ -118,7 +124,7 @@ object Similarity extends QueryModule {
            |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cdot DESC, vec_id) AS crn
            |  FROM coarse) WHERE crn <= 20),
            |rescored AS (SELECT cand.q_id, cand.vec_id,
-           |  ROUND(${duckDot("q_vec", "embedding")} / (nrm * q_nrm), 4) AS cos
+           |  ${duckDot("q_vec", "embedding")} / (nrm * q_nrm) AS cos
            |  FROM cand JOIN c ON c.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id),
            |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER
            |  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rn FROM rescored)
@@ -143,9 +149,9 @@ object Similarity extends QueryModule {
               |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
               |p AS (SELECT vec_id AS a_id, embedding AS a_vec, nrm AS a_nrm FROM c WHERE vec_id < 200)
               |SELECT a_id, vec_id AS b_id,
-              |ROUND(${duckDot("a_vec", "embedding")} / (a_nrm * nrm), 4) AS cos
+              |${duckDot("a_vec", "embedding")} / (a_nrm * nrm) AS cos
               |FROM c, p WHERE a_id < vec_id
-              |  AND ROUND(${duckDot("a_vec", "embedding")} / (a_nrm * nrm), 4) >= 0.45
+              |  AND ${duckDot("a_vec", "embedding")} / (a_nrm * nrm) >= 0.45
               |ORDER BY a_id, b_id""".stripMargin),
     ),
     // corpus-scale near-dup: BOTH sides IVF-bucketed (multi-probe
@@ -280,7 +286,7 @@ object Similarity extends QueryModule {
               |c AS (SELECT * FROM n WHERE vec_id >= 10),
               |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM n WHERE vec_id < 10),
               |scored AS (SELECT q_id, c.vec_id, label,
-              |  ROUND(${duckDot("q_vec", "embedding")} / (nrm * q_nrm), 4) AS cos
+              |  ${duckDot("q_vec", "embedding")} / (nrm * q_nrm) AS cos
               |  FROM c, q),
               |ranked AS (SELECT *, ROW_NUMBER() OVER
               |  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM scored),
@@ -299,26 +305,36 @@ object Similarity extends QueryModule {
     QueryDef(
       "s_vector_stats",
       (s, dir) => {
+        // norms stay UNROUNDED (identical folds → identical doubles; a
+        // display-precision round is the cross-engine tie trap). The
+        // per-group mean needs an order-free exact sum of derived
+        // doubles, and double→DECIMAL casts drift a ulp cross-engine —
+        // so each norm is floored onto the 2^-52 grid first: the
+        // power-of-two multiply only shifts the exponent (exact at any
+        // magnitude) and FLOOR of identical doubles is identical, so
+        // the DECIMAL sums agree bit for bit. 2^52 (not 2^62) leaves
+        // headroom for norms above 2.
+        val P52 = "4503599627370496.0" // 2^52
         val e = Tables(s, dir).embeddings
         val nrm = expr(
-          """round(sqrt(aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
-            |CAST(0 AS DOUBLE), (a, x) -> a + x)), 6)""".stripMargin)
+          """sqrt(aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+            |CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin)
         e.select(col("label"), nrm.as("nrm"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_vecs"),
-               round(min(col("nrm")), 4).as("min_norm"),
-               round(max(col("nrm")), 4).as("max_norm"),
-               round(sum(col("nrm").cast("decimal(18,6)")).cast("double") /
-                 count(lit(1)), 4).as("avg_norm"))
+               min(col("nrm")).as("min_norm"),
+               max(col("nrm")).as("max_norm"),
+               expr(s"CAST(SUM(CAST(FLOOR(nrm * $P52) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(1) / $P52")
+                 .as("avg_norm"))
           .orderBy("label")
       },
       Some(s"""WITH c AS (SELECT label,
-              |  ROUND(sqrt(${duckDot("embedding", "embedding")}), 6) AS nrm
+              |  sqrt(${duckDot("embedding", "embedding")}) AS nrm
               |  FROM embeddings)
               |SELECT label, COUNT(*) AS n_vecs,
-              |ROUND(MIN(nrm), 4) AS min_norm,
-              |ROUND(MAX(nrm), 4) AS max_norm,
-              |ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
+              |MIN(nrm) AS min_norm,
+              |MAX(nrm) AS max_norm,
+              |CAST(SUM(CAST(FLOOR(nrm * 4503599627370496.0) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) / 4503599627370496.0 AS avg_norm
               |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
     // per-label CENTROID norms — the class-separation half of the

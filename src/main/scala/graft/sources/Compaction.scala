@@ -49,11 +49,18 @@ object Compaction {
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
-  /** File count + bytes per `key=value` partition directory. */
+  /** File count + bytes per `key=value` partition directory. Hidden
+    * directories (a crashed run's `.compact-*` / `.merge-tmp`) are not
+    * partitions — without this guard a stale tmp dir would surface as a
+    * phantom partition to retention and re-compaction.
+    */
   def partitionStats(spark: SparkSession, tablePath: String): Seq[PartitionStats] = {
     val fs = fileSystem(spark, tablePath)
     fs.listStatus(new Path(tablePath)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.contains("=") && !n.startsWith(".") && !n.startsWith("_")
+      }
       .map { st =>
         val fls = dataFiles(fs, st.getPath)
         PartitionStats(st.getPath.getName, fls.length, fls.map(_.getLen).sum)

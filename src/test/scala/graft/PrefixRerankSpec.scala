@@ -22,11 +22,8 @@ class PrefixRerankSpec extends SparkSpec {
       while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      val d = dot(a, b, 64) / (math.sqrt(dot(a, a, 64)) * math.sqrt(dot(b, b, 64)))
-      // Spark's round(): HALF_UP on the decimal string representation
-      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b, 64) / (math.sqrt(dot(a, a, 64)) * math.sqrt(dot(b, b, 64)))
     val expected = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { q =>
       val qv = vecs(q)
       val cands = vecs.toSeq.filter(_._1 != q)
