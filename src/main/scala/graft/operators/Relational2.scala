@@ -34,6 +34,34 @@ object Relational2 extends QueryModule {
              |  AND abs(a.ts_us - b.ts_us) <= 900000000
              |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+    // KEYLESS band join — no equi-conjunct at all, the shape Catalyst
+    // can only nested-loop. The plans.BandJoinBinning optimizer rule
+    // (registered in GraftExtensions) rewrites it to a binned hash join
+    // automatically; the declarative query stays the naive inequality.
+    // PlanAuditSpec asserts the plan carries no BNLJ/cartesian.
+    QueryDef(
+      "q_band_join_auto",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+          .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val a = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("a_id"), col("us").as("a_us"))
+        val b = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("b_id"), col("us").as("b_us"))
+        a.join(b, expr("abs(a_us - b_us) <= 900000000"))
+          .agg(count(lit(1)).as("n_pairs"),
+               min(abs(col("a_us") - col("b_us"))).as("min_gap_us"),
+               max(abs(col("a_us") - col("b_us"))).as("max_gap_us"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |  EPOCH_US(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |a AS (SELECT event_id AS a_id, us AS a_us FROM e WHERE event_type = 'purchase'),
+             |b AS (SELECT event_id AS b_id, us AS b_us FROM e WHERE event_type = 'signup')
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |MIN(abs(a_us - b_us)) AS min_gap_us,
+             |MAX(abs(a_us - b_us)) AS max_gap_us
+             |FROM a JOIN b ON abs(a_us - b_us) <= 900000000""".stripMargin),
+    ),
     // INTERSECT / EXCEPT / UNION ALL
     QueryDef(
       "q_set_ops",

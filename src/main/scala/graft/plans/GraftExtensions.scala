@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => BandJoinBinning)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       CosineSimilarity.info,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** plans.BandJoinBinning: a keyless `abs(x - y) <= w` inner join must
+  * plan as a binned equi-join (hash/sort-merge on the bin key), never a
+  * BroadcastNestedLoopJoin — and return exactly the nested loop's rows,
+  * including band-boundary pairs, bin-boundary pairs, and negative
+  * timestamps (truncating division's jump points differ from floor's
+  * around zero; the ±1-bin probe must still cover every in-band pair).
+  */
+class BandJoinBinningSpec extends SparkSpec {
+
+  private def frames(): (DataFrame, DataFrame, Seq[Long], Seq[Long]) = {
+    // values straddle 0 and the ±w bin edges (w = 100)
+    val as = Seq(-250L, -101L, -100L, -1L, 0L, 1L, 99L, 100L, 101L, 250L, 1000L)
+    val bs = Seq(-300L, -200L, -150L, -50L, 0L, 50L, 150L, 199L, 200L, 300L, 1100L)
+    import spark.implicits._
+    val a = as.toDF("a_us").withColumn("a_id", monotonically_increasing_id())
+    val b = bs.toDF("b_us").withColumn("b_id", monotonically_increasing_id())
+    (a, b, as, bs)
+  }
+
+  test("band join matches the nested-loop result exactly") {
+    val (a, b, as, bs) = frames()
+    val got = a.join(b, expr("abs(a_us - b_us) <= 100"))
+      .select("a_us", "b_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (x <- as; y <- bs if math.abs(x - y) <= 100) yield (x, y)).toSet
+    assert(got == want)
+  }
+
+  test("strict < and reversed w >= abs(...) forms also rewrite and match") {
+    val (a, b, as, bs) = frames()
+    val strict = a.join(b, expr("abs(a_us - b_us) < 100"))
+      .select("a_us", "b_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == (for (x <- as; y <- bs if math.abs(x - y) < 100) yield (x, y)).toSet)
+    val rev = a.join(b, expr("100 >= abs(b_us - a_us)"))
+    assert(!rev.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(rev.count() == (for (x <- as; y <- bs if math.abs(x - y) <= 100) yield 1).size)
+  }
+
+  test("the plan is an equi-join on the bin key, not a nested loop") {
+    val (a, b, _, _) = frames()
+    val p = a.join(b, expr("abs(a_us - b_us) <= 100"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("_graft_band_bin"), p)
+  }
+
+  test("a join that already has an equi key is left alone") {
+    val (a, b, _, _) = frames()
+    val withKey = a.join(b,
+      expr("a_id = b_id AND abs(a_us - b_us) <= 100"))
+    val p = withKey.queryExecution.executedPlan.toString
+    assert(!p.contains("_graft_band_bin"), p)
+  }
+
+  test("registry q_band_join_auto agrees with a driver-side recount") {
+    val q = SparkEntry.queries("q_band_join_auto")(spark, sfDir)
+    val row = q.collect().head
+    val e = Tables(spark, sfDir).events
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+    val ps = e.filter(_.getString(0) == "purchase").map(_.getLong(1))
+    val ss = e.filter(_.getString(0) == "signup").map(_.getLong(1))
+    val gaps = for (x <- ps; y <- ss if math.abs(x - y) <= 900000000L)
+      yield math.abs(x - y)
+    assert(row.getLong(0) == gaps.length.toLong)
+    if (gaps.nonEmpty) {
+      assert(row.getLong(1) == gaps.min)
+      assert(row.getLong(2) == gaps.max)
+    }
+  }
+}
