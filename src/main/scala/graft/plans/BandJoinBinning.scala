@@ -6,66 +6,111 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
-/** Optimizer rule: rewrite an inner join whose condition carries a band
-  * predicate `abs(x - y) <= w` (BIGINT sides from opposite inputs, w a
-  * positive literal) but NO equi-conjunct into a binned equi-join.
+/** Optimizer rule: rewrite an inner join whose condition bounds the
+  * difference of two BIGINT expressions from opposite inputs into a
+  * binned equi-join — covering every common band spelling:
   *
-  * Without an equality Spark can only run such a join as a
+  *   abs(x − y) <= w                          (symmetric band)
+  *   x BETWEEN y − w1 AND y + w2              (analyzer-expanded pair)
+  *   x − y <= c  /  x <= y + c  /  x >= y     (one-sided + as-of bands)
+  *
+  * Without an equi-conjunct Spark can only run such a join as a
   * BroadcastNestedLoopJoin — O(|L|·|R|) comparisons regardless of how
   * narrow the band is, the classic scale cliff of event-correlation
-  * queries (`/root/reference` exposes interval predicates through its
-  * SQL surface; at 100 TB a nested loop over two event sets is not
-  * runnable). The rewrite is the standard binning scheme the composed
+  * queries (at 100 TB a nested loop over two event sets is not
+  * runnable). The rewrite is the binning scheme the composed
   * `api.Joins.rangeJoin` applies by hand, lifted into Catalyst so ANY
   * band join — spark.sql text, DataFrame expr, a BI tool's generated
-  * SQL — gets the hash plan automatically:
+  * SQL — gets the hash plan automatically.
   *
-  *   L ⋈ R on abs(x−y) ≤ w
-  *     →  explode(L, bin ∈ {x div w − 1, x div w, x div w + 1})
-  *        ⋈ R on binL = (y div w)  AND abs(x−y) ≤ w
+  * Conjuncts are normalized into interval bounds on d = (left-side
+  * expr − right-side expr); a pair with lo ≤ d ≤ hi rewrites as
   *
-  * Every |x−y| ≤ w pair lands in adjacent-or-equal width-w bins (for
-  * truncating division the jump points are spaced w apart, so a
-  * length-w interval crosses at most one), hence probing the three
-  * neighbor bins loses nothing; the original band predicate stays in
-  * the join condition and drops the false candidates. Cost becomes
-  * 3·|L| + |R| shuffled rows hash-joined on the bin key — AQE-sizable,
-  * skew-splittable — with per-bin occupancy bounding the compare count.
+  *   explode(L, bin ∈ {x div W − 1, x div W, x div W + 1})
+  *     ⋈ R on bin = ((y + lo) div W)  AND  <original conjuncts>
+  *
+  * with W = max(hi − lo, 1). Any in-band pair has x − (y + lo) in
+  * [0, W]; truncating division's jump points are spaced ≥ W apart, so
+  * over that closed length-W interval the quotient changes by at most
+  * one — probing the three neighbor bins loses nothing (negative
+  * values included: trunc's double-width flat interval around zero
+  * only widens a step, never narrows one). The original predicates
+  * stay in the join condition and drop false candidates; cost becomes
+  * 3·|L| + |R| shuffled rows hash-joined on the bin key —
+  * AQE-sizable, skew-splittable — with per-bin occupancy bounding the
+  * compare count.
   *
   * The rule fires only when no equi-conjunct spans the inputs (if one
   * exists, Spark already hash-joins on it and the band is a cheap
   * post-filter) — which also makes the rewrite idempotent under the
   * fixed-point optimizer batch, since the output join carries the bin
-  * equality. Self-joins arrive with deduplicated attribute ids (the
-  * analyzer re-aliases), so side attribution via `references` is exact.
+  * equality. One-sided bands with an unbounded other side (plain
+  * `x >= y` alone) are left as-is: there is no finite bin width.
   */
 object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
 
-  private case class Band(lExpr: Expression, rExpr: Expression, width: Long)
-
-  /** abs(x − y) ≤ w (or <) with x, y deterministic BIGINT expressions
-    * resolving to opposite join inputs.
+  /** Interval bound on d = xExpr − yExpr (both deterministic BIGINT,
+    * from opposite join inputs; `xOnLeft` records which).
     */
-  private def matchBand(conjunct: Expression, left: LogicalPlan,
-                        right: LogicalPlan): Option[Band] = {
-    def sides(x: Expression, y: Expression, w: Long): Option[Band] = {
-      if (w <= 0 || x.dataType != LongType || y.dataType != LongType ||
-          !x.deterministic || !y.deterministic) None
-      else if (x.references.nonEmpty && x.references.subsetOf(left.outputSet) &&
-               y.references.nonEmpty && y.references.subsetOf(right.outputSet))
-        Some(Band(x, y, w))
-      else if (x.references.nonEmpty && x.references.subsetOf(right.outputSet) &&
-               y.references.nonEmpty && y.references.subsetOf(left.outputSet))
-        Some(Band(y, x, w))
-      else None
+  private case class Bound(x: Expression, y: Expression, xOnLeft: Boolean,
+                           lo: Option[Long], hi: Option[Long])
+
+  private def longSide(e: Expression, in: LogicalPlan): Boolean =
+    e.dataType == LongType && e.deterministic &&
+      e.references.nonEmpty && e.references.subsetOf(in.outputSet)
+
+  /** Normalize one comparison conjunct into a Bound, if it constrains
+    * the difference of two opposite-side BIGINT expressions.
+    */
+  private def toBound(conjunct: Expression, left: LogicalPlan,
+                      right: LogicalPlan): Option[Bound] = {
+    // (A cmpGE B) meaning A >= B + adj (adj = 1 for strict >)
+    def bound(a: Expression, b: Expression, isLower: Boolean,
+              adj: Long): Option[Bound] = {
+      // decompose B into (base, shift): y + c, y − c, x − y vs literal
+      val (x, base, shift) = (a, b) match {
+        case (xx, Add(yy, Literal(c: Long, LongType), _)) => (xx, yy, c)
+        case (xx, Subtract(yy, Literal(c: Long, LongType), _)) => (xx, yy, -c)
+        case (Subtract(xx, yy, _), Literal(c: Long, LongType))
+            if xx.dataType == LongType && yy.dataType == LongType =>
+          // x − y cmp c  ⟺  x cmp y + c
+          (xx, yy, c)
+        case (xx, yy) => (xx, yy, 0L)
+      }
+      val sides =
+        if (longSide(x, left) && longSide(base, right)) Some(true)
+        else if (longSide(x, right) && longSide(base, left)) Some(false)
+        else None
+      sides.map { xOnLeft =>
+        // x >= base + shift + adj → lo on (x − base); x <= ... → hi
+        if (isLower) Bound(x, base, xOnLeft, Some(shift + adj), None)
+        else Bound(x, base, xOnLeft, None, Some(shift - adj))
+      }
     }
+    // abs form: a complete symmetric interval |x − y| ≤ w in one
+    // conjunct (ww = w − 1 for the strict variants)
+    def absBand(x: Expression, y: Expression, ww: Long): Option[Bound] =
+      if (ww < 0) None
+      else if (longSide(x, left) && longSide(y, right))
+        Some(Bound(x, y, xOnLeft = true, Some(-ww), Some(ww)))
+      else if (longSide(x, right) && longSide(y, left))
+        Some(Bound(x, y, xOnLeft = false, Some(-ww), Some(ww)))
+      else None
     conjunct match {
       case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(w: Long, LongType)) =>
-        sides(x, y, w)
+        absBand(x, y, w)
       case LessThan(Abs(Subtract(x, y, _), _), Literal(w: Long, LongType)) =>
-        sides(x, y, w) // |d| < w ⟹ |d| ≤ w: same ±1-bin coverage
+        absBand(x, y, w - 1)
       case GreaterThanOrEqual(Literal(w: Long, LongType), Abs(Subtract(x, y, _), _)) =>
-        sides(x, y, w)
+        absBand(x, y, w)
+      case GreaterThan(Literal(w: Long, LongType), Abs(Subtract(x, y, _), _)) =>
+        absBand(x, y, w - 1)
+      // one-sided bounds; a pair with the same (x, y) merges in
+      // finiteBand. Strict forms tighten by 1 (integer domain).
+      case GreaterThanOrEqual(a, b) => bound(a, b, isLower = true, 0L)
+      case GreaterThan(a, b)        => bound(a, b, isLower = true, 1L)
+      case LessThanOrEqual(a, b)    => bound(a, b, isLower = false, 0L)
+      case LessThan(a, b)           => bound(a, b, isLower = false, 1L)
       case _ => None
     }
   }
@@ -83,30 +128,58 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Merge per-conjunct bounds by (x, y) pair; return the first pair
+    * with BOTH a lower and an upper bound (a finite band).
+    */
+  private def finiteBand(bounds: Seq[Bound]): Option[(Expression, Expression, Boolean, Long, Long)] = {
+    val grouped = bounds.groupBy(b =>
+      (b.x.canonicalized, b.y.canonicalized, b.xOnLeft))
+    grouped.iterator.flatMap { case (_, bs) =>
+      val los = bs.flatMap(_.lo)
+      val his = bs.flatMap(_.hi)
+      if (los.isEmpty || his.isEmpty) None
+      else {
+        val lo = los.max
+        val hi = his.min
+        // reject contradictory bands and magnitudes where the width
+        // subtraction or the build-side `y + lo` shift could overflow
+        val Cap = 1L << 61
+        if (lo > hi || lo <= -Cap || hi >= Cap) None
+        else Some((bs.head.x, bs.head.y, bs.head.xOnLeft, lo, hi))
+      }
+    }.toSeq.headOption
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val band =
         if (conjuncts.exists(isEquiAcross(_, left, right))) None
-        else conjuncts.iterator.flatMap(matchBand(_, left, right)).nextOption()
+        else finiteBand(conjuncts.flatMap(toBound(_, left, right)))
       band match {
         case None => j
-        case Some(b) =>
-          val w = Literal(b.width, LongType)
+        case Some((x, y, xOnLeft, lo, hi)) =>
+          val width = math.max(hi - lo, 1L)
+          val w = Literal(width, LongType)
           def binOf(e: Expression): Expression = new IntegralDivide(e, w)
           val one = Literal(1L, LongType)
+          // probe side = the input holding x; build key = (y + lo) div W
+          val probeBase = binOf(x)
           val probeBins = CreateArray(Seq(
-            Subtract(binOf(b.lExpr), one), binOf(b.lExpr), Add(binOf(b.lExpr), one)))
+            Subtract(probeBase, one), probeBase, Add(probeBase, one)))
           val gen = Explode(probeBins)
-          val binL = AttributeReference("_graft_band_bin",
+          val binP = AttributeReference("_graft_band_bin",
             LongType, nullable = gen.elementSchema.head.nullable)()
+          val yShift = if (lo == 0L) y else Add(y, Literal(lo, LongType))
+          val binB = Alias(binOf(yShift), "_graft_band_bin_b")()
+          val (probeIn, buildIn) = if (xOnLeft) (left, right) else (right, left)
           val probed = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-            qualifier = None, generatorOutput = Seq(binL), child = left)
-          val binR = Alias(binOf(b.rExpr), "_graft_band_bin_r")()
-          val build = Project(right.output :+ binR, right)
-          val newCond = (EqualTo(binL, binR.toAttribute) +: conjuncts).reduce(And)
+            qualifier = None, generatorOutput = Seq(binP), child = probeIn)
+          val build = Project(buildIn.output :+ binB, buildIn)
+          val newCond = (EqualTo(binP, binB.toAttribute) +: conjuncts).reduce(And)
+          val (newL, newR) = if (xOnLeft) (probed, build) else (build, probed)
           // project back to the original output: bin columns are internal
-          Project(j.output, Join(probed, build, Inner, Some(newCond), hint))
+          Project(j.output, Join(newL, newR, Inner, Some(newCond), hint))
       }
   }
 }

@@ -50,6 +50,35 @@ class BandJoinBinningSpec extends SparkSpec {
     assert(p.contains("_graft_band_bin"), p)
   }
 
+  test("BETWEEN / one-sided / as-of spellings rewrite and match") {
+    val (a, b, as, bs) = frames()
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("a_us", "b_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def brute(p: (Long, Long) => Boolean): Set[(Long, Long)] =
+      (for (x <- as; y <- bs if p(x, y)) yield (x, y)).toSet
+
+    // analyzer-expanded BETWEEN (asymmetric widths)
+    val between = a.join(b, expr("a_us BETWEEN b_us - 50 AND b_us + 150"))
+    assert(!between.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(pairs(between) == brute((x, y) => x >= y - 50 && x <= y + 150))
+
+    // difference-vs-literal pair (x − y bounded both ways)
+    val diff = a.join(b, expr("a_us - b_us <= 100 AND a_us - b_us >= -100"))
+    assert(!diff.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(pairs(diff) == brute((x, y) => math.abs(x - y) <= 100))
+
+    // as-of band: strictly-after within an hour-like window
+    val asof = a.join(b, expr("a_us > b_us AND a_us <= b_us + 200"))
+    assert(!asof.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(pairs(asof) == brute((x, y) => x > y && x <= y + 200))
+
+    // a one-sided band alone has no finite width: must NOT rewrite
+    val oneSided = a.join(b, expr("a_us >= b_us"))
+    assert(!oneSided.queryExecution.executedPlan.toString.contains("_graft_band_bin"))
+    assert(oneSided.count() == brute((x, y) => x >= y).size)
+  }
+
   test("a join that already has an equi key is left alone") {
     val (a, b, _, _) = frames()
     val withKey = a.join(b,
