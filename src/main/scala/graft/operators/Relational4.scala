@@ -212,6 +212,14 @@ object Relational4 extends QueryModule {
             .cast("double").as("sy2"),
           sum(expr("CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"))
             .cast("double").as("sxy"))
+        // ROUNDED on purpose — the one family where the no-round rule
+        // inverts. The sums are decimal-exact, but casting the WIDE
+        // squared-sum decimals (sy2/sxy, > 2^53 in scaled units) to
+        // double rounds differently per engine by ~1 ulp, so the
+        // unrounded derived doubles already disagree at digit 16
+        // (observed at sf0.001). round() at 4–6dp re-synchronizes them;
+        // a disagreement would now need a value within ~1e-16 relative
+        // of a x.xxxx5 boundary — verified clean at all three SFs.
         sums.select(
             col("l_returnflag"), col("n"),
             expr("round(sx / CAST(n AS DOUBLE), 4)").as("mean_qty"),
@@ -238,6 +246,59 @@ object Relational4 extends QueryModule {
              |round((CAST(n AS DOUBLE) * sxy - sx * sy) /
              |sqrt((CAST(n AS DOUBLE) * sx2 - sx * sx) * (CAST(n AS DOUBLE) * sy2 - sy * sy)), 6) AS corr_qty_price
              |FROM s ORDER BY 1""".stripMargin),
+    ),
+    // UNPIVOT (melt): wide per-group measures → long (measure, value)
+    // rows via the first-class Dataset.unpivot API (plans as a single
+    // Expand over the aggregate — one scan, no union of selects).
+    // Measure VALUES stay decimal-exact-cast-double (deterministic);
+    // measure NAMES are the unpivoted column names in both engines.
+    QueryDef(
+      "q_unpivot",
+      (s, dir) => {
+        val l = Tables(s, dir).lineitem
+        l.groupBy(col("l_returnflag")).agg(
+            sum(col("l_quantity").cast(Money)).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(Money)).cast("double").as("sum_price"),
+            sum(col("l_discount").cast(Money)).cast("double").as("sum_disc"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            "measure", "value")
+          .orderBy("l_returnflag", "measure")
+      },
+      Some("""WITH s AS (SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, measure, value FROM s
+             |UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+             |ORDER BY 1, 2""".stripMargin),
+    ),
+    // correlated LATERAL subquery with ORDER BY + LIMIT — top-2
+    // customers per nation through the first-class spark.sql LATERAL
+    // surface. Catalyst decorrelates the limit into a partitioned
+    // window (rank ≤ 2 per nation), so the plan is one shuffle on the
+    // correlation key — never a per-nation driver loop.
+    QueryDef(
+      "q_lateral_topn",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.createOrReplaceTempView("nation")
+        t.customer.createOrReplaceTempView("customer")
+        s.sql("""SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DECIMAL(18,2)) AS acctbal
+                |FROM nation n, LATERAL (
+                |  SELECT c_name, c_acctbal FROM customer
+                |  WHERE c_nationkey = n.n_nationkey
+                |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+                |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DECIMAL(18,2)) AS acctbal
+             |FROM nation n, LATERAL (
+             |  SELECT c_name, c_acctbal FROM customer
+             |  WHERE c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+             |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin),
     ),
     // mergeable-sketch rollup — the warehouse pattern behind "distinct
     // users over an arbitrary date range without rescanning events":
