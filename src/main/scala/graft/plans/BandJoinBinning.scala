@@ -106,11 +106,21 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThan(Literal(w: Long, LongType), Abs(Subtract(x, y, _), _)) =>
         absBand(x, y, w - 1)
       // one-sided bounds; a pair with the same (x, y) merges in
-      // finiteBand. Strict forms tighten by 1 (integer domain).
-      case GreaterThanOrEqual(a, b) => bound(a, b, isLower = true, 0L)
-      case GreaterThan(a, b)        => bound(a, b, isLower = true, 1L)
-      case LessThanOrEqual(a, b)    => bound(a, b, isLower = false, 0L)
-      case LessThan(a, b)           => bound(a, b, isLower = false, 1L)
+      // finiteBand. Strict forms tighten by 1 (integer domain); a
+      // foldable (literal-ish) left side mirrors to the canonical
+      // value-on-left orientation first (`c <= x − y` ⟺ `x − y >= c`).
+      case GreaterThanOrEqual(a, b) =>
+        if (a.foldable) bound(b, a, isLower = false, 0L)
+        else bound(a, b, isLower = true, 0L)
+      case GreaterThan(a, b) =>
+        if (a.foldable) bound(b, a, isLower = false, 1L)
+        else bound(a, b, isLower = true, 1L)
+      case LessThanOrEqual(a, b) =>
+        if (a.foldable) bound(b, a, isLower = true, 0L)
+        else bound(a, b, isLower = false, 0L)
+      case LessThan(a, b) =>
+        if (a.foldable) bound(b, a, isLower = true, 1L)
+        else bound(a, b, isLower = false, 1L)
       case _ => None
     }
   }

@@ -73,6 +73,11 @@ class BandJoinBinningSpec extends SparkSpec {
     assert(!asof.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
     assert(pairs(asof) == brute((x, y) => x > y && x <= y + 200))
 
+    // literal-on-left spelling mirrors to the canonical orientation
+    val litLeft = a.join(b, expr("-100 <= a_us - b_us AND a_us - b_us <= 100"))
+    assert(!litLeft.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(pairs(litLeft) == brute((x, y) => math.abs(x - y) <= 100))
+
     // a one-sided band alone has no finite width: must NOT rewrite
     val oneSided = a.join(b, expr("a_us >= b_us"))
     assert(!oneSided.queryExecution.executedPlan.toString.contains("_graft_band_bin"))
