@@ -252,6 +252,9 @@ object Relational4 extends QueryModule {
     // Expand over the aggregate — one scan, no union of selects).
     // Measure VALUES stay decimal-exact-cast-double (deterministic);
     // measure NAMES are the unpivoted column names in both engines.
+    // Dataset.unpivot RETAINS null measure values while SQL UNPIVOT
+    // drops them by default — INCLUDE NULLS on the oracle side pins
+    // the retained-null semantics against future nullable measures.
     QueryDef(
       "q_unpivot",
       (s, dir) => {
@@ -272,7 +275,7 @@ object Relational4 extends QueryModule {
              |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
              |  FROM lineitem GROUP BY 1)
              |SELECT l_returnflag, measure, value FROM s
-             |UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+             |UNPIVOT INCLUDE NULLS (value FOR measure IN (sum_qty, sum_price, sum_disc))
              |ORDER BY 1, 2""".stripMargin),
     ),
     // correlated LATERAL subquery with ORDER BY + LIMIT — top-2

@@ -24,21 +24,24 @@ import org.apache.spark.sql.types.LongType
   * SQL — gets the hash plan automatically.
   *
   * Conjuncts are normalized into interval bounds on d = (left-side
-  * expr − right-side expr); a pair with lo ≤ d ≤ hi rewrites as
+  * expr − right-side expr) — bounds written from the other side
+  * (`b ≤ a` vs `a ≥ b`) canonicalize to one orientation and merge —
+  * and a pair with lo ≤ d ≤ hi rewrites as
   *
-  *   explode(L, bin ∈ {x div W − 1, x div W, x div W + 1})
-  *     ⋈ R on bin = ((y + lo) div W)  AND  <original conjuncts>
+  *   explode(L, bin ∈ {⌊x/W⌋ − 1, ⌊x/W⌋})
+  *     ⋈ R on bin = ⌊(y + lo)/W⌋  AND  <original conjuncts>
   *
   * with W = max(hi − lo, 1). Any in-band pair has x − (y + lo) in
-  * [0, W]; truncating division's jump points are spaced ≥ W apart, so
-  * over that closed length-W interval the quotient changes by at most
-  * one — probing the three neighbor bins loses nothing (negative
-  * values included: trunc's double-width flat interval around zero
-  * only widens a step, never narrows one). The original predicates
-  * stay in the join condition and drop false candidates; cost becomes
-  * 3·|L| + |R| shuffled rows hash-joined on the bin key —
-  * AQE-sizable, skew-splittable — with per-bin occupancy bounding the
-  * compare count.
+  * [0, W]; floor division is monotone with jump points spaced exactly
+  * W apart, so over that closed length-W interval the quotient grows
+  * by at most one — the build bin is always ⌊x/W⌋ or ⌊x/W⌋ − 1, and
+  * two probe arms are complete. Bin arithmetic runs in DECIMAL(38,0)
+  * (exact floor via the pmod-subtraction idiom), so a BIGINT value
+  * near ±2^63 can neither throw under ANSI mode nor wrap into a wrong
+  * bin. The original predicates stay in the join condition and drop
+  * false candidates; cost becomes 2·|L| + |R| shuffled rows
+  * hash-joined on the bin key — AQE-sizable, skew-splittable — with
+  * per-bin occupancy bounding the compare count.
   *
   * The rule fires only when no equi-conjunct spans the inputs (if one
   * exists, Spark already hash-joins on it and the band is a cheap
@@ -139,11 +142,20 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Merge per-conjunct bounds by (x, y) pair; return the first pair
-    * with BOTH a lower and an upper bound (a finite band).
+    * with BOTH a lower and an upper bound (a finite band). Bounds are
+    * first CANONICALIZED to the probe-on-left orientation — a bound on
+    * x − y with x from the right input flips to the equivalent negated
+    * bound on y − x (`b ≤ a AND a ≤ b + w` must merge with
+    * `a ≥ b AND a ≤ b + w`; they are the same band spelled from the
+    * two sides).
     */
   private def finiteBand(bounds: Seq[Bound]): Option[(Expression, Expression, Boolean, Long, Long)] = {
-    val grouped = bounds.groupBy(b =>
-      (b.x.canonicalized, b.y.canonicalized, b.xOnLeft))
+    val canonical = bounds.map { b =>
+      if (b.xOnLeft) b
+      else Bound(b.y, b.x, xOnLeft = true,
+        lo = b.hi.map(h => -h), hi = b.lo.map(l => -l))
+    }
+    val grouped = canonical.groupBy(b => (b.x.canonicalized, b.y.canonicalized))
     grouped.iterator.flatMap { case (_, bs) =>
       val los = bs.flatMap(_.lo)
       val his = bs.flatMap(_.hi)
@@ -151,11 +163,12 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       else {
         val lo = los.max
         val hi = his.min
-        // reject contradictory bands and magnitudes where the width
-        // subtraction or the build-side `y + lo` shift could overflow
+        // reject contradictory bands and literal magnitudes where the
+        // width subtraction would overflow (bin arithmetic itself runs
+        // in DECIMAL(38,0) and is overflow-free on any data value)
         val Cap = 1L << 61
         if (lo > hi || lo <= -Cap || hi >= Cap) None
-        else Some((bs.head.x, bs.head.y, bs.head.xOnLeft, lo, hi))
+        else Some((bs.head.x, bs.head.y, true, lo, hi))
       }
     }.toSeq.headOption
   }
@@ -168,28 +181,42 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
         else finiteBand(conjuncts.flatMap(toBound(_, left, right)))
       band match {
         case None => j
-        case Some((x, y, xOnLeft, lo, hi)) =>
+        case Some((x, y, _, lo, hi)) =>
           val width = math.max(hi - lo, 1L)
-          val w = Literal(width, LongType)
-          def binOf(e: Expression): Expression = new IntegralDivide(e, w)
-          val one = Literal(1L, LongType)
-          // probe side = the input holding x; build key = (y + lo) div W
-          val probeBase = binOf(x)
-          val probeBins = CreateArray(Seq(
-            Subtract(probeBase, one), probeBase, Add(probeBase, one)))
+          // ALL bin arithmetic runs in DECIMAL(38,0): BIGINT columns can
+          // legitimately hold values near ±2^63 (sentinels), where a
+          // LONG `y + lo` shift would throw under ANSI (Spark 4's
+          // default) or silently wrap — and a wrapped bin loses matching
+          // pairs. 38 digits ≫ 19, so decimal add/pmod never overflow;
+          // FLOOR division is exact because the dividend is first
+          // reduced to an exact multiple of W (the pmod-subtraction
+          // floor idiom — plain decimal division rounds its quotient at
+          // the result scale, which for W > ~1e6 can misplace a bin).
+          val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+          def decLit(v: Long): Expression = Literal.create(BigDecimal(v), d38)
+          val wD = decLit(width)
+          def floorDiv(e: Expression): Expression = {
+            val v = Cast(e, d38)
+            Cast(Divide(Subtract(v, Pmod(v, wD)), wD), d38)
+          }
+          // probe bins: FLOOR((y+lo)/W) ∈ {FLOOR(x/W) − 1, FLOOR(x/W)}
+          // for every in-band pair (z = y+lo ≤ x ≤ z+W and floor-div is
+          // monotone with jumps spaced W apart) — two arms suffice; a
+          // third +1 arm can never match a valid build key.
+          val probeBase = floorDiv(x)
+          val probeBins = CreateArray(Seq(Subtract(probeBase, decLit(1L)), probeBase))
           val gen = Explode(probeBins)
           val binP = AttributeReference("_graft_band_bin",
-            LongType, nullable = gen.elementSchema.head.nullable)()
-          val yShift = if (lo == 0L) y else Add(y, Literal(lo, LongType))
-          val binB = Alias(binOf(yShift), "_graft_band_bin_b")()
-          val (probeIn, buildIn) = if (xOnLeft) (left, right) else (right, left)
+            gen.elementSchema.head.dataType,
+            nullable = gen.elementSchema.head.nullable)()
+          val binB = Alias(floorDiv(Add(Cast(y, d38), decLit(lo))), "_graft_band_bin_b")()
+          // canonical orientation: x is from the left input (probe side)
           val probed = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-            qualifier = None, generatorOutput = Seq(binP), child = probeIn)
-          val build = Project(buildIn.output :+ binB, buildIn)
+            qualifier = None, generatorOutput = Seq(binP), child = left)
+          val build = Project(right.output :+ binB, right)
           val newCond = (EqualTo(binP, binB.toAttribute) +: conjuncts).reduce(And)
-          val (newL, newR) = if (xOnLeft) (probed, build) else (build, probed)
           // project back to the original output: bin columns are internal
-          Project(j.output, Join(newL, newR, Inner, Some(newCond), hint))
+          Project(j.output, Join(probed, build, Inner, Some(newCond), hint))
       }
   }
 }

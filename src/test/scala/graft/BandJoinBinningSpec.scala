@@ -22,12 +22,30 @@ class BandJoinBinningSpec extends SparkSpec {
     (a, b, as, bs)
   }
 
-  test("band join matches the nested-loop result exactly") {
+  test("band join matches the nested-loop result exactly (multiset)") {
     val (a, b, as, bs) = frames()
     val got = a.join(b, expr("abs(a_us - b_us) <= 100"))
       .select("a_us", "b_us").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = (for (x <- as; y <- bs if math.abs(x - y) <= 100) yield (x, y)).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = (for (x <- as; y <- bs if math.abs(x - y) <= 100) yield (x, y)).sorted
+    assert(got == want)
+  }
+
+  test("values near ±2^63 neither throw under ANSI nor lose pairs") {
+    import spark.implicits._
+    val M = Long.MinValue
+    val X = Long.MaxValue
+    val as = Seq(M + 50L, M + 500L, -3L, 0L, X - 40L, X)
+    val bs = Seq(M + 10L, M + 90L, 2L, X - 90L, X - 1L)
+    val a = as.toDF("a_us")
+    val b = bs.toDF("b_us")
+    val joined = a.join(b, expr("abs(a_us - b_us) <= 100"))
+    assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = joined.select("a_us", "b_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // reference predicate in overflow-free BigInt space
+    val want = (for (x <- as; y <- bs
+                     if (BigInt(x) - BigInt(y)).abs <= 100) yield (x, y)).sorted
     assert(got == want)
   }
 
@@ -52,11 +70,13 @@ class BandJoinBinningSpec extends SparkSpec {
 
   test("BETWEEN / one-sided / as-of spellings rewrite and match") {
     val (a, b, as, bs) = frames()
-    def pairs(df: DataFrame): Set[(Long, Long)] =
+    // Multiset check: a Set compare would mask a rewrite bug where one
+    // pair matches through BOTH probe bins and duplicates output rows.
+    def pairs(df: DataFrame): Seq[(Long, Long)] =
       df.select("a_us", "b_us").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def brute(p: (Long, Long) => Boolean): Set[(Long, Long)] =
-      (for (x <- as; y <- bs if p(x, y)) yield (x, y)).toSet
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def brute(p: (Long, Long) => Boolean): Seq[(Long, Long)] =
+      (for (x <- as; y <- bs if p(x, y)) yield (x, y)).sorted
 
     // analyzer-expanded BETWEEN (asymmetric widths)
     val between = a.join(b, expr("a_us BETWEEN b_us - 50 AND b_us + 150"))
@@ -72,6 +92,13 @@ class BandJoinBinningSpec extends SparkSpec {
     val asof = a.join(b, expr("a_us > b_us AND a_us <= b_us + 200"))
     assert(!asof.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
     assert(pairs(asof) == brute((x, y) => x > y && x <= y + 200))
+
+    // the same as-of band spelled from the build side must ALSO merge
+    // (orientation canonicalization) and rewrite
+    val mirrored = a.join(b, expr("b_us <= a_us AND a_us <= b_us + 200"))
+    assert(!mirrored.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "mirrored-orientation bounds did not merge")
+    assert(pairs(mirrored) == brute((x, y) => x >= y && x <= y + 200))
 
     // literal-on-left spelling mirrors to the canonical orientation
     val litLeft = a.join(b, expr("-100 <= a_us - b_us AND a_us - b_us <= 100"))
