@@ -49,6 +49,17 @@ import org.apache.spark.sql.types.LongType
   * fixed-point optimizer batch, since the output join carries the bin
   * equality. One-sided bands with an unbounded other side (plain
   * `x >= y` alone) are left as-is: there is no finite bin width.
+  *
+  * KEYED band joins (equi key + band) can opt in via
+  * `spark.graft.bandJoinBinning.keyedJoins=true`: a hash join on the
+  * key alone is per-key quadratic in the band filter, which matters
+  * when keys are few and heavy (hot users, LSH buckets) — adding the
+  * bin to the join keys bounds the per-group cross product by band
+  * occupancy. Off by default because on near-unique keys (ordinary FK
+  * joins) per-key groups are already tiny and the 2× probe inflation
+  * is pure overhead — the same reason engines gate this rewrite
+  * behind a range-join hint. Idempotence in this mode comes from the
+  * `_graft_band_bin` marker already present in a rewritten condition.
   */
 object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -176,8 +187,13 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      val alreadyBinned = cond.references.exists(_.name.startsWith("_graft_band_bin"))
+      val keyedOptIn = conf
+        .getConfString("spark.graft.bandJoinBinning.keyedJoins", "false").toBoolean
+      val skip = alreadyBinned ||
+        (conjuncts.exists(isEquiAcross(_, left, right)) && !keyedOptIn)
       val band =
-        if (conjuncts.exists(isEquiAcross(_, left, right))) None
+        if (skip) None
         else finiteBand(conjuncts.flatMap(toBound(_, left, right)))
       band match {
         case None => j

@@ -119,6 +119,30 @@ class BandJoinBinningSpec extends SparkSpec {
     assert(!p.contains("_graft_band_bin"), p)
   }
 
+  test("keyed band joins rewrite only under the opt-in conf") {
+    import spark.implicits._
+    // one hot key: per-key quadratic without the bin
+    val a = (0L until 40L).map(i => (1L, i * 10L)).toDF("k", "a_us")
+    val b = (0L until 40L).map(i => (1L, i * 10L + 5L)).toDF("k", "b_us")
+    val condExpr = "k = bk AND abs(a_us - b_us) <= 25"
+    val bb = b.withColumnRenamed("k", "bk")
+    val brute = (for (x <- 0L until 40L; y <- 0L until 40L
+                      if math.abs(x * 10L - (y * 10L + 5L)) <= 25L) yield 1).size
+
+    // default: equi key present → untouched
+    val plain = a.join(bb, expr(condExpr))
+    assert(!plain.queryExecution.executedPlan.toString.contains("_graft_band_bin"))
+    assert(plain.count() == brute)
+
+    spark.conf.set("spark.graft.bandJoinBinning.keyedJoins", "true")
+    try {
+      val binned = a.join(bb, expr(condExpr))
+      val p = binned.queryExecution.executedPlan.toString
+      assert(p.contains("_graft_band_bin"), p)
+      assert(binned.count() == brute)
+    } finally spark.conf.unset("spark.graft.bandJoinBinning.keyedJoins")
+  }
+
   test("registry q_band_join_auto agrees with a driver-side recount") {
     val q = SparkEntry.queries("q_band_join_auto")(spark, sfDir)
     val row = q.collect().head
