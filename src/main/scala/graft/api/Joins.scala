@@ -5,6 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators Spark lacks natively, composed from operators it has.
+  *
+  * Related: a purely DECLARATIVE band join (`abs(x − y) <= w`, BETWEEN,
+  * or one-sided-pair spellings, with or without the explicit helpers
+  * here) is rewritten to the same binned equi-join shape automatically
+  * by the [[graft.plans.BandJoinBinning]] optimizer rule when the
+  * session is built with GraftExtensions — `rangeJoin` remains for
+  * callers who want the binning explicit in their own plan.
   */
 object Joins {
 

@@ -185,7 +185,10 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    // batch-only: stream-stream joins carry watermark/state-cleanup
+    // planning this rewrite has not been validated against
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !left.isStreaming && !right.isStreaming =>
       val conjuncts = splitConjunctivePredicates(cond)
       val alreadyBinned = cond.references.exists(_.name.startsWith("_graft_band_bin"))
       val keyedOptIn = conf
