@@ -62,19 +62,27 @@ object Joins {
   /** Range (interval) join: all (left, right) pairs sharing `key` whose
     * BIGINT timestamps differ by at most `widthUs`. A naive inequality
     * join degenerates to a per-key cartesian that Spark must execute as
-    * a nested loop; instead both sides BIN into width-sized buckets and
-    * hash-join on (key, bin) — the left row probes its own and both
-    * adjacent bins (3 candidate bins cover every |Δt| ≤ width), the
-    * equi-join shuffles/broadcasts like any other, candidate volume is
-    * bounded by per-bin occupancy, and the exact |Δt| filter runs on
-    * candidates only. Column names of the two inputs must not collide
-    * (rename before calling for self-joins).
+    * a nested loop; instead both sides BIN and hash-join on (key, bin),
+    * with the exact |Δt| filter running on candidates only.
+    *
+    * Binning is the SHIFTED two-arm scheme (shared with the
+    * BandJoinBinning optimizer rule): the build side keys on
+    * (rightTs − width) div 2·width, and every in-band left row lands in
+    * that bin or the one above (leftTs − (rightTs − width) ∈ [0, 2w]
+    * and truncating division over a closed length-2w interval gains at
+    * most one step) — so the probe explodes 2 rows, not the 3 an
+    * unshifted ±1 probe needs. The equi-join shuffles/broadcasts like
+    * any other and candidate volume is bounded by per-bin occupancy.
+    * Column names of the two inputs must not collide (rename before
+    * calling for self-joins); timestamps must sit well inside the
+    * BIGINT range (|ts| < 2^62 − width; epoch micros trivially do).
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightTs: String, widthUs: Long): DataFrame = {
+    val w2 = 2L * widthUs
     val probes = left.withColumn("_bin",
-      explode(expr(s"array($leftTs DIV $widthUs - 1, $leftTs DIV $widthUs, $leftTs DIV $widthUs + 1)")))
-    val build = right.withColumn("_bin", expr(s"$rightTs DIV $widthUs"))
+      explode(expr(s"array($leftTs DIV $w2 - 1, $leftTs DIV $w2)")))
+    val build = right.withColumn("_bin", expr(s"($rightTs - $widthUs) DIV $w2"))
     probes.join(build, Seq(key, "_bin"))
       .filter(abs(col(leftTs) - col(rightTs)) <= widthUs)
       .drop("_bin")
