@@ -79,12 +79,19 @@ object Joins {
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightTs: String, widthUs: Long): DataFrame = {
+    require(widthUs > 0 && widthUs <= Long.MaxValue / 2,
+      s"widthUs must be in (0, 2^62]; got $widthUs")
     val w2 = 2L * widthUs
-    val probes = left.withColumn("_bin",
+    // the column name carries BandJoinBinning's `_graft_band_bin`
+    // idempotence marker: under the rule's keyed opt-in conf the band
+    // filter merges back into this join's condition, and without the
+    // marker the already-binned join would be binned a second time
+    val bin = "_graft_band_bin_rj"
+    val probes = left.withColumn(bin,
       explode(expr(s"array($leftTs DIV $w2 - 1, $leftTs DIV $w2)")))
-    val build = right.withColumn("_bin", expr(s"($rightTs - $widthUs) DIV $w2"))
-    probes.join(build, Seq(key, "_bin"))
+    val build = right.withColumn(bin, expr(s"($rightTs - $widthUs) DIV $w2"))
+    probes.join(build, Seq(key, bin))
       .filter(abs(col(leftTs) - col(rightTs)) <= widthUs)
-      .drop("_bin")
+      .drop(bin)
   }
 }

@@ -78,27 +78,39 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def toBound(conjunct: Expression, left: LogicalPlan,
                       right: LogicalPlan): Option[Bound] = {
+    // peel a ± literal wrapper off EITHER comparison operand, so
+    // `y − w <= x` decomposes the same as `x >= y − w` (shift tracked
+    // in BigInt — user literals can be anything; Cap rejects later)
+    def peel(e: Expression): (Expression, BigInt) = e match {
+      case Add(v, Literal(c: Long, LongType), _)      => (v, BigInt(c))
+      case Subtract(v, Literal(c: Long, LongType), _) => (v, BigInt(-c))
+      case other                                      => (other, BigInt(0))
+    }
     // (A cmpGE B) meaning A >= B + adj (adj = 1 for strict >)
     def bound(a: Expression, b: Expression, isLower: Boolean,
               adj: Long): Option[Bound] = {
-      // decompose B into (base, shift): y + c, y − c, x − y vs literal
+      // decompose into (x, base, shift) with a = x + ka, b = base + kb:
+      // x cmp base + (kb − ka); the x − y vs literal form is separate
       val (x, base, shift) = (a, b) match {
-        case (xx, Add(yy, Literal(c: Long, LongType), _)) => (xx, yy, c)
-        case (xx, Subtract(yy, Literal(c: Long, LongType), _)) => (xx, yy, -c)
         case (Subtract(xx, yy, _), Literal(c: Long, LongType))
             if xx.dataType == LongType && yy.dataType == LongType =>
           // x − y cmp c  ⟺  x cmp y + c
-          (xx, yy, c)
-        case (xx, yy) => (xx, yy, 0L)
+          (xx, yy, BigInt(c))
+        case _ =>
+          val (xa, ka) = peel(a)
+          val (yb, kb) = peel(b)
+          (xa, yb, kb - ka)
       }
+      val Cap = BigInt(1) << 61
       val sides =
-        if (longSide(x, left) && longSide(base, right)) Some(true)
+        if (shift.abs >= Cap) None
+        else if (longSide(x, left) && longSide(base, right)) Some(true)
         else if (longSide(x, right) && longSide(base, left)) Some(false)
         else None
       sides.map { xOnLeft =>
         // x >= base + shift + adj → lo on (x − base); x <= ... → hi
-        if (isLower) Bound(x, base, xOnLeft, Some(shift + adj), None)
-        else Bound(x, base, xOnLeft, None, Some(shift - adj))
+        if (isLower) Bound(x, base, xOnLeft, Some(shift.toLong + adj), None)
+        else Bound(x, base, xOnLeft, None, Some(shift.toLong - adj))
       }
     }
     // abs form: a complete symmetric interval |x − y| ≤ w in one
@@ -160,7 +172,7 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     * `a ≥ b AND a ≤ b + w`; they are the same band spelled from the
     * two sides).
     */
-  private def finiteBand(bounds: Seq[Bound]): Option[(Expression, Expression, Boolean, Long, Long)] = {
+  private def finiteBand(bounds: Seq[Bound]): Option[(Expression, Expression, Long, Long)] = {
     val canonical = bounds.map { b =>
       if (b.xOnLeft) b
       else Bound(b.y, b.x, xOnLeft = true,
@@ -179,7 +191,7 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
         // in DECIMAL(38,0) and is overflow-free on any data value)
         val Cap = 1L << 61
         if (lo > hi || lo <= -Cap || hi >= Cap) None
-        else Some((bs.head.x, bs.head.y, true, lo, hi))
+        else Some((bs.head.x, bs.head.y, lo, hi))
       }
     }.toSeq.headOption
   }
@@ -200,42 +212,60 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
         else finiteBand(conjuncts.flatMap(toBound(_, left, right)))
       band match {
         case None => j
-        case Some((x, y, _, lo, hi)) =>
-          val width = math.max(hi - lo, 1L)
-          // ALL bin arithmetic runs in DECIMAL(38,0): BIGINT columns can
-          // legitimately hold values near ±2^63 (sentinels), where a
-          // LONG `y + lo` shift would throw under ANSI (Spark 4's
-          // default) or silently wrap — and a wrapped bin loses matching
-          // pairs. 38 digits ≫ 19, so decimal add/pmod never overflow;
-          // FLOOR division is exact because the dividend is first
-          // reduced to an exact multiple of W (the pmod-subtraction
-          // floor idiom — plain decimal division rounds its quotient at
-          // the result scale, which for W > ~1e6 can misplace a bin).
+        case Some((x, y, lo, hi)) =>
+          // The intermediate shift/sum arithmetic runs in DECIMAL(38,0):
+          // BIGINT columns can legitimately hold values near ±2^63
+          // (sentinels), where a LONG `y + lo` shift would throw under
+          // ANSI (Spark 4's default) or silently wrap — and a wrapped
+          // bin loses matching pairs. 38 digits ≫ 19, so decimal
+          // add/pmod never overflow. The division itself is
+          // IntegralDivide (BIGINT result): the dividend is first
+          // reduced to an exact multiple of W (pmod-subtraction), so
+          // truncation equals floor and the quotient — at most
+          // 2^63 / W ≤ 2^63 — always fits BIGINT. (A decimal Divide
+          // would type as DECIMAL(38,38) under
+          // spark.sql.decimalOperations.allowPrecisionLoss=false and
+          // overflow on every |bin| ≥ 1; IntegralDivide is immune.)
           val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
           def decLit(v: Long): Expression = Literal.create(BigDecimal(v), d38)
-          val wD = decLit(width)
-          def floorDiv(e: Expression): Expression = {
-            val v = Cast(e, d38)
-            Cast(Divide(Subtract(v, Pmod(v, wD)), wD), d38)
+          if (lo == hi) {
+            // zero-width band is an equality: x = y + lo, no explode.
+            // Decimal comparison keeps the ±2^63 safety of the bin path.
+            // The semanticEquals guard is the idempotence marker here:
+            // under the keyed opt-in the conjunct survives the rewrite
+            // and must not be re-added on the next fixed-point pass.
+            val eq = EqualTo(Cast(x, d38), Add(Cast(y, d38), decLit(lo)))
+            if (conjuncts.exists(_.semanticEquals(eq))) j
+            else Join(left, right, Inner, Some((eq +: conjuncts).reduce(And)), hint)
+          } else {
+            val width = hi - lo // ≥ 1 here
+            val wD = decLit(width)
+            def floorDiv(e: Expression): Expression = {
+              val v = Cast(e, d38)
+              new IntegralDivide(Subtract(v, Pmod(v, wD)), wD)
+            }
+            // probe bins: FLOOR((y+lo)/W) ∈ {FLOOR(x/W) − 1, FLOOR(x/W)}
+            // for every in-band pair (z = y+lo ≤ x ≤ z+W and floor-div
+            // is monotone with jumps spaced W apart) — two arms
+            // suffice; a third +1 arm can never match a valid build
+            // key. The −1 arm cannot underflow: |bin| ≤ 2^63/W ≤ 2^62
+            // for W ≥ 2.
+            val probeBase = floorDiv(x)
+            val probeBins = CreateArray(Seq(
+              Subtract(probeBase, Literal(1L, LongType)), probeBase))
+            val gen = Explode(probeBins)
+            val binP = AttributeReference("_graft_band_bin",
+              gen.elementSchema.head.dataType,
+              nullable = gen.elementSchema.head.nullable)()
+            val binB = Alias(floorDiv(Add(Cast(y, d38), decLit(lo))), "_graft_band_bin_b")()
+            // canonical orientation: x is from the left input (probe side)
+            val probed = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+              qualifier = None, generatorOutput = Seq(binP), child = left)
+            val build = Project(right.output :+ binB, right)
+            val newCond = (EqualTo(binP, binB.toAttribute) +: conjuncts).reduce(And)
+            // project back to the original output: bins are internal
+            Project(j.output, Join(probed, build, Inner, Some(newCond), hint))
           }
-          // probe bins: FLOOR((y+lo)/W) ∈ {FLOOR(x/W) − 1, FLOOR(x/W)}
-          // for every in-band pair (z = y+lo ≤ x ≤ z+W and floor-div is
-          // monotone with jumps spaced W apart) — two arms suffice; a
-          // third +1 arm can never match a valid build key.
-          val probeBase = floorDiv(x)
-          val probeBins = CreateArray(Seq(Subtract(probeBase, decLit(1L)), probeBase))
-          val gen = Explode(probeBins)
-          val binP = AttributeReference("_graft_band_bin",
-            gen.elementSchema.head.dataType,
-            nullable = gen.elementSchema.head.nullable)()
-          val binB = Alias(floorDiv(Add(Cast(y, d38), decLit(lo))), "_graft_band_bin_b")()
-          // canonical orientation: x is from the left input (probe side)
-          val probed = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-            qualifier = None, generatorOutput = Seq(binP), child = left)
-          val build = Project(right.output :+ binB, right)
-          val newCond = (EqualTo(binP, binB.toAttribute) +: conjuncts).reduce(And)
-          // project back to the original output: bin columns are internal
-          Project(j.output, Join(probed, build, Inner, Some(newCond), hint))
       }
   }
 }

@@ -100,6 +100,13 @@ class BandJoinBinningSpec extends SparkSpec {
       "mirrored-orientation bounds did not merge")
     assert(pairs(mirrored) == brute((x, y) => x >= y && x <= y + 200))
 
+    // shifted-expression-on-the-left spelling (`y − w ≤ x`) peels the
+    // literal off the left operand and merges with the plain bound
+    val shiftLeft = a.join(b, expr("b_us - 50 <= a_us AND a_us <= b_us + 150"))
+    assert(!shiftLeft.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "shifted-left band did not rewrite")
+    assert(pairs(shiftLeft) == brute((x, y) => x >= y - 50 && x <= y + 150))
+
     // literal-on-left spelling mirrors to the canonical orientation
     val litLeft = a.join(b, expr("-100 <= a_us - b_us AND a_us - b_us <= 100"))
     assert(!litLeft.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
@@ -140,6 +147,46 @@ class BandJoinBinningSpec extends SparkSpec {
       val p = binned.queryExecution.executedPlan.toString
       assert(p.contains("_graft_band_bin"), p)
       assert(binned.count() == brute)
+    } finally spark.conf.unset("spark.graft.bandJoinBinning.keyedJoins")
+  }
+
+  test("bins survive spark.sql.decimalOperations.allowPrecisionLoss=false") {
+    // a decimal Divide would type as DECIMAL(38,38) under this conf and
+    // overflow every |bin| >= 1; the IntegralDivide path must not care
+    val (a, b, as, bs) = frames()
+    spark.conf.set("spark.sql.decimalOperations.allowPrecisionLoss", "false")
+    try {
+      val joined = a.join(b, expr("abs(a_us - b_us) <= 100"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      val got = joined.select("a_us", "b_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == (for (x <- as; y <- bs if math.abs(x - y) <= 100) yield (x, y)).sorted)
+    } finally spark.conf.unset("spark.sql.decimalOperations.allowPrecisionLoss")
+  }
+
+  test("zero-width band rewrites to a decimal equality, not an explode") {
+    val (a, b, as, bs) = frames()
+    val eq = a.join(b, expr("a_us - b_us >= 5 AND a_us - b_us <= 5"))
+    val p = eq.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("_graft_band_bin"), p) // equality path, no bins
+    val got = eq.select("a_us", "b_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == (for (x <- as; y <- bs if x - y == 5) yield (x, y)).sorted)
+  }
+
+  test("keyed opt-in does not re-bin rangeJoin's already-binned join") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (1L, 250L)).toDF("user_id", "a_us")
+    val b = Seq((1L, 20L), (1L, 500L)).toDF("user_id", "b_us")
+    spark.conf.set("spark.graft.bandJoinBinning.keyedJoins", "true")
+    try {
+      val joined = graft.api.Joins.rangeJoin(a, b, "user_id", "a_us", "b_us", 100L)
+      val p = joined.queryExecution.optimizedPlan.toString
+      // rangeJoin's own bin is _graft_band_bin_rj; a re-bin by the rule
+      // would introduce the bare _graft_band_bin attribute
+      assert(!p.contains("_graft_band_bin#"), p)
+      assert(joined.count() == 1) // only (10, 20) is in band
     } finally spark.conf.unset("spark.graft.bandJoinBinning.keyedJoins")
   }
 

@@ -26,6 +26,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (2L, 3L)), pairs)
   }
 
+  test("negative timestamps: the shifted two-arm probe stays complete") {
+    // the 2-arm scheme's proof rests on truncating DIV's jump spacing;
+    // trunc and floor disagree around zero, so pin the behavior on
+    // values straddling it
+    val w = 100L
+    val ts = Seq(-250L, -200L, -150L, -101L, -100L, -1L, 0L, 1L, 99L, 100L, 150L)
+    val a = frame(ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }, "a_id", "a_us")
+    val b = frame(ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }, "b_id", "b_us")
+    val got = Joins.rangeJoin(a, b, "user_id", "a_us", "b_us", w)
+      .select("a_us", "b_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = (for (x <- ts; y <- ts if math.abs(x - y) <= w) yield (x, y)).sorted
+    assert(got == want)
+  }
+
+  test("non-positive width is rejected loudly, not an empty result") {
+    val a = frame(Seq((1L, 1L, 50L)), "a_id", "a_us")
+    val b = frame(Seq((1L, 2L, 50L)), "b_id", "b_us")
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(a, b, "user_id", "a_us", "b_us", 0L)
+    }
+  }
+
   test("keys never mix; duplicates never emitted") {
     val a = frame(Seq((1L, 1L, 50L), (2L, 2L, 50L)), "a_id", "a_us")
     val b = frame(Seq((1L, 3L, 60L), (2L, 4L, 60L)), "b_id", "b_us")
