@@ -80,7 +80,7 @@ object Joins {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightTs: String, widthUs: Long): DataFrame = {
     require(widthUs > 0 && widthUs <= Long.MaxValue / 2,
-      s"widthUs must be in (0, 2^62]; got $widthUs")
+      s"widthUs must be positive and below 2^62 (2*width must fit BIGINT); got $widthUs")
     val w2 = 2L * widthUs
     // the column name carries BandJoinBinning's `_graft_band_bin`
     // idempotence marker: under the rule's keyed opt-in conf the band

@@ -63,6 +63,13 @@ import org.apache.spark.sql.types.LongType
   */
 object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Magnitude cap on band literals (lo/hi and per-conjunct shifts):
+    * keeps the width subtraction, strict-bound ±1 adjustments, and the
+    * decimal shift arithmetic comfortably inside their domains. One
+    * constant for both the per-conjunct and merged-band checks.
+    */
+  private val CapMag = 1L << 61
+
   /** Interval bound on d = xExpr − yExpr (both deterministic BIGINT,
     * from opposite join inputs; `xOnLeft` records which).
     */
@@ -83,7 +90,8 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     // in BigInt — user literals can be anything; Cap rejects later)
     def peel(e: Expression): (Expression, BigInt) = e match {
       case Add(v, Literal(c: Long, LongType), _)      => (v, BigInt(c))
-      case Subtract(v, Literal(c: Long, LongType), _) => (v, BigInt(-c))
+      // negate AFTER widening: BigInt(-c) wraps for c = Long.MinValue
+      case Subtract(v, Literal(c: Long, LongType), _) => (v, -BigInt(c))
       case other                                      => (other, BigInt(0))
     }
     // (A cmpGE B) meaning A >= B + adj (adj = 1 for strict >)
@@ -101,9 +109,8 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
           val (yb, kb) = peel(b)
           (xa, yb, kb - ka)
       }
-      val Cap = BigInt(1) << 61
       val sides =
-        if (shift.abs >= Cap) None
+        if (shift.abs >= BigInt(CapMag)) None
         else if (longSide(x, left) && longSide(base, right)) Some(true)
         else if (longSide(x, right) && longSide(base, left)) Some(false)
         else None
@@ -189,8 +196,7 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
         // reject contradictory bands and literal magnitudes where the
         // width subtraction would overflow (bin arithmetic itself runs
         // in DECIMAL(38,0) and is overflow-free on any data value)
-        val Cap = 1L << 61
-        if (lo > hi || lo <= -Cap || hi >= Cap) None
+        if (lo > hi || lo <= -CapMag || hi >= CapMag) None
         else Some((bs.head.x, bs.head.y, lo, hi))
       }
     }.toSeq.headOption
@@ -240,19 +246,23 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
           } else {
             val width = hi - lo // ≥ 1 here
             val wD = decLit(width)
+            // W = 1 stays entirely in DECIMAL: floor(v/1) is v itself,
+            // and with a BIGINT quotient both the −1 probe arm (at
+            // Long.MinValue) and the shifted dividend (y = Long.MaxValue,
+            // lo = 1 → 2^63) would overflow — the W ≥ 2 IntegralDivide
+            // path is immune (|quotient| ≤ (2^63 + 2^61)/2 < 2^62).
             def floorDiv(e: Expression): Expression = {
               val v = Cast(e, d38)
-              new IntegralDivide(Subtract(v, Pmod(v, wD)), wD)
+              if (width == 1L) v
+              else new IntegralDivide(Subtract(v, Pmod(v, wD)), wD)
             }
             // probe bins: FLOOR((y+lo)/W) ∈ {FLOOR(x/W) − 1, FLOOR(x/W)}
             // for every in-band pair (z = y+lo ≤ x ≤ z+W and floor-div
             // is monotone with jumps spaced W apart) — two arms
-            // suffice; a third +1 arm can never match a valid build
-            // key. The −1 arm cannot underflow: |bin| ≤ 2^63/W ≤ 2^62
-            // for W ≥ 2.
+            // suffice; a third +1 arm can never match a valid build key.
             val probeBase = floorDiv(x)
-            val probeBins = CreateArray(Seq(
-              Subtract(probeBase, Literal(1L, LongType)), probeBase))
+            val arm = if (width == 1L) decLit(1L) else Literal(1L, LongType)
+            val probeBins = CreateArray(Seq(Subtract(probeBase, arm), probeBase))
             val gen = Explode(probeBins)
             val binP = AttributeReference("_graft_band_bin",
               gen.elementSchema.head.dataType,

@@ -47,6 +47,17 @@ class BandJoinBinningSpec extends SparkSpec {
     val want = (for (x <- as; y <- bs
                      if (BigInt(x) - BigInt(y)).abs <= 100) yield (x, y)).sorted
     assert(got == want)
+
+    // width-1 band (x − y ∈ [0, 1]): the identity-bin path must hold
+    // the same ±2^63 safety (probe arm at Long.MinValue, shifted
+    // dividend at Long.MaxValue + 1)
+    val w1 = a.join(b, expr("a_us - b_us >= 0 AND a_us - b_us <= 1"))
+    assert(!w1.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val gotW1 = w1.select("a_us", "b_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val wantW1 = (for (x <- as; y <- bs; d = BigInt(x) - BigInt(y)
+                       if d >= 0 && d <= 1) yield (x, y)).sorted
+    assert(gotW1 == wantW1)
   }
 
   test("strict < and reversed w >= abs(...) forms also rewrite and match") {
