@@ -33,11 +33,13 @@ def canon(v):
 def frame(con, sql):
     cur = con.sql(sql)
     cols = list(cur.columns)
+    types = [str(t) for t in cur.types]
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     cols = [cols[i] for i in order]
+    types = [types[i] for i in order]
     out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return cols, out
+    return cols, types, out
 
 
 def main():
@@ -50,14 +52,22 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_cols, got = frame(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            want_cols, want = frame(con, sql)
+            got_cols, got_types, got = frame(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            want_cols, want_types, want = frame(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         if got_cols != want_cols:
             print(f"FAIL {name}: cols {got_cols} != {want_cols}")
+            n_fail += 1
+        # The driver's hash canonicalization is dtype-sensitive (DuckDB
+        # HUGEINT vs Spark BIGINT broke 5 entries in round 3 despite
+        # bit-identical values), so the local gate must fail on any
+        # result-dtype divergence too.
+        elif got_types != want_types:
+            mism = [(c, a, b) for c, a, b in zip(got_cols, got_types, want_types) if a != b]
+            print(f"FAIL {name}: dtypes differ: {mism} (spark-vs-duck)")
             n_fail += 1
         elif got != want:
             diff = [(a, b) for a, b in zip(got, want) if a != b]

@@ -9,12 +9,15 @@ object Bench {
 
   /** Representative slice: wide-scan agg, join+topN, star join, time
     * bucketing, join+rate table, window sessionization, LSH dedup,
-    * vector top-k.
+    * vector top-k, plus the two newest scale mechanisms — the
+    * band-join optimizer rewrite and the salted replicated join — so a
+    * regression in either shows up as seconds, not only in plan specs.
     */
   val Headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_daily_volume", "q_org_compliance", "q_sessionize",
     "d_minhash_lsh", "d_minhash_lsh_fast", "s_cosine_topk",
+    "q_band_join_auto", "q_skew_join_salted",
   )
 
   def main(args: Array[String]): Unit = {
@@ -48,7 +51,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Machine-load context: recorded r02/r03 totals swung 2-4× purely
+    // with co-tenant load average, so the artifact carries the load at
+    // measurement time to make a loaded run self-diagnosing.
+    val loadAvg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadAvg","cpus":$nCpu}"""
     spark.stop()
     // Driver-parseable channels, most robust first: a file in the repo
     // root, then bare stdout lines (raw via run/outputStrategy, printed

@@ -74,24 +74,39 @@ object Joins {
     * unshifted ±1 probe needs. The equi-join shuffles/broadcasts like
     * any other and candidate volume is bounded by per-bin occupancy.
     * Column names of the two inputs must not collide (rename before
-    * calling for self-joins); timestamps must sit well inside the
-    * BIGINT range (|ts| < 2^62 − width; epoch micros trivially do).
+    * calling for self-joins).
+    *
+    * Bin arithmetic runs in DECIMAL(38,0) with the same
+    * pmod-subtraction floor-division idiom as the BandJoinBinning
+    * optimizer rule: a BIGINT timestamp anywhere in ±2^63 can neither
+    * throw under ANSI mode nor silently wrap into a wrong bin (a LONG
+    * `rightTs − width` shift would do exactly that near Long.MinValue
+    * and lose in-band pairs). The |Δt| verification is decimal too —
+    * the candidate difference itself can exceed the LONG range.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightTs: String, widthUs: Long): DataFrame = {
     require(widthUs > 0 && widthUs <= Long.MaxValue / 2,
       s"widthUs must be positive and below 2^62 (2*width must fit BIGINT); got $widthUs")
     val w2 = 2L * widthUs
+    val w2d = s"CAST($w2 AS DECIMAL(38,0))"
+    // exact floor over decimals: reduce the dividend to a multiple of
+    // the width (pmod subtraction), then integral-divide — truncation
+    // equals floor, and the BIGINT quotient is bounded by 2^63 / w2.
+    def floorDiv(e: String): String = s"(($e) - pmod(($e), $w2d)) DIV $w2d"
     // the column name carries BandJoinBinning's `_graft_band_bin`
     // idempotence marker: under the rule's keyed opt-in conf the band
     // filter merges back into this join's condition, and without the
     // marker the already-binned join would be binned a second time
     val bin = "_graft_band_bin_rj"
+    val probeBase = floorDiv(s"CAST($leftTs AS DECIMAL(38,0))")
     val probes = left.withColumn(bin,
-      explode(expr(s"array($leftTs DIV $w2 - 1, $leftTs DIV $w2)")))
-    val build = right.withColumn(bin, expr(s"($rightTs - $widthUs) DIV $w2"))
+      explode(expr(s"array($probeBase - 1, $probeBase)")))
+    val build = right.withColumn(bin,
+      expr(floorDiv(s"CAST($rightTs AS DECIMAL(38,0)) - $widthUs")))
     probes.join(build, Seq(key, bin))
-      .filter(abs(col(leftTs) - col(rightTs)) <= widthUs)
+      .filter(expr(
+        s"abs(CAST($leftTs AS DECIMAL(38,0)) - CAST($rightTs AS DECIMAL(38,0))) <= $widthUs"))
       .drop(bin)
   }
 }

@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
+  /** 2^40 — the fixed-point grid for ADC distance sums. Squared
+    * subvector distances are O(10^2) at most, so pd·2^40 stays well
+    * inside the exact-integer range of both DOUBLE and DECIMAL(38,0).
+    */
+  private val P40 = "1099511627776.0"
+
   /** (vec_id, j, sub): the m per-subspace slices of each vector.
     * `dim` is the full embedding width (must divide evenly by m).
     */
@@ -133,7 +139,13 @@ object PqIndex {
       .select(col("q_id"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
       .join(broadcast(qtable), Seq("q_id", "j", "code"))
       .groupBy("q_id", "vec_id")
-      .agg(round(sum("pd"), 4).as("adist"))
+      // order-free exact sum of the m partial distances: each pd is
+      // floored onto the 2^-40 grid (exponent-shift multiply, exact)
+      // so the DECIMAL sum is partition-order independent — a raw
+      // double SUM could flap a near-tie's rank across runs, and a
+      // display-precision round() before selection is the tie trap.
+      .agg(expr(s"CAST(SUM(CAST(FLOOR(pd * $P40) AS DECIMAL(38,0))) AS DOUBLE) / $P40")
+        .as("adist"))
     VectorOps.topKByCosine(
       scored.select(col("q_id"), col("vec_id"), (-col("adist")).as("cos")), topK)
       .select(col("q_id"), col("vec_id"), (-col("cos")).as("adist"), col("rn"))
@@ -156,7 +168,13 @@ object PqIndex {
     val scored = exploded.join(broadcast(table), Seq("j", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
-      .agg(round(sum("pd"), 4).as("adist"))
+      // order-free exact sum of the m partial distances: each pd is
+      // floored onto the 2^-40 grid (exponent-shift multiply, exact)
+      // so the DECIMAL sum is partition-order independent — a raw
+      // double SUM could flap a near-tie's rank across runs, and a
+      // display-precision round() before selection is the tie trap.
+      .agg(expr(s"CAST(SUM(CAST(FLOOR(pd * $P40) AS DECIMAL(38,0))) AS DOUBLE) / $P40")
+        .as("adist"))
     // negate: the shared bounded-heap keeps TOP scores; rename back after
     VectorOps.topKByCosine(
       scored.select(col("q_id"), col("vec_id"), (-col("adist")).as("cos")), topK)

@@ -353,6 +353,60 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, pixelSchema)
   }
 
+  /** Image table whose payloads are COMPLETE compressed PNGs (real zlib
+    * IDAT streams, gradient pixels, rows cycling through all five
+    * filter types) — the compressed-format twin of [[bmpTable]].
+    * Dimensions stay small (≤19×15) so 500 full images are cheap.
+    */
+  def pngTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      (col("doc_id") % 16 + 4).cast("int").as("w"),
+      (col("doc_id") % 12 + 4).cast("int").as("h"),
+      (col("doc_id") % 997).cast("int").as("seed"))
+    val rdd = base.rdd.map { r =>
+      Row(r.getLong(0),
+          graft.functions.PngPixels.syntheticPng(r.getInt(1), r.getInt(2), r.getInt(3)),
+          Row(r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType), StructField("h", IntegerType),
+        StructField("seed", IntegerType)))),
+    ))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL pixel decode for the COMPRESSED image format: full PNG chunk
+    * walk + zlib inflate + per-row unfilter (graft.functions.PngPixels,
+    * dependency-free), batched like every other modality. `pixels_ok`
+    * cross-checks the decoded channel means against an independent
+    * closed-form recomputation of the gradient — on a non-constant
+    * image, so a wrong unfilter branch cannot pass. With this the
+    * multimodal decode stub no longer covers any mainstream image
+    * format.
+    */
+  def decodePngPixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.PngPixels.decode(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, mr, mg, mb)) =>
+            val (er, eg, eb) = graft.functions.PngPixels.syntheticMeans(
+              meta.getInt(0), meta.getInt(1), meta.getInt(2))
+            Row(r.getLong(0), w, h, mr, mg, mb,
+                w == meta.getInt(0) && h == meta.getInt(1) &&
+                  mr == er && mg == eg && mb == eb)
+          case None => Row(r.getLong(0), 0, 0, 0.0, 0.0, 0.0, false)
+        }
+      }))
+    spark.createDataFrame(rdd, pixelSchema)
+  }
+
   val pcmSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_samples", LongType),
@@ -520,6 +574,16 @@ object Multimodal extends QueryModule {
       "m_bmp_thumbnail",
       (s, dir) =>
         decodeThumbnails(bmpTable(Tables(s, dir)), 4, 4).orderBy("doc_id"),
+      None,
+    ),
+    // END-TO-END COMPRESSED-format pixel decode: complete PNGs (zlib
+    // IDAT + all five row filters) decoded to per-channel means and
+    // cross-checked against an independent gradient recomputation —
+    // kills the last mainstream-image stub
+    QueryDef(
+      "m_png_pixels",
+      (s, dir) =>
+        decodePngPixels(pngTable(Tables(s, dir))).orderBy("doc_id"),
       None,
     ),
     // END-TO-END sample decode: complete PCM16 WAV square waves decoded

@@ -58,8 +58,10 @@ object Relational3 extends QueryModule {
       (s, dir) => {
         val p = Tables(s, dir).part
         p.select(col("p_partkey"),
-            greatest(col("p_size"), lit(25)).as("g25"),
-            least(col("p_size"), lit(25)).as("l25"),
+            // BIGINT: DuckDB types GREATEST/LEAST as BIGINT where Spark
+            // keeps INT — the result dtype is part of the gate contract
+            greatest(col("p_size"), lit(25)).cast("bigint").as("g25"),
+            least(col("p_size"), lit(25)).cast("bigint").as("l25"),
             nullif(col("p_size"), lit(25)).as("nz"),
             coalesce(nullif(col("p_size"), lit(25)), lit(-1)).as("co"),
             abs(col("p_size") - 25).as("dist25"),

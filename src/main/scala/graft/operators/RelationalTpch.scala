@@ -147,7 +147,7 @@ object RelationalTpch extends QueryModule {
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
           .join(custN, col("o_custkey") === col("c_custkey"))
           .groupBy(col("supp_nation"), col("cust_nation"),
-            year(col("l_shipdate")).as("l_year"))
+            year(col("l_shipdate")).cast("bigint").as("l_year"))
           .agg(revSum(rev(t)).as("revenue"))
       },
       Some(s"""SELECT supp_nation, cust_nation, l_year, $revSql AS revenue FROM (
@@ -185,7 +185,7 @@ object RelationalTpch extends QueryModule {
           .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
           .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
-          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
           .agg(round(
             sum(when(col("supp_nation") === "NATION_7", rev(t)).otherwise(lit(0))
               .cast("decimal(18,6)")).cast("double") /
@@ -219,7 +219,7 @@ object RelationalTpch extends QueryModule {
             col("l_partkey") === col("p_partkey"))
           .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
           .agg(revSum(rev(t)).as("sum_profit"))
       },
       Some(s"""SELECT n_name AS nation, YEAR(o_orderdate) AS o_year, $revSql AS sum_profit
@@ -300,8 +300,8 @@ object RelationalTpch extends QueryModule {
               .otherwise(0L)).as("low_line_count"))
       },
       Some("""SELECT l_linestatus,
-             |SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-             |SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON o_orderkey=l_orderkey
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
              |GROUP BY 1""".stripMargin),

@@ -113,7 +113,7 @@ object Streaming extends QueryModule {
              |SELECT window_us,
              |CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5*CAST(n AS DOUBLE) THEN bin END) + 1 AS DOUBLE)*0.25 AS q50_est,
              |CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9*CAST(n AS DOUBLE) THEN bin END) + 1 AS DOUBLE)*0.25 AS q90_est,
-             |MAX(n) AS n
+             |CAST(MAX(n) AS BIGINT) AS n
              |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
     // streaming Misra-Gries heavy hitters (the t_heavy_hitters twin):

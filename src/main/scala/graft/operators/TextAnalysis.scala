@@ -393,7 +393,7 @@ object TextAnalysis extends QueryModule {
         val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
         tf.join(df, "term")
           .withColumn("score", expr("tf * 1000000000L div df"))
-          .withColumn("rk", row_number().over(w))
+          .withColumn("rk", row_number().over(w).cast("bigint"))
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
           .orderBy("doc_id", "rk")
@@ -502,9 +502,9 @@ object TextAnalysis extends QueryModule {
       Some("""WITH t AS (SELECT doc_id, doc_id % 32 AS bucket,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
              |b AS (SELECT bucket, doc_id, n_tokens,
-             |  (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens) // 2048 AS bin
+             |  CAST((CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) - n_tokens) // 2048 AS BIGINT) AS bin
              |  FROM t)
-             |SELECT bucket, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+             |SELECT bucket, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
              |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
     // temperature-scaled mixture weights per source (the multinomial

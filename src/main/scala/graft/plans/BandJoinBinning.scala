@@ -39,9 +39,12 @@ import org.apache.spark.sql.types.LongType
   * (exact floor via the pmod-subtraction idiom), so a BIGINT value
   * near ±2^63 can neither throw under ANSI mode nor wrap into a wrong
   * bin. The original predicates stay in the join condition and drop
-  * false candidates; cost becomes 2·|L| + |R| shuffled rows
+  * false candidates; cost becomes 2·|probe| + |build| shuffled rows
   * hash-joined on the bin key — AQE-sizable, skew-splittable — with
-  * per-bin occupancy bounding the compare count.
+  * per-bin occupancy bounding the compare count. The PROBE (exploded)
+  * side is chosen by plan statistics: the smaller input carries the 2×
+  * inflation (a band flips orientation by negating its bounds), with
+  * the left input as the no-stats fallback.
   *
   * The rule fires only when no equi-conjunct spans the inputs (if one
   * exists, Spark already hash-joins on it and the band is a cheap
@@ -244,6 +247,17 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
             if (conjuncts.exists(_.semanticEquals(eq))) j
             else Join(left, right, Inner, Some((eq +: conjuncts).reduce(And)), hint)
           } else {
+            // Probe-side selection: the exploded (probe) side pays a 2×
+            // row inflation, so it should be the SMALLER input — a huge
+            // event table banded against a small reference set must not
+            // be the one duplicated. A band on x − y flips to the
+            // equivalent negated band on y − x (|lo|,|hi| < 2^61, so the
+            // negation cannot overflow); fall back to probing the left
+            // input when stats are unavailable.
+            val flip = scala.util.Try(
+              right.stats.sizeInBytes < left.stats.sizeInBytes).getOrElse(false)
+            val (px, py, plo, probeChild, buildChild) =
+              if (flip) (y, x, -hi, right, left) else (x, y, lo, left, right)
             val width = hi - lo // ≥ 1 here
             val wD = decLit(width)
             // W = 1 stays entirely in DECIMAL: floor(v/1) is v itself,
@@ -260,18 +274,17 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
             // for every in-band pair (z = y+lo ≤ x ≤ z+W and floor-div
             // is monotone with jumps spaced W apart) — two arms
             // suffice; a third +1 arm can never match a valid build key.
-            val probeBase = floorDiv(x)
+            val probeBase = floorDiv(px)
             val arm = if (width == 1L) decLit(1L) else Literal(1L, LongType)
             val probeBins = CreateArray(Seq(Subtract(probeBase, arm), probeBase))
             val gen = Explode(probeBins)
             val binP = AttributeReference("_graft_band_bin",
               gen.elementSchema.head.dataType,
               nullable = gen.elementSchema.head.nullable)()
-            val binB = Alias(floorDiv(Add(Cast(y, d38), decLit(lo))), "_graft_band_bin_b")()
-            // canonical orientation: x is from the left input (probe side)
+            val binB = Alias(floorDiv(Add(Cast(py, d38), decLit(plo))), "_graft_band_bin_b")()
             val probed = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-              qualifier = None, generatorOutput = Seq(binP), child = left)
-            val build = Project(right.output :+ binB, right)
+              qualifier = None, generatorOutput = Seq(binP), child = probeChild)
+            val build = Project(buildChild.output :+ binB, buildChild)
             val newCond = (EqualTo(binP, binB.toAttribute) +: conjuncts).reduce(And)
             // project back to the original output: bins are internal
             Project(j.output, Join(probed, build, Inner, Some(newCond), hint))

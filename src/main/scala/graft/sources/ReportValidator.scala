@@ -78,6 +78,45 @@ object ReportValidator {
     }
   }
 
+  /** validator.go:143 ValidateJSONReport, extended with the structural
+    * fields the RFC 8460 parse requires (DmarcParsers.parseTlsJson:284):
+    * a malformed TLS drop-file should surface at AUDIT time, not parse
+    * time. Errors: not JSON at all, or JSON that is not a TLS report
+    * (no organization-name). Warnings: missing date-range / policies —
+    * the parser tolerates them but the report is degenerate.
+    */
+  def validateTlsJson(data: Array[Byte]): ValidationResult = {
+    val raw = Extract.utf8(Extract.decompress(data))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Try(mapper.readTree(raw)).toOption match {
+      case None | Some(null) =>
+        ValidationResult(valid = false, Seq("Invalid JSON format"), Seq.empty)
+      case Some(root) =>
+        val errors = Seq.newBuilder[String]
+        val warnings = Seq.newBuilder[String]
+        if (!root.isObject) errors += "Invalid JSON format"
+        else {
+          if (!root.has("organization-name") ||
+              root.path("organization-name").asText("").trim.isEmpty)
+            errors += "Missing organization name"
+          if (!root.has("date-range")) warnings += "Missing date-range"
+          if (!root.has("policies") || !root.path("policies").isArray ||
+              root.path("policies").isEmpty)
+            warnings += "No policies found in report"
+        }
+        val errs = errors.result()
+        ValidationResult(errs.isEmpty, errs, warnings.result())
+    }
+  }
+
+  /** validator.go:157 ValidateBase64Content: strict std-alphabet decode. */
+  def validateBase64(content: String): ValidationResult =
+    if (Try(java.util.Base64.getDecoder.decode(
+        content.filterNot(c => c == '\n' || c == '\r'))).isSuccess)
+      ValidationResult(valid = true, Seq.empty, Seq.empty)
+    else
+      ValidationResult(valid = false, Seq("Invalid base64 encoding"), Seq.empty)
+
   def validateReportId(id: String): ValidationResult = {
     val errors = Seq.newBuilder[String]
     if (id.isEmpty) errors += "Report ID cannot be empty"
@@ -100,7 +139,29 @@ object ReportValidator {
     ValidationResult(errs.isEmpty, errs, warnings.result())
   }
 
-  /** Distributed archive audit: every file validated on executors. */
+  /** Classify a report payload and run the matching family's
+    * validation — the auto-detection the reference applies before
+    * dispatching to parser/validator. JSON-shaped content goes through
+    * the TLS-JSON checks, ARF feedback email through a forensic parse
+    * probe (the reference has no standalone forensic validator; a
+    * parse failure IS the audit error), everything else through the
+    * aggregate-XML battery.
+    */
+  def validateAny(data: Array[Byte]): (String, ValidationResult) = {
+    val raw = Extract.utf8(Extract.decompress(data))
+    val head = raw.dropWhile(_.isWhitespace)
+    if (head.startsWith("{") || head.startsWith("[")) "smtp_tls" -> validateTlsJson(data)
+    else if (raw.contains("feedback-report") || raw.contains("Feedback-Type:"))
+      "forensic" -> (ForensicParser.parse(data) match {
+        case Right(_)  => ValidationResult(valid = true, Seq.empty, Seq.empty)
+        case Left(err) => ValidationResult(valid = false, Seq(err), Seq.empty)
+      })
+    else "aggregate" -> validateAggregate(data)
+  }
+
+  /** Distributed archive audit: every file validated on executors,
+    * across all three report families (format auto-detected per file).
+    */
   def validateDirectory(spark: SparkSession, path: String, glob: String = "*"): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -110,9 +171,9 @@ object ReportValidator {
       .select("path", "content")
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
-        val r = validateAggregate(bytes)
-        (p, r.valid, r.errors, r.warnings)
+        val (family, r) = validateAny(bytes)
+        (p, family, r.valid, r.errors, r.warnings)
       }
-      .toDF("path", "valid", "errors", "warnings")
+      .toDF("path", "family", "valid", "errors", "warnings")
   }
 }

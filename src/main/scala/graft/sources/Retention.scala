@@ -25,7 +25,10 @@ object Retention {
     Compaction.partitionStats(spark, tablePath)
       .filter(_.partition.split("=", 2)(1) < cutoff)
       .map { p =>
-        fs.delete(new Path(s"$tablePath/${p.partition}"), true)
+        // checked like Merge/Compaction's swap renames: a silently
+        // failed delete must not be reported as dropped.
+        require(fs.delete(new Path(s"$tablePath/${p.partition}"), true),
+          s"retention: failed to drop partition ${p.partition} under $tablePath")
         p
       }
   }

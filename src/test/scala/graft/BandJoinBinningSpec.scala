@@ -201,6 +201,30 @@ class BandJoinBinningSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.bandJoinBinning.keyedJoins")
   }
 
+  test("the smaller input carries the probe-side explode, either way round") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    // stats-visible size gap: 20k rows vs 10 rows
+    val big = (0L until 20000L).map(i => i * 7L % 5000L).toDF("big_us")
+    val small = Seq(0L, 100L, 2500L, 4900L, 1L, 101L, 2501L, 4901L, 50L, 4000L).toDF("small_us")
+    def probeSide(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case g: Generate => g.child.output.map(_.name)
+      }.flatten
+    // small on the RIGHT: orientation must flip so small is exploded
+    val flipped = big.join(small, expr("abs(big_us - small_us) <= 3"))
+    assert(probeSide(flipped).contains("small_us"),
+      s"big side carried the Generate: ${probeSide(flipped)}")
+    // small on the LEFT: default orientation already probes the smaller
+    val straight = small.join(big, expr("abs(small_us - big_us) <= 3"))
+    assert(probeSide(straight).contains("small_us"))
+    // both orientations return the identical multiset
+    def pairs(df: DataFrame, c1: String, c2: String): Seq[(Long, Long)] =
+      df.select(c1, c2).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs(flipped, "big_us", "small_us") ==
+      pairs(straight, "big_us", "small_us"))
+  }
+
   test("registry q_band_join_auto agrees with a driver-side recount") {
     val q = SparkEntry.queries("q_band_join_auto")(spark, sfDir)
     val row = q.collect().head

@@ -41,6 +41,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("timestamps near ±2^63 neither throw under ANSI nor lose pairs") {
+    // the old LONG `rightTs − width` shift wrapped near Long.MinValue
+    // (ANSI: threw); the decimal bin scheme must find exactly the
+    // BigInt-predicate pairs at both extremes
+    val w = 100L
+    val M = Long.MinValue
+    val X = Long.MaxValue
+    val ts = Seq(M, M + 50L, M + 101L, -1L, 0L, X - 101L, X - 50L, X)
+    val a = frame(ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }, "a_id", "a_us")
+    val b = frame(ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }, "b_id", "b_us")
+    val got = Joins.rangeJoin(a, b, "user_id", "a_us", "b_us", w)
+      .select("a_us", "b_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = (for (x <- ts; y <- ts
+                     if (BigInt(x) - BigInt(y)).abs <= w) yield (x, y)).sorted
+    assert(got == want)
+  }
+
   test("non-positive width is rejected loudly, not an empty result") {
     val a = frame(Seq((1L, 1L, 50L)), "a_id", "a_us")
     val b = frame(Seq((1L, 2L, 50L)), "b_id", "b_us")

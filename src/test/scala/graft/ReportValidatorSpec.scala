@@ -47,6 +47,37 @@ class ReportValidatorSpec extends AnyFunSuite {
     assert(ReportValidator.validateSize(50, 100).valid)
   }
 
+  test("TLS JSON validation: good samples pass, malformed content fails at audit time") {
+    val good = ReportValidator.validateTlsJson(bytes(s"$samples/smtp_tls/rfc8460.json"))
+    assert(good.valid, good.errors)
+    val notJson = ReportValidator.validateTlsJson("{ broken".getBytes("UTF-8"))
+    assert(!notJson.valid && notJson.errors.contains("Invalid JSON format"))
+    val notTls = ReportValidator.validateTlsJson("""{"foo": 1}""".getBytes("UTF-8"))
+    assert(!notTls.valid && notTls.errors.contains("Missing organization name"))
+    val degenerate = ReportValidator.validateTlsJson(
+      """{"organization-name": "o"}""".getBytes("UTF-8"))
+    assert(degenerate.valid)
+    assert(degenerate.warnings.contains("Missing date-range"))
+    assert(degenerate.warnings.contains("No policies found in report"))
+  }
+
+  test("base64 validation matches validator.go's strict decode") {
+    assert(ReportValidator.validateBase64("aGVsbG8=").valid)
+    assert(!ReportValidator.validateBase64("not base64!!!").valid)
+    assert(ReportValidator.validateBase64("aGVs\nbG8=").valid) // wrapped MIME lines
+  }
+
+  test("validateAny dispatches to the right family") {
+    val (tf, tr) = ReportValidator.validateAny(bytes(s"$samples/smtp_tls/rfc8460.json"))
+    assert(tf == "smtp_tls" && tr.valid, tr.errors)
+    val (af, ar) = ReportValidator.validateAny(
+      bytes(s"$samples/aggregate/example.net!example.com!1529366400!1529452799.xml"))
+    assert(af == "aggregate" && ar.valid, ar.errors)
+    val (ff, fr) = ReportValidator.validateAny(
+      bytes(s"$samples/forensic/dmarc_ruf_report_linkedin.eml"))
+    assert(ff == "forensic" && fr.valid, fr.errors)
+  }
+
   test("email/domain/ip/policy helpers match validator.go semantics") {
     import ReportValidator._
     assert(isValidEmail("a.b+c@example.co"))
