@@ -76,15 +76,28 @@ object ScaleDemo {
     val spark = GraftSession.build("graft-scale")
     val queries = SparkEntry.queries
     val out = new StringBuilder
+    // untimed priming pass at 1×: JIT + codegen warmup otherwise lands
+    // on the first measured cell and makes 1× read slower than 10×
+    locally {
+      val dir = generate(spark, base, workRoot, 1)
+      for (q <- Queries) { queries(q)(spark, dir).count(); () }
+      spark.catalog.clearCache()
+    }
     for (k <- Scales) {
       val dir = generate(spark, base, workRoot, k)
       for (q <- Queries) {
-        val df = queries(q)(spark, dir)
-        val plan = df.queryExecution.executedPlan.toString
-        val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+        // time construction + execution: the LSH pipelines materialize
+        // their signature table eagerly (persist + bucket-cap collect)
+        // during construction, so a count-only window would credit the
+        // heavy lifting to warm cache and report decreasing times at
+        // increasing scale
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
+        val df = queries(q)(spark, dir)
         val rows = df.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.executedPlan.toString
+        val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
         val line = s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested}"""
         println(s"GRAFT_SCALE_JSON $line")
         out.append(line).append('\n')

@@ -20,8 +20,8 @@ object Dedup extends QueryModule {
     * ~0.90 while the j≈0.05 noise floor (which r=1 banding admitted by
     * the hundreds) almost never collides.
     */
-  private val Bands = 8
-  private val Rows = 2
+  private[graft] val Bands = 8
+  private[graft] val Rows = 2
   private val JaccardTau = 0.5
 
   /** Bucket-size cap: a (band, minhash) bucket with more than this many
@@ -64,7 +64,7 @@ object Dedup extends QueryModule {
     * lambda (`element_at(split(text), i)` re-splits per element, turning
     * shingling O(tokens²)).
     */
-  private val shinglesExpr =
+  private[graft] val shinglesExpr =
     """CASE WHEN size(split(text, ' ')) >= 3
       |THEN array_distinct(
       |  zip_with(
@@ -181,6 +181,30 @@ object Dedup extends QueryModule {
     }
     mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
       .persist()
+  }
+
+  /** Per-ROW xxhash64 banded signatures: the same (doc_id, j, mh) rows
+    * as [[bandedSignatures64]] but computed with array lambdas instead
+    * of explode+groupBy, so the whole thing is a STATELESS projection —
+    * the shape a streaming intake needs (no aggregation state, no
+    * watermark; see CorpusStreaming.minhashBucketize). Batch callers
+    * should prefer bandedSignatures64: the explode+hash-aggregate form
+    * map-side combines and keeps hashing in codegen, while lambda
+    * evaluation is interpreted per element. Parity with the batch path
+    * is pinned row-for-row by CorpusStreamingSpec (seeds, band
+    * grouping, and hash argument types must stay identical here and
+    * there).
+    */
+  def bandedSignaturesRowwise(docs: DataFrame): DataFrame = {
+    val withSh = docs.select(col("doc_id"), expr(shinglesExpr).as("sh"))
+    val minCols = (0 until Bands * Rows).map { i =>
+      expr(s"array_min(transform(sh, x -> xxhash64($i, x)))").as(s"h$i")
+    }
+    val mins = withSh.select(col("doc_id") +: minCols: _*)
+    val bandCols = (0 until Bands).map { j =>
+      xxhash64((0 until Rows).map(k => col(s"h${j * Rows + k}")): _*)
+    }
+    mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
   }
 
   private def verify(cands: DataFrame, sh: DataFrame): DataFrame =
@@ -406,6 +430,44 @@ object Dedup extends QueryModule {
       Some("""SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
              |MIN(doc_id) AS keeper
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    // URL-canonicalization dedup — the crawl-side twin of d_dedup_exact:
+    // a crawl sees the same page under scheme/case/www/query-string/
+    // trailing-slash variants, and deduping on the CANONICAL url (5
+    // normalization steps, one codegen'd regexp chain) collapses them
+    // before any content hashing runs. URLs are synthesized from doc_id
+    // with all three variant shapes so the oracle proves each
+    // normalization step; the groupBy is a plain hash aggregate
+    // (map-side combined) on the canonical key — no shuffle of page
+    // bodies, which is what makes URL-first dedup the cheap front gate
+    // at crawl scale.
+    QueryDef(
+      "d_url_dedup",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val url = concat(
+          lit("HTTPS://WWW.Src"), (col("doc_id") % 20).cast("string"),
+          lit(".Example.COM/docs/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/?utm_source=crawl&ref=seed"))
+            .when(col("doc_id") % 3 === 1, lit("/"))
+            .otherwise(lit("")))
+        val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(url), "^https?://", ""), "^www\\.", ""), "\\?.*$", ""), "/+$", "")
+        d.select(col("doc_id"), canon.as("canon_url"))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+          .orderBy("canon_url")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  'HTTPS://WWW.Src' || CAST(doc_id % 20 AS VARCHAR)
+             |  || '.Example.COM/docs/' || CAST(doc_id % 100 AS VARCHAR)
+             |  || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=crawl&ref=seed'
+             |          WHEN doc_id % 3 = 1 THEN '/' ELSE '' END AS url
+             |  FROM documents)
+             |SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |  lower(url), '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/+$', '') AS canon_url,
+             |COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
     QueryDef(
       "d_minhash_lsh",

@@ -407,6 +407,29 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, pixelSchema)
   }
 
+  /** Thumbnails for the COMPRESSED image path: PNG decode + the same
+    * nearest-neighbor sampling grid as the BMP thumbnails. `thumb_ok`
+    * compares the sampled pixels' FNV (and means) against a formula-only
+    * recomputation of the gradient — the codec chain is in the loop on
+    * every image, the check path never is.
+    */
+  def decodePngThumbnails(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.PngPixels.thumbnail(r.getAs[Array[Byte]](1), tw, th) match {
+          case Some((w, h, mr, mg, mb, fnv)) =>
+            val (er, eg, eb, efnv) = graft.functions.PngPixels.syntheticThumb(
+              meta.getInt(0), meta.getInt(1), meta.getInt(2), tw, th)
+            Row(r.getLong(0), w, h, mr, mg, mb, fnv,
+                fnv == efnv && mr == er && mg == eg && mb == eb)
+          case None => Row(r.getLong(0), 0, 0, 0.0, 0.0, 0.0, 0L, false)
+        }
+      }))
+    spark.createDataFrame(rdd, thumbSchema)
+  }
+
   val pcmSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_samples", LongType),
@@ -584,6 +607,14 @@ object Multimodal extends QueryModule {
       "m_png_pixels",
       (s, dir) =>
         decodePngPixels(pngTable(Tables(s, dir))).orderBy("doc_id"),
+      None,
+    ),
+    // COMPRESSED-path thumbnails: PNG decode + nearest-neighbor resize,
+    // FNV/mean cross-checked against a formula-only recomputation
+    QueryDef(
+      "m_png_thumbnail",
+      (s, dir) =>
+        decodePngThumbnails(pngTable(Tables(s, dir)), 4, 4).orderBy("doc_id"),
       None,
     ),
     // END-TO-END sample decode: complete PCM16 WAV square waves decoded

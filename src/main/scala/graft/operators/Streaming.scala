@@ -261,6 +261,27 @@ object Streaming extends QueryModule {
       },
       None,
     ),
+    // streaming TEXT-LSH index maintenance: minhash band assignment as
+    // a stateless streaming projection (per-row lambdas — no state
+    // store, no watermark), the text twin of st_srp_bucketize. The
+    // appended (doc_id, j, mh) rows keep the batch dedup's candidate
+    // join incremental; CorpusStreamingSpec pins stream/batch signature
+    // parity row for row.
+    QueryDef(
+      "st_minhash_bucketize",
+      (s, dir) => {
+        val name = s"st_mh_${System.nanoTime()}"
+        val q = graft.streaming.CorpusStreaming
+          .minhashBucketize(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_minhash_bucketize timed out")
+        s.table(name).orderBy("doc_id", "j")
+      },
+      None,
+    ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened
     // record rows, AvailableNow + memory sink for the gate

@@ -605,5 +605,86 @@ object TextAnalysis extends QueryModule {
              |FROM documents WHERE n_chars > 0
              |ORDER BY priority, doc_id LIMIT 100""".stripMargin),
     ),
+    // Character-distribution Shannon entropy — the classic cheap
+    // gibberish/boilerplate signal (natural text sits ~4 bits/char;
+    // base64 blobs and aaaa-runs sit far off it). Computed entirely
+    // with per-row array lambdas over a SORTED distinct-char list, so
+    // there is NO shuffle — a pure map over the corpus — and both
+    // engines fold the identical product sequence in the identical
+    // order. log2 is libm in both engines (ulp-level divergence), so
+    // entropy carries the round(4) second-moment contract;
+    // distinct_ratio divides two identical-by-construction doubles and
+    // stays unrounded.
+    QueryDef(
+      "t_char_entropy",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.select(col("doc_id"),
+            expr("filter(split(text, ''), x -> x != '')").as("cs"))
+          .select(col("doc_id"), col("cs"),
+            expr("array_sort(array_distinct(cs))").as("ds"))
+          .select(col("doc_id"),
+            size(col("cs")).cast("bigint").as("n_chars"),
+            size(col("ds")).cast("bigint").as("n_distinct"),
+            (size(col("ds")).cast("double") / size(col("cs")).cast("double"))
+              .as("distinct_ratio"),
+            // + 0.0 canonicalizes the single-distinct-char doc's -0.0
+            // (IEEE: -0.0 + 0.0 = +0.0 in both engines) so the gate's
+            // repr-level compare can't see a sign-of-zero difference
+            expr("""round(-aggregate(transform(ds, c ->
+                   |  (CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE))
+                   |  * log2(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE))),
+                   |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) + CAST(0.0 AS DOUBLE), 4)""".stripMargin)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+             |d AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS ds FROM c)
+             |SELECT doc_id,
+             |CAST(len(cs) AS BIGINT) AS n_chars,
+             |CAST(len(ds) AS BIGINT) AS n_distinct,
+             |CAST(len(ds) AS DOUBLE) / CAST(len(cs) AS DOUBLE) AS distinct_ratio,
+             |ROUND(-list_sum(list_transform(ds, c ->
+             |  (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / CAST(len(cs) AS DOUBLE))
+             |  * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / CAST(len(cs) AS DOUBLE))))
+             |  + CAST(0.0 AS DOUBLE), 4) AS entropy
+             |FROM d ORDER BY doc_id""".stripMargin),
+    ),
+    // Deflate compression ratio — the quality signal entropy can't see:
+    // LONG-RANGE repetition (copy-pasted paragraphs, templated spam)
+    // compresses far below natural text even when the char distribution
+    // looks normal. Pure map over the corpus (one Deflater per batch,
+    // explicitly released — no shuffle, no state), BEST_SPEED because
+    // the signal is the ratio's magnitude, not the exact byte count.
+    // Rows-only: zlib lives JVM-side; CompressRatioSpec pins the
+    // repetitive≪random separation, determinism across runs, and the
+    // ratio arithmetic.
+    QueryDef(
+      "t_compress_ratio",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.grouped(512).flatMap { batch =>
+            val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+            val buf = new Array[Byte](1 << 16)
+            val out = batch.map { case (id, text) =>
+              val raw = text.getBytes("UTF-8")
+              deflater.reset()
+              deflater.setInput(raw)
+              deflater.finish()
+              var n = 0L
+              while (!deflater.finished()) n += deflater.deflate(buf)
+              (id, raw.length.toLong, n,
+               if (raw.length > 0) n.toDouble / raw.length else 1.0)
+            }
+            deflater.end()
+            out
+          })
+          .toDF("doc_id", "n_raw", "n_deflate", "ratio")
+          .orderBy("doc_id")
+      },
+      None,
+    ),
   )
 }

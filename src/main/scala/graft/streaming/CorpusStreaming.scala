@@ -105,4 +105,18 @@ object CorpusStreaming {
 
   def srpBucketize(vecs: DataFrame, dim: Int, nbits: Int, bandBits: Int): DataFrame =
     graft.api.SrpLsh.bandedSignatures(vecs, "embedding", dim, nbits, bandBits)
+
+  /** Incremental TEXT-LSH index maintenance — the minhash twin of
+    * [[srpBucketize]]: each arriving document gets its 8 xxhash64 band
+    * keys as a stateless projection (per-row array lambdas, no
+    * explode+groupBy aggregation, so no state store and no watermark).
+    * Appending (doc_id, j, mh) to the stored band table keeps the batch
+    * dedup's candidate join incremental: a new doc's near-duplicates
+    * are exactly the stored rows sharing any (j, mh) key, found by
+    * lookup instead of a corpus rescan. Row-for-row parity with the
+    * batch signature path (Dedup.bandedSignatures64) is pinned by
+    * CorpusStreamingSpec.
+    */
+  def minhashBucketize(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.bandedSignaturesRowwise(docs)
 }

@@ -82,4 +82,20 @@ class CorpusStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming minhash bucketize matches the batch banded signatures row for row") {
+    // same property for the TEXT index: the per-row lambda path
+    // (stateless streaming projection) and the batch explode+groupBy
+    // path must produce identical (doc_id, j, mh) rows — seeds, band
+    // grouping, and hash argument types are pinned to each other
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_minhash_bucketize").get.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val docs = Tables(spark, sfDir).documents
+    val batch = graft.operators.Dedup.bandedSignatures64(
+        graft.operators.Dedup.shingles(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }

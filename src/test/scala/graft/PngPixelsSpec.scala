@@ -73,6 +73,42 @@ class PngPixelsSpec extends SparkSpec {
     assert(decoded >= 1, s"no screenshot fell in the supported profile")
   }
 
+  test("thumbnail samples the exact nearest-neighbor grid pixels") {
+    val (w, h, seed) = (17, 11, 42)
+    val bytes = PngPixels.syntheticPng(w, h, seed)
+    val Some((tw, th, mr, mg, mb, fnv)) = PngPixels.thumbnail(bytes, 4, 4)
+    assert((tw, th) == (4, 4))
+    // hand-walk the sampling grid straight off the gradient formula
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var efnv = 0xcbf29ce484222325L
+    def mix(v: Int): Unit = { efnv ^= (v & 0xff); efnv *= 0x100000001b3L }
+    for (ty <- 0 until 4; tx <- 0 until 4) {
+      val sy = ty * h / 4
+      val sx = tx * w / 4
+      val r = (sx * 3 + seed) % 256
+      val g = (sy * 5 + seed * 7) % 256
+      val b = (sx + sy + seed * 13) % 256
+      sr += r; sg += g; sb += b
+      mix(r); mix(g); mix(b)
+    }
+    assert(fnv === efnv)
+    assert((mr, mg, mb) === (sr / 16.0, sg / 16.0, sb / 16.0))
+    // and the shipped formula-side twin agrees with the hand walk
+    assert(PngPixels.syntheticThumb(w, h, seed, 4, 4) === ((mr, mg, mb, fnv)))
+    // degenerate grids: 1×1 samples the top-left pixel
+    val Some((_, _, r1, g1, b1, _)) = PngPixels.thumbnail(bytes, 1, 1)
+    assert((r1, g1, b1) === ((seed % 256).toDouble,
+      (seed * 7 % 256).toDouble, (seed * 13 % 256).toDouble))
+    assert(PngPixels.thumbnail(bytes, 0, 4).isEmpty)
+  }
+
+  test("m_png_thumbnail: every payload resizes and cross-checks against the formula") {
+    val rows = Multimodal.decodePngThumbnails(
+      Multimodal.pngTable(Tables(spark, sfDir)), 4, 4)
+    assert(rows.count() == Tables(spark, sfDir).documents.count())
+    assert(rows.filter(!col("thumb_ok")).count() == 0)
+  }
+
   test("m_png_pixels: every payload decodes and matches the gradient means") {
     val rows = Multimodal.decodePngPixels(Multimodal.pngTable(Tables(spark, sfDir)))
     assert(rows.count() == Tables(spark, sfDir).documents.count())

@@ -46,11 +46,24 @@ class ZOrderSpec extends SparkSpec {
       (i.toLong, u, d)
     }.toDF("id", "u16", "d16")
 
-    def fileRects(sorted: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Long)] = {
+    val nFiles = 16
+    // Deterministic layout: exact ntile bucketing over the sort key
+    // (a sampling-based repartitionByRange draws boundaries from a
+    // reservoir seeded by the RDD id, so the rectangles — and the
+    // overlap counts below — shifted with suite execution order). The
+    // single-partition window is fine at 2^14 rows, and the
+    // partitionBy write keeps a real parquet write/read in the loop
+    // with exactly nFiles pruning units.
+    def fileRects(df: org.apache.spark.sql.DataFrame,
+                  order: org.apache.spark.sql.Column): Array[(Long, Long, Long, Long)] = {
+      import org.apache.spark.sql.expressions.Window
       val dir = java.nio.file.Files.createTempDirectory("graft-zspec").toString
-      sorted.write.mode("overwrite").parquet(dir)
+      // id tiebreak: the grid formulas can collide, and ntile over a
+      // tied order would otherwise bucket tied rows arbitrarily
+      df.withColumn("bucket", ntile(nFiles).over(Window.orderBy(order, col("id"))))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
       val rects = spark.read.parquet(dir)
-        .groupBy(input_file_name())
+        .groupBy("bucket")
         .agg(min("u16").as("mu"), max("u16").as("xu"),
              min("d16").as("md"), max("d16").as("xd"))
         .collect()
@@ -60,12 +73,9 @@ class ZOrderSpec extends SparkSpec {
       rects
     }
 
-    val nFiles = 16
     val zRects = fileRects(
-      grid.withColumn("z", ZOrder.morton16(col("u16"), col("d16")))
-        .repartitionByRange(nFiles, col("z")).sortWithinPartitions("z"))
-    val dRects = fileRects(
-      grid.repartitionByRange(nFiles, col("d16"), col("id")).sortWithinPartitions("d16"))
+      grid.withColumn("z", ZOrder.morton16(col("u16"), col("d16"))), col("z"))
+    val dRects = fileRects(grid, col("d16"))
     assert(zRects.length === nFiles && dRects.length === nFiles)
 
     // band predicate u16 in [1024, 1279) — 1/16 of the u domain
