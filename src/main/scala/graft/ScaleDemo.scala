@@ -32,19 +32,23 @@ import org.apache.spark.sql.functions._
 object ScaleDemo {
 
   val Scales: Seq[Int] = Seq(1, 10, 100)
-  val Queries: Seq[String] = Seq("d_minhash_lsh_fast", "q_band_join_auto", "q_funnel")
+  val Queries: Seq[String] =
+    Seq("d_minhash_lsh_fast", "q_band_join_auto", "q_funnel", "s_cosine_topk")
 
   def generate(spark: SparkSession, base: String, workRoot: String, k: Int): String = {
     val dir = s"$workRoot/x$k"
-    val marker = new java.io.File(s"$dir/_GENERATED")
+    // marker v2: the embeddings table joined the matrix in round 4
+    val marker = new java.io.File(s"$dir/_GENERATED_V2")
     if (marker.exists()) return dir
     // raw read: events.ts stays the int64 nanos column (the written
     // copy is plain INT64, which Tables.events converts identically)
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val events = spark.read.parquet(s"$base/events.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val docN = 10000000L
     val evN = 10000000L
     val userN = 100000L
+    val embN = 10000000L
     val dayNs = 86400L * 1000000000L
     val reps = spark.range(k).select(col("id").cast("int").as("k"))
     docs.crossJoin(reps)
@@ -65,6 +69,17 @@ object ScaleDemo {
         (col("user_id") + col("k") * userN).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    emb.crossJoin(reps)
+      // component-wise k-perturbation: replicas are distinct vectors
+      // with distinct neighbor structure, not 100 identical copies
+      // (the query set stays vec_id < 10 — fixed query batch over a
+      // growing corpus, the honest vector-search load profile)
+      .select(
+        (col("vec_id") + col("k") * embN).as("vec_id"),
+        expr("transform(embedding, v -> CAST(v + k * 0.0009765625 AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     marker.getParentFile.mkdirs()
     marker.createNewFile()
     dir

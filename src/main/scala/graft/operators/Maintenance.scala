@@ -311,6 +311,10 @@ object Maintenance extends QueryModule {
         val touched = e.filter(col("ts") >= cutoff).select("day").distinct()
         val refreshed = dailyAgg(e.join(broadcast(touched), "day"))
         Merge.upsertPartitioned(s, table, refreshed, "day", "day")
+        // harness-only collect: the refreshed VIEW is a daily rollup,
+        // O(days) rows by construction (30 here, ~36k for a century) —
+        // bounded driver traffic regardless of fact-table scale; the
+        // refresh itself above never leaves the executors
         val rows = s.read.parquet(table)
           .select(col("day").cast("string"), col("n_events"), col("total_value"))
           .collect()

@@ -118,8 +118,9 @@ object Multimodal extends QueryModule {
     * pure-JVM PNG/GIF/BMP/JPEG parsing, no media libraries), batched
     * like `extractFeatures`. `header_ok` compares the parsed values to
     * the declared metadata — a corrupt or mislabeled payload surfaces
-    * as false instead of poisoning downstream stats. Only pixel decode
-    * remains stubbed.
+    * as false instead of poisoning downstream stats. Pixel decode is
+    * REAL for BMP (decodePixels), PNG (decodePngPixels), and GIF
+    * (decodeGifPixels); only JPEG/WebP stills keep the stub.
     */
   def decodeHeaders(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -380,6 +381,56 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Image table whose payloads are COMPLETE GIF89a files (real LZW
+    * streams over a 64-color palette, gradient indices) — the second
+    * compressed-format table after [[pngTable]].
+    */
+  def gifTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      (col("doc_id") % 16 + 4).cast("int").as("w"),
+      (col("doc_id") % 12 + 4).cast("int").as("h"),
+      (col("doc_id") % 997).cast("int").as("seed"))
+    val rdd = base.rdd.map { r =>
+      Row(r.getLong(0),
+          graft.functions.GifPixels.syntheticGif(r.getInt(1), r.getInt(2), r.getInt(3)),
+          Row(r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType), StructField("h", IntegerType),
+        StructField("seed", IntegerType)))),
+    ))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL pixel decode for the second COMPRESSED image format: GIF LZW
+    * inflate + palette mapping (graft.functions.GifPixels,
+    * dependency-free), batched like every other modality; `pixels_ok`
+    * cross-checks decoded channel means against the index/palette
+    * formulas — a gradient, so a wrong LZW or palette path cannot pass.
+    */
+  def decodeGifPixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.GifPixels.decode(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, mr, mg, mb)) =>
+            val (er, eg, eb) = graft.functions.GifPixels.syntheticMeans(
+              meta.getInt(0), meta.getInt(1), meta.getInt(2))
+            Row(r.getLong(0), w, h, mr, mg, mb,
+                w == meta.getInt(0) && h == meta.getInt(1) &&
+                  mr == er && mg == eg && mb == eb)
+          case None => Row(r.getLong(0), 0, 0, 0.0, 0.0, 0.0, false)
+        }
+      }))
+    spark.createDataFrame(rdd, pixelSchema)
+  }
+
   /** REAL pixel decode for the COMPRESSED image format: full PNG chunk
     * walk + zlib inflate + per-row unfilter (graft.functions.PngPixels,
     * dependency-free), batched like every other modality. `pixels_ok`
@@ -607,6 +658,15 @@ object Multimodal extends QueryModule {
       "m_png_pixels",
       (s, dir) =>
         decodePngPixels(pngTable(Tables(s, dir))).orderBy("doc_id"),
+      None,
+    ),
+    // second COMPRESSED format end to end: complete GIF89a files (real
+    // LZW streams) decoded to per-channel means and cross-checked
+    // against the index/palette formulas
+    QueryDef(
+      "m_gif_pixels",
+      (s, dir) =>
+        decodeGifPixels(gifTable(Tables(s, dir))).orderBy("doc_id"),
       None,
     ),
     // COMPRESSED-path thumbnails: PNG decode + nearest-neighbor resize,

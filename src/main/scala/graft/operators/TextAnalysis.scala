@@ -650,6 +650,44 @@ object TextAnalysis extends QueryModule {
              |  + CAST(0.0 AS DOUBLE), 4) AS entropy
              |FROM d ORDER BY doc_id""".stripMargin),
     ),
+    // Unigram surprisal — the cross-entropy of each document against
+    // the CORPUS unigram LM (the spirit of CCNet's perplexity filter
+    // with the n-gram model replaced by the corpus itself): rare-term
+    // soup scores high, stopword boilerplate scores low. Plan shape at
+    // scale: token explode → broadcast joins (vocab table + 1-row
+    // total) → per-doc hash aggregate; a doc's tokens are co-located
+    // within their scan split, so the map-side combine means the
+    // exchange carries ~1 row per document, not per token. The double
+    // SUM over libm log2 values is summation-order dependent and
+    // ulp-divergent cross-engine — round(4) is the second-moment
+    // contract that re-syncs it.
+    QueryDef(
+      "t_unigram_surprisal",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        val totalDf = freq.agg(sum(col("c")).as("n_total"))
+        toks.join(broadcast(freq), "term")
+          .crossJoin(broadcast(totalDf))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               round(sum(-log2(col("c").cast("double") / col("n_total").cast("double")))
+                 / count(lit(1)), 4).as("surprisal"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |t2 AS (SELECT * FROM toks WHERE term <> ''),
+             |freq AS (SELECT term, COUNT(*) AS c FROM t2 GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |ROUND(SUM(-log2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)))
+             |  / COUNT(*), 4) AS surprisal
+             |FROM t2 JOIN freq USING(term) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
     // Deflate compression ratio — the quality signal entropy can't see:
     // LONG-RANGE repetition (copy-pasted paragraphs, templated spam)
     // compresses far below natural text even when the char distribution

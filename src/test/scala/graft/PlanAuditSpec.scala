@@ -139,7 +139,10 @@ class PlanAuditSpec extends SparkSpec {
       "s_cosine_topk", "d_embedding_neardup", "d_embedding_neardup_ivf",
       "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify",
       "s_ivfpq_topk", "s_prefix_rerank_topk",
-      "q11_important_value", "q20_excess_shippers", "q22_inactive_customers")
+      "q11_important_value", "q20_excess_shippers", "q22_inactive_customers",
+      // 1-row corpus-total broadcast onto the token frame (same scalar
+      // shape as the TPC-H threshold queries)
+      "t_unigram_surprisal")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).filterNot(streamingEntries).filterNot(eagerComposites)
     val offenders = sweepPlans(names).collect {
