@@ -35,6 +35,14 @@ object ScaleDemo {
   val Queries: Seq[String] =
     Seq("d_minhash_lsh_fast", "q_band_join_auto", "q_funnel", "s_cosine_topk")
 
+  /** Queries whose plan INTENDS a BroadcastNestedLoopJoin: the
+    * broadcast-bounded vector-scoring crossJoin (fixed query batch
+    * broadcast against the corpus — the same allowlist PlanAuditSpec
+    * keeps). For these, `nested_loop: true` is the expected shape, and
+    * `degraded` below stays false.
+    */
+  val IntendedNested: Set[String] = Set("s_cosine_topk")
+
   def generate(spark: SparkSession, base: String, workRoot: String, k: Int): String = {
     val dir = s"$workRoot/x$k"
     // marker v2: the embeddings table joined the matrix in round 4
@@ -113,7 +121,9 @@ object ScaleDemo {
         val sec = (System.nanoTime() - t0) / 1e9
         val plan = df.queryExecution.executedPlan.toString
         val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
-        val line = s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested}"""
+        val degraded = nested && !IntendedNested(q)
+        val line =
+          s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested,"degraded":$degraded}"""
         println(s"GRAFT_SCALE_JSON $line")
         out.append(line).append('\n')
       }

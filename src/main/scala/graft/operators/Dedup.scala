@@ -522,6 +522,67 @@ object Dedup extends QueryModule {
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
       },
     ),
+    // Link-graph authority — the crawl-side PRIORITIZATION signal
+    // (which domains/pages deserve crawl budget and trust weight):
+    // 3 power-iteration steps of PageRank (damping 0.85) over a
+    // deterministic synthetic link graph (each doc links to three
+    // formula-derived targets, so the oracle can rebuild the identical
+    // graph). The Spark side is the ITERATIVE-DATAFRAME shape that
+    // scales: each step is one shuffle join (links ⋈ ranks on src) +
+    // one hash aggregate on dst — no driver-side graph, iterations
+    // bounded by a constant, the d_dedup_clusters fixpoint pattern
+    // with arithmetic instead of min-label. The oracle unrolls the
+    // same three steps as chained CTEs; in-link double sums are
+    // summation-order dependent cross-engine, so the output carries
+    // the round(6) second-moment contract.
+    QueryDef(
+      "d_link_authority",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val docs = d.select(col("doc_id"))
+        val nDf = docs.agg(count(lit(1)).as("n"))
+        val withN = docs.crossJoin(broadcast(nDf))
+        val links = withN.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 1) % col("n"),
+            (col("doc_id") * 13 + 2) % col("n"),
+            (col("doc_id") * 31 + 3) % col("n"))).as("dst"))
+        var ranks = withN.select(col("doc_id"),
+          (lit(1.0) / col("n").cast("double")).as("pr"))
+        for (_ <- 1 to 3) {
+          val contribs = links
+            .join(ranks.select(col("doc_id").as("src"), col("pr")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(sum(col("pr") / 3.0).as("c"))
+          ranks = withN.join(contribs, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (lit(0.15) / col("n").cast("double")
+                + lit(0.85) * coalesce(col("c"), lit(0.0))).as("pr"))
+        }
+        ranks.select(col("doc_id"), round(col("pr"), 6).as("authority"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+             |docs AS (SELECT doc_id FROM documents CROSS JOIN nn),
+             |links AS (SELECT doc_id AS src, unnest([
+             |  (doc_id*7+1) % n, (doc_id*13+2) % n, (doc_id*31+3) % n]) AS dst
+             |  FROM docs),
+             |r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE)/CAST(n AS DOUBLE) AS pr
+             |  FROM documents CROSS JOIN nn),
+             |c1 AS (SELECT dst AS doc_id, SUM(pr/3.0) AS c FROM links
+             |  JOIN r0 ON r0.doc_id = links.src GROUP BY dst),
+             |r1 AS (SELECT d.doc_id, 0.15/CAST(n AS DOUBLE) + 0.85*COALESCE(c, 0.0) AS pr
+             |  FROM documents d CROSS JOIN nn LEFT JOIN c1 ON c1.doc_id = d.doc_id),
+             |c2 AS (SELECT dst AS doc_id, SUM(pr/3.0) AS c FROM links
+             |  JOIN r1 ON r1.doc_id = links.src GROUP BY dst),
+             |r2 AS (SELECT d.doc_id, 0.15/CAST(n AS DOUBLE) + 0.85*COALESCE(c, 0.0) AS pr
+             |  FROM documents d CROSS JOIN nn LEFT JOIN c2 ON c2.doc_id = d.doc_id),
+             |c3 AS (SELECT dst AS doc_id, SUM(pr/3.0) AS c FROM links
+             |  JOIN r2 ON r2.doc_id = links.src GROUP BY dst),
+             |r3 AS (SELECT d.doc_id, 0.15/CAST(n AS DOUBLE) + 0.85*COALESCE(c, 0.0) AS pr
+             |  FROM documents d CROSS JOIN nn LEFT JOIN c3 ON c3.doc_id = d.doc_id)
+             |SELECT doc_id, ROUND(pr, 6) AS authority FROM r3 ORDER BY doc_id""".stripMargin),
+    ),
     QueryDef(
       "d_simhash",
       (s, dir) => {

@@ -142,7 +142,9 @@ class PlanAuditSpec extends SparkSpec {
       "q11_important_value", "q20_excess_shippers", "q22_inactive_customers",
       // 1-row corpus-total broadcast onto the token frame (same scalar
       // shape as the TPC-H threshold queries)
-      "t_unigram_surprisal")
+      "t_unigram_surprisal",
+      // 1-row node-count broadcast seeding the PageRank iteration
+      "d_link_authority")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).filterNot(streamingEntries).filterNot(eagerComposites)
     val offenders = sweepPlans(names).collect {
