@@ -45,9 +45,14 @@ object ScaleDemo {
 
   def generate(spark: SparkSession, base: String, workRoot: String, k: Int): String = {
     val dir = s"$workRoot/x$k"
-    // marker v2: the embeddings table joined the matrix in round 4
+    // marker v2: the embeddings table joined the matrix in round 4.
+    // The marker RECORDS the base corpus it was generated from —
+    // switching SPARK_GRAFT_SF_DIR must regenerate, not silently
+    // measure stale data under the new base's name.
     val marker = new java.io.File(s"$dir/_GENERATED_V2")
-    if (marker.exists()) return dir
+    if (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == base)
+      return dir
     // raw read: events.ts stays the int64 nanos column (the written
     // copy is plain INT64, which Tables.events converts identically)
     val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -57,6 +62,16 @@ object ScaleDemo {
     val evN = 10000000L
     val userN = 100000L
     val embN = 10000000L
+    // the replica id-shift scheme silently corrupts the load profile if
+    // the base corpus outgrows the shift constants — fail loudly instead
+    locally {
+      val d = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      val er = events.agg(max("event_id"), max("user_id")).collect()(0)
+      val v = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      require(d < docN && er.getLong(0) < evN && er.getLong(1) < userN && v < embN,
+        s"base ids exceed replica shift constants: doc=$d ev=${er.getLong(0)} " +
+          s"user=${er.getLong(1)} vec=$v")
+    }
     val dayNs = 86400L * 1000000000L
     val reps = spark.range(k).select(col("id").cast("int").as("k"))
     docs.crossJoin(reps)
@@ -89,13 +104,17 @@ object ScaleDemo {
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    java.nio.file.Files.write(marker.toPath, base.getBytes("UTF-8"))
     dir
   }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val workRoot = args.headOption.getOrElse("/tmp/graft_scale")
+    // optional overrides: arg 2 = comma-separated scales (e.g. "1000"
+    // for the stretch cell), arg 3 = comma-separated query names
+    val scales = args.lift(1).map(_.split(",").toSeq.map(_.toInt)).getOrElse(Scales)
+    val queryNames = args.lift(2).map(_.split(",").toSeq).getOrElse(Queries)
     val spark = GraftSession.build("graft-scale")
     val queries = SparkEntry.queries
     val out = new StringBuilder
@@ -103,12 +122,12 @@ object ScaleDemo {
     // on the first measured cell and makes 1× read slower than 10×
     locally {
       val dir = generate(spark, base, workRoot, 1)
-      for (q <- Queries) { queries(q)(spark, dir).count(); () }
+      for (q <- queryNames) { queries(q)(spark, dir).count(); () }
       spark.catalog.clearCache()
     }
-    for (k <- Scales) {
+    for (k <- scales) {
       val dir = generate(spark, base, workRoot, k)
-      for (q <- Queries) {
+      for (q <- queryNames) {
         // time construction + execution: the LSH pipelines materialize
         // their signature table eagerly (persist + bucket-cap collect)
         // during construction, so a count-only window would credit the

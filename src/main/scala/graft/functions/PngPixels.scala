@@ -70,11 +70,17 @@ object PngPixels {
     val h = be32(b, 20)
     val bitDepth = u8(b, 24)
     val colorType = u8(b, 25)
+    val compression = u8(b, 26)
+    val filterMethod = u8(b, 27)
     val interlace = u8(b, 28)
     val ch = channels(colorType)
-    // dimension cap: rowBytes/raster products below must stay in Int
+    // dimension cap: rowBytes/raster products below must stay in Int.
+    // compression/filter method bytes must be 0 (the only defined
+    // values) — a nonzero declaration means the five-filter unfilter
+    // below would apply the wrong semantics, so reject, don't guess.
     if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
-        bitDepth != 8 || ch < 0 || interlace != 0) return None
+        bitDepth != 8 || ch < 0 || interlace != 0 ||
+        compression != 0 || filterMethod != 0) return None
 
     // concatenate every IDAT payload (the zlib stream may be split
     // across chunks at arbitrary byte boundaries)
@@ -99,7 +105,11 @@ object PngPixels {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val got = inf.inflate(raw, off, raw.length - off)
-        if (got == 0 && inf.needsInput()) return None // truncated stream
+        // zero progress without finishing: truncated stream
+        // (needsInput), preset-dictionary stream (needsDictionary — we
+        // never supply one), or any other stall — all structurally
+        // unsupported, and looping again would spin forever
+        if (got == 0) return None
         off += got
       }
       if (off < raw.length) return None

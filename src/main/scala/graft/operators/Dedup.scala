@@ -20,8 +20,8 @@ object Dedup extends QueryModule {
     * ~0.90 while the j≈0.05 noise floor (which r=1 banding admitted by
     * the hundreds) almost never collides.
     */
-  private[graft] val Bands = 8
-  private[graft] val Rows = 2
+  private val Bands = 8
+  private val Rows = 2
   private val JaccardTau = 0.5
 
   /** Bucket-size cap: a (band, minhash) bucket with more than this many
@@ -64,7 +64,7 @@ object Dedup extends QueryModule {
     * lambda (`element_at(split(text), i)` re-splits per element, turning
     * shingling O(tokens²)).
     */
-  private[graft] val shinglesExpr =
+  private val shinglesExpr =
     """CASE WHEN size(split(text, ' ')) >= 3
       |THEN array_distinct(
       |  zip_with(

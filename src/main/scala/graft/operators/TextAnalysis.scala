@@ -611,42 +611,45 @@ object TextAnalysis extends QueryModule {
     // with per-row array lambdas over a SORTED distinct-char list, so
     // there is NO shuffle — a pure map over the corpus — and both
     // engines fold the identical product sequence in the identical
-    // order. log2 is libm in both engines (ulp-level divergence), so
-    // entropy carries the round(4) second-moment contract;
-    // distinct_ratio divides two identical-by-construction doubles and
-    // stays unrounded.
+    // order; the per-char counts are materialized ONCE into an array
+    // (one O(distinct·len) filter pass, not one per use). log2 is libm
+    // in both engines (ulp-level divergence), so entropy carries the
+    // round(4) second-moment contract; distinct_ratio divides two
+    // identical-by-construction doubles and stays unrounded.
     QueryDef(
       "t_char_entropy",
       (s, dir) => {
         val d = Tables(s, dir).documents
         d.select(col("doc_id"),
             expr("filter(split(text, ''), x -> x != '')").as("cs"))
-          .select(col("doc_id"), col("cs"),
-            expr("array_sort(array_distinct(cs))").as("ds"))
-          .select(col("doc_id"),
-            size(col("cs")).cast("bigint").as("n_chars"),
-            size(col("ds")).cast("bigint").as("n_distinct"),
-            (size(col("ds")).cast("double") / size(col("cs")).cast("double"))
+          .select(col("doc_id"), size(col("cs")).cast("bigint").as("n_chars"),
+            expr("""transform(array_sort(array_distinct(cs)),
+                   |  c -> size(filter(cs, x -> x = c)))""".stripMargin).as("ks"))
+          .select(col("doc_id"), col("n_chars"),
+            size(col("ks")).cast("bigint").as("n_distinct"),
+            (size(col("ks")).cast("double") / col("n_chars").cast("double"))
               .as("distinct_ratio"),
             // + 0.0 canonicalizes the single-distinct-char doc's -0.0
             // (IEEE: -0.0 + 0.0 = +0.0 in both engines) so the gate's
             // repr-level compare can't see a sign-of-zero difference
-            expr("""round(-aggregate(transform(ds, c ->
-                   |  (CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE))
-                   |  * log2(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / CAST(size(cs) AS DOUBLE))),
+            expr("""round(-aggregate(transform(ks, k ->
+                   |  (CAST(k AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   |  * log2(CAST(k AS DOUBLE) / CAST(n_chars AS DOUBLE))),
                    |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) + CAST(0.0 AS DOUBLE), 4)""".stripMargin)
               .as("entropy"))
           .orderBy("doc_id")
       },
-      Some("""WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
-             |d AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS ds FROM c)
-             |SELECT doc_id,
-             |CAST(len(cs) AS BIGINT) AS n_chars,
-             |CAST(len(ds) AS BIGINT) AS n_distinct,
-             |CAST(len(ds) AS DOUBLE) / CAST(len(cs) AS DOUBLE) AS distinct_ratio,
-             |ROUND(-list_sum(list_transform(ds, c ->
-             |  (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / CAST(len(cs) AS DOUBLE))
-             |  * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / CAST(len(cs) AS DOUBLE))))
+      Some("""WITH c AS (SELECT doc_id,
+             |  list_filter(string_split(text, ''), x -> x != '') AS cs FROM documents),
+             |d AS (SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chars,
+             |  list_transform(list_sort(list_distinct(cs)),
+             |    c -> len(list_filter(cs, x -> x = c))) AS ks FROM c)
+             |SELECT doc_id, n_chars,
+             |CAST(len(ks) AS BIGINT) AS n_distinct,
+             |CAST(len(ks) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS distinct_ratio,
+             |ROUND(-list_sum(list_transform(ks, k ->
+             |  (CAST(k AS DOUBLE) / CAST(n_chars AS DOUBLE))
+             |  * log2(CAST(k AS DOUBLE) / CAST(n_chars AS DOUBLE))))
              |  + CAST(0.0 AS DOUBLE), 4) AS entropy
              |FROM d ORDER BY doc_id""".stripMargin),
     ),
@@ -654,10 +657,12 @@ object TextAnalysis extends QueryModule {
     // the CORPUS unigram LM (the spirit of CCNet's perplexity filter
     // with the n-gram model replaced by the corpus itself): rare-term
     // soup scores high, stopword boilerplate scores low. Plan shape at
-    // scale: token explode → broadcast joins (vocab table + 1-row
-    // total) → per-doc hash aggregate; a doc's tokens are co-located
-    // within their scan split, so the map-side combine means the
-    // exchange carries ~1 row per document, not per token. The double
+    // scale: token explode → vocab join (left to AQE: a Zipf vocab is
+    // usually broadcastable but UNBOUNDED in principle, so no forced
+    // broadcast hint) + 1-row total broadcast → per-doc hash
+    // aggregate; a doc's tokens are co-located within their scan
+    // split, so the map-side combine means the exchange carries ~1 row
+    // per document, not per token. The double
     // SUM over libm log2 values is summation-order dependent and
     // ulp-divergent cross-engine — round(4) is the second-moment
     // contract that re-syncs it.
@@ -669,7 +674,7 @@ object TextAnalysis extends QueryModule {
           .filter(col("term") =!= "")
         val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
         val totalDf = freq.agg(sum(col("c")).as("n_total"))
-        toks.join(broadcast(freq), "term")
+        toks.join(freq, "term")
           .crossJoin(broadcast(totalDf))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),

@@ -286,8 +286,12 @@ object BandJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
               qualifier = None, generatorOutput = Seq(binP), child = probeChild)
             val build = Project(buildChild.output :+ binB, buildChild)
             val newCond = (EqualTo(binP, binB.toAttribute) +: conjuncts).reduce(And)
+            // the flip reorders the join children, so per-side hints
+            // must swap with them — or a user's broadcast hint on the
+            // small side would attach to the big one
+            val newHint = if (flip) JoinHint(hint.rightHint, hint.leftHint) else hint
             // project back to the original output: bins are internal
-            Project(j.output, Join(probed, build, Inner, Some(newCond), hint))
+            Project(j.output, Join(probed, build, Inner, Some(newCond), newHint))
           }
       }
   }

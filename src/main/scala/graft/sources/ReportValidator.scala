@@ -30,10 +30,12 @@ object ReportValidator {
   /** validator.go ValidateXMLReport: structural + semantic checks with
     * the reference's error/warning split.
     */
-  def validateAggregate(data: Array[Byte]): ValidationResult = {
+  def validateAggregate(data: Array[Byte]): ValidationResult =
+    validateAggregateRaw(Extract.utf8(Extract.decompress(data)))
+
+  private def validateAggregateRaw(raw: String): ValidationResult = {
     val errors = Seq.newBuilder[String]
     val warnings = Seq.newBuilder[String]
-    val raw = Extract.utf8(Extract.decompress(data))
 
     Try(XML.loadString(raw)).toOption match {
       case None =>
@@ -85,8 +87,10 @@ object ReportValidator {
     * (no organization-name). Warnings: missing date-range / policies —
     * the parser tolerates them but the report is degenerate.
     */
-  def validateTlsJson(data: Array[Byte]): ValidationResult = {
-    val raw = Extract.utf8(Extract.decompress(data))
+  def validateTlsJson(data: Array[Byte]): ValidationResult =
+    validateTlsJsonRaw(Extract.utf8(Extract.decompress(data)))
+
+  private def validateTlsJsonRaw(raw: String): ValidationResult = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     Try(mapper.readTree(raw)).toOption match {
       case None | Some(null) =>
@@ -148,15 +152,23 @@ object ReportValidator {
     * aggregate-XML battery.
     */
   def validateAny(data: Array[Byte]): (String, ValidationResult) = {
+    // decode ONCE (decompress + utf8 are the per-file hot-path cost in
+    // the distributed audit) and dispatch on the decoded string
     val raw = Extract.utf8(Extract.decompress(data))
     val head = raw.dropWhile(_.isWhitespace)
-    if (head.startsWith("{") || head.startsWith("[")) "smtp_tls" -> validateTlsJson(data)
+    // XML-shaped content is the aggregate family unconditionally: an
+    // aggregate report whose field TEXT happens to contain
+    // "Feedback-Type:" (e.g. an org name from a feedback vendor) must
+    // not be misrouted to the forensic parser by a substring probe
+    if (head.startsWith("<")) "aggregate" -> validateAggregateRaw(raw)
+    else if (head.startsWith("{") || head.startsWith("["))
+      "smtp_tls" -> validateTlsJsonRaw(raw)
     else if (raw.contains("feedback-report") || raw.contains("Feedback-Type:"))
       "forensic" -> (ForensicParser.parse(data) match {
         case Right(_)  => ValidationResult(valid = true, Seq.empty, Seq.empty)
         case Left(err) => ValidationResult(valid = false, Seq(err), Seq.empty)
       })
-    else "aggregate" -> validateAggregate(data)
+    else "aggregate" -> validateAggregateRaw(raw)
   }
 
   /** Distributed archive audit: every file validated on executors,

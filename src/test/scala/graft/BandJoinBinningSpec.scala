@@ -225,6 +225,29 @@ class BandJoinBinningSpec extends SparkSpec {
       pairs(straight, "big_us", "small_us"))
   }
 
+  test("per-side join hints swap with the children when orientation flips") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val big = (0L until 20000L).map(i => i * 7L % 5000L).toDF("big_us")
+    val small = Seq(0L, 100L, 2500L, 4900L).toDF("small_us")
+    // user hints broadcast for the SMALL right side; the flip makes
+    // small the probe (left child of the rewritten join), so the hint
+    // must travel with it — a stuck hint would broadcast the big side
+    val hinted = big.join(small.hint("broadcast"), expr("abs(big_us - small_us) <= 3"))
+    val joins = hinted.queryExecution.optimizedPlan.collect { case jn: LJoin => jn }
+    assert(joins.nonEmpty)
+    joins.foreach { jn =>
+      val leftHasSmall = jn.left.output.exists(_.name == "small_us")
+      val (smallHint, bigHint) =
+        if (leftHasSmall) (jn.hint.leftHint, jn.hint.rightHint)
+        else (jn.hint.rightHint, jn.hint.leftHint)
+      assert(bigHint.isEmpty, s"hint attached to the big side: ${jn.hint}")
+      assert(smallHint.exists(_.strategy.isDefined),
+        s"broadcast hint lost in the rewrite: ${jn.hint}")
+    }
+    assert(hinted.count() > 0)
+  }
+
   test("registry q_band_join_auto agrees with a driver-side recount") {
     val q = SparkEntry.queries("q_band_join_auto")(spark, sfDir)
     val row = q.collect().head
