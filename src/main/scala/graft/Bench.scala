@@ -25,8 +25,13 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
     val queries = SparkEntry.queries
     // JVM+Spark warmup on the smallest SF so steady-state throughput is
-    // measured, not first-call codegen/classloading.
-    Headline.foreach(n => queries(n)(spark, "/root/testdata/sf0.001").count())
+    // measured, not first-call codegen/classloading. Guarded per query:
+    // one broken query must degrade that query's samples to the -1
+    // sentinel below, not zero the whole bench artifact.
+    Headline.foreach { n =>
+      try queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     // Median of 3 timed passes per query, passes INTERLEAVED round-robin
     // (pass 1 of every query, then pass 2, ...): back-to-back passes let
     // one sustained co-tenant load burst poison every sample of a single

@@ -1,6 +1,51 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+/** Normalization of the `events.ts` column to a session-UTC TimestampType,
+  * whatever physical contract the parquet files ship.
+  *
+  * The driver has generated `events.ts` under two contracts so far:
+  * TIMESTAMP(NANOS) (no Spark native type → read as raw int64 via
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS) with
+  * isAdjustedToUTC=false (→ TIMESTAMP_NTZ). Hard-coding either one means a
+  * regeneration zeroes every events-family operator at once — so the loader
+  * branches on the dtype that is actually on disk, and anything outside the
+  * supported set fails with ONE actionable message instead of dozens of
+  * identical analysis exceptions downstream.
+  */
+object EventTime {
+  /** Human-readable list for the drift error message. */
+  val supported: String =
+    "BIGINT (nanos-as-long), TIMESTAMP_NTZ (micros, no tz), TIMESTAMP"
+
+  /** Adapt `ts` to TimestampType (micros, session tz = UTC). */
+  def normalizeTs(df: DataFrame, source: String): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      // old contract: TIMESTAMP(NANOS) surfaced as a raw nanosecond long
+      // (nanosAsLong); floor-divide to micros — same floor DuckDB applies
+      // casting ns → us (ts is post-1970 so div is a floor).
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // current contract: TIMESTAMP(MICROS), isAdjustedToUTC=false. The
+      // session timezone is UTC, so reinterpreting the wall-clock value as
+      // an instant preserves the micros exactly.
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case Some(TimestampType) => df
+      case other =>
+        throw new IllegalStateException(
+          s"events testdata contract drift: $source has ts dtype " +
+            s"${other.map(_.sql).getOrElse("<missing>")}; supported: $supported. " +
+            "Update graft.EventTime.normalizeTs for the new generation.")
+    }
+
+  /** True iff `normalizeTs` knows how to adapt this dtype. */
+  def isSupported(dt: DataType): Boolean =
+    dt == LongType || dt == TimestampNTZType || dt == TimestampType
+}
 
 /** Session factory with the engine's standard configuration.
   *
@@ -25,8 +70,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-      // type for; read the raw int64 and convert in Tables.events.
+      // Older testdata generations carry events.ts as TIMESTAMP(NANOS),
+      // which Spark has no native type for; this conf reads that as raw
+      // int64 (harmless for micros files) and EventTime.normalizeTs adapts
+      // whichever dtype actually arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -49,15 +96,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val part: DataFrame       = table("part")
   lazy val orders: DataFrame     = table("orders")
   lazy val lineitem: DataFrame   = table("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet (read as raw long); convert
-    * to a micros TimestampType column. ts is post-1970 so long division is
-    * the same floor DuckDB applies when casting ns → us.
+  /** events.ts normalized to TimestampType whatever parquet contract the
+    * current testdata generation ships — see [[EventTime.normalizeTs]].
     */
-  lazy val events: DataFrame = {
-    val raw = table("events")
-    import org.apache.spark.sql.functions._
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  lazy val events: DataFrame =
+    EventTime.normalizeTs(table("events"), s"$dir/events.parquet")
   lazy val documents: DataFrame  = table("documents")
   lazy val embeddings: DataFrame = table("embeddings")
 }

@@ -43,20 +43,36 @@ object ScaleDemo {
     */
   val IntendedNested: Set[String] = Set("s_cosine_topk")
 
+  /** Content fingerprint of the base corpus: path plus (size, mtime) of
+    * every file under the three source tables. A path-only marker proved
+    * insufficient — the driver regenerates testdata IN PLACE, so the same
+    * path can mean different bytes across rounds; stale scaled data would
+    * then be measured under the new base's name.
+    */
+  def baseFingerprint(base: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val files = Seq("documents", "events", "embeddings")
+      .map(t => new java.io.File(s"$base/$t.parquet")).filter(_.exists).flatMap(walk)
+    base + "\n" + files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+  }
+
   def generate(spark: SparkSession, base: String, workRoot: String, k: Int): String = {
     val dir = s"$workRoot/x$k"
-    // marker v2: the embeddings table joined the matrix in round 4.
-    // The marker RECORDS the base corpus it was generated from —
-    // switching SPARK_GRAFT_SF_DIR must regenerate, not silently
-    // measure stale data under the new base's name.
-    val marker = new java.io.File(s"$dir/_GENERATED_V2")
+    // marker v3: content-fingerprinted (see baseFingerprint) and the
+    // replica events now carry ts as plain TIMESTAMP.
+    val marker = new java.io.File(s"$dir/_GENERATED_V3")
     if (marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == base)
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") ==
+          baseFingerprint(base))
       return dir
-    // raw read: events.ts stays the int64 nanos column (the written
-    // copy is plain INT64, which Tables.events converts identically)
+    // events.ts is normalized to TimestampType up front (whatever the
+    // base contract), so the written replica carries plain TIMESTAMP —
+    // which Tables.events passes through unchanged.
     val docs = spark.read.parquet(s"$base/documents.parquet")
-    val events = spark.read.parquet(s"$base/events.parquet")
+    val events = EventTime.normalizeTs(
+      spark.read.parquet(s"$base/events.parquet"), s"$base/events.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val docN = 10000000L
     val evN = 10000000L
@@ -72,7 +88,6 @@ object ScaleDemo {
         s"base ids exceed replica shift constants: doc=$d ev=${er.getLong(0)} " +
           s"user=${er.getLong(1)} vec=$v")
     }
-    val dayNs = 86400L * 1000000000L
     val reps = spark.range(k).select(col("id").cast("int").as("k"))
     docs.crossJoin(reps)
       // token-salting keeps replicas shingle-disjoint; k=0 stays the
@@ -88,7 +103,7 @@ object ScaleDemo {
     events.crossJoin(reps)
       .select(
         (col("event_id") + col("k") * evN).as("event_id"),
-        (col("ts") + col("k").cast("bigint") * 35L * dayNs).as("ts"),
+        expr("timestampadd(DAY, k * 35, ts)").as("ts"),
         (col("user_id") + col("k") * userN).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -104,7 +119,7 @@ object ScaleDemo {
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     marker.getParentFile.mkdirs()
-    java.nio.file.Files.write(marker.toPath, base.getBytes("UTF-8"))
+    java.nio.file.Files.write(marker.toPath, baseFingerprint(base).getBytes("UTF-8"))
     dir
   }
 

@@ -40,20 +40,27 @@ final case class SessionState(next_id: Long, open: Option[OpenSession])
   */
 object EventsStreaming {
 
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-based stream over the events parquet (stands in for Kafka — the
     * plan downstream is identical).
+    *
+    * The stream schema is DERIVED from the file, never hand-written: a
+    * streaming read silently coerces the parquet physical type into
+    * whatever schema it is handed (an INT64-micros column read as LongType
+    * "succeeds" with raw micros — which a nanos→micros division then
+    * compresses 1000×, collapsing all event time into ~1970). Reading the
+    * footer schema and routing through the same [[graft.EventTime]]
+    * normalization as `Tables.events` makes stream rows identical to batch
+    * rows by construction, under every testdata generation.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.EventTime.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir),
+      s"$dir/events.parquet")
+  }
 
   /** Tumbling 1h windows per event type, 2h watermark. */
   def windowedAgg(events: DataFrame): DataFrame =

@@ -14,6 +14,26 @@ class StreamingSpec extends SparkSpec {
   private def q(name: String) =
     Streaming.entries.find(_.name == name).get.fn
 
+  test("readEventStream emits rows identical to Tables.events (any ts contract)") {
+    // the round-4 silent-corruption class: a hand-written stream schema
+    // can coerce the parquet physical type and skew every event time.
+    // Deriving the schema from the file makes this identity structural;
+    // this asserts it stays that way.
+    val out = java.nio.file.Files.createTempDirectory("graft_raw_parity")
+    val q = EventsStreaming.readEventStream(spark, sfDir)
+      .writeStream.format("memory").queryName("raw_parity")
+      .option("checkpointLocation", s"$out/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val key = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val stream = spark.table("raw_parity").select(key.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Tables(spark, sfDir).events.select(key.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("st_static_enrich matches the batch broadcast-dim join row for row") {
     val stream = q("st_static_enrich")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
