@@ -113,5 +113,25 @@ object DmarcIngest extends QueryModule {
              |  (SUM(successful_session_count) + SUM(failed_session_count)), 2) AS success_rate
              |FROM p GROUP BY 1 ORDER BY policy_domain""".stripMargin),
     ),
+    // Email output surface (reference internal/smtp/smtp.go): the MIME
+    // formatting half as a distributed projection over the parsed sample
+    // corpus. Rows-only (a MIME message is not SQL-expressible);
+    // EmailOutputSpec pins structure, base64 round-trip, and delivery.
+    QueryDef(
+      "o_email_mime",
+      (s, _) => {
+        val cfg = graft.sources.SmtpConfig(enabled = false,
+          from = "dmarc@example.com", to = Seq("admin@example.com"))
+        graft.sources.EmailOutput.aggregateEmails(
+            DmarcReader.aggregateReports(s, s"$Samples/aggregate", "*.xml"),
+            cfg, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+          .select(col("report_key"), col("subject"), col("attachment_name"),
+                  length(col("mime")).as("mime_chars"))
+          // report ids collide across orgs in the sample corpus — the
+          // secondary key keeps the ordering total
+          .orderBy("report_key", "mime_chars")
+      },
+      None,
+    ),
   )
 }
