@@ -24,7 +24,13 @@ object DmarcIngest extends QueryModule {
           .select(col("reportId"), col("orgName"), col("domain"), col("p"),
                   col("sp"), col("pct"), size(col("records")).as("n_records"))
           .orderBy("reportId"),
-      None,
+      // snapshot oracle (scheme of q_tls_failure_breakdown): the sample
+      // corpus is SF-independent, so the committed expected parse pins
+      // the XML parser in the hash gate; ParseSnapshotsSpec keeps the
+      // constants honest against the live parse.
+      Some(s"""WITH t(reportId, orgName, domain, p, sp, pct, n_records) AS (VALUES
+             |  ${graft.api.ParseSnapshots.aggregateXmlSqlValues})
+             |SELECT * FROM t ORDER BY reportId""".stripMargin),
     ),
     QueryDef(
       "p_records_flatten",
@@ -50,7 +56,9 @@ object DmarcIngest extends QueryModule {
           .toDF()
           .select(col("reportId"), col("domain"), size(col("records")).as("n_records"))
           .orderBy("reportId"),
-      None,
+      Some(s"""WITH t(reportId, domain, n_records) AS (VALUES
+             |  ${graft.api.ParseSnapshots.compressedSqlValues})
+             |SELECT * FROM t ORDER BY reportId""".stripMargin),
     ),
     QueryDef(
       "p_forensic_arf",
@@ -61,7 +69,9 @@ object DmarcIngest extends QueryModule {
                   col("source.ipAddress").as("source_ip"),
                   array_join(col("authFailure"), ";").as("auth_failure"))
           .orderBy("reportedDomain", "source_ip"),
-      None,
+      Some(s"""WITH t(feedbackType, reportedDomain, deliveryResult, source_ip, auth_failure) AS (VALUES
+             |  ${graft.api.ParseSnapshots.forensicArfSqlValues})
+             |SELECT * FROM t ORDER BY reportedDomain, source_ip""".stripMargin),
     ),
     QueryDef(
       "p_smtp_tls_json",
@@ -78,7 +88,9 @@ object DmarcIngest extends QueryModule {
                   size(col("policy.failureDetails")).as("n_failures"))
           .orderBy("reportId", "policy_domain")
       },
-      None,
+      Some(s"""WITH t(organizationName, reportId, policy_domain, policy_type, ok_sessions, fail_sessions, n_failures) AS (VALUES
+             |  ${graft.api.ParseSnapshots.smtpTlsJsonSqlValues})
+             |SELECT * FROM t ORDER BY reportId, policy_domain""".stripMargin),
     ),
     // SMTP TLS failures analytics (clickhouse.go:184-228's two TLS
     // tables): the Spark side parses the samples LIVE and flattens via
@@ -131,7 +143,9 @@ object DmarcIngest extends QueryModule {
           // secondary key keeps the ordering total
           .orderBy("report_key", "mime_chars")
       },
-      None,
+      Some(s"""WITH t(report_key, subject, attachment_name, mime_chars) AS (VALUES
+             |  ${graft.api.ParseSnapshots.emailMimeSqlValues})
+             |SELECT * FROM t ORDER BY report_key, mime_chars""".stripMargin),
     ),
   )
 }
