@@ -1,0 +1,469 @@
+package graft.functions
+
+/** Dependency-free baseline JPEG PIXEL decode — closes the last
+  * mainstream still-image stub beside PngPixels/GifPixels/BmpPixels.
+  * Everything here is from the public spec (ITU-T T.81 / ISO 10918-1):
+  * marker segments, canonical Huffman entropy decode with byte
+  * unstuffing and restart markers, dequantize + dezigzag, separable
+  * floating IDCT, and JFIF YCbCr→RGB.
+  *
+  * Scope: baseline + extended sequential DCT (SOF0/SOF1), 8-bit
+  * precision, 1-component grayscale or 3-component YCbCr with any
+  * sampling factors up to 4 (covers 4:4:4, 4:2:2, 4:2:0 — everything
+  * the JDK's own writer and libjpeg-family encoders emit by default).
+  * Progressive (SOF2), arithmetic coding, 12-bit, and CMYK return None
+  * rather than a wrong answer — same contract as PngPixels.
+  *
+  * The reference parses media headers only (multimodal stills are an
+  * engine-side extension); like the other decoders this runs inside
+  * batched mapPartitions — binary decode is per-row imperative work,
+  * not an Expression job.
+  */
+object JpegPixels {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Zigzag order: index in scan order → index in 8x8 raster order. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman table in the T.81 F.2.2.3 decode form. */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = code - 1
+        if (counts(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(idx: Int): Int = symbols(idx)
+  }
+
+  /** Entropy-coded-segment bit reader: FF00 unstuffing, stops at any
+    * real marker (leaving it for the caller), restart-marker aware.
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var hitMarker = false
+
+    def align(): Unit = { bitBuf = 0; bitCnt = 0 }
+
+    /** Consume an expected RSTn marker at a restart boundary. */
+    def readRestart(): Boolean = {
+      align()
+      if (pos + 1 < b.length && u8(b, pos) == 0xff) {
+        val m = u8(b, pos + 1)
+        if (m >= 0xd0 && m <= 0xd7) { pos += 2; hitMarker = false; return true }
+      }
+      false
+    }
+
+    private def nextByte(): Int = {
+      if (hitMarker || pos >= b.length) { hitMarker = true; return 0 }
+      val v = u8(b, pos)
+      if (v == 0xff) {
+        if (pos + 1 >= b.length) { hitMarker = true; return 0 }
+        val n = u8(b, pos + 1)
+        if (n == 0x00) { pos += 2; 0xff }
+        else { hitMarker = true; 0 } // real marker: stop producing bits
+      } else { pos += 1; v }
+    }
+
+    def bit(): Int = {
+      if (bitCnt == 0) { bitBuf = nextByte(); bitCnt = 8 }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    def decode(h: Huff): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16 && (h.maxCode(l) == -1 || code > h.maxCode(l))) {
+        code = (code << 1) | bit()
+        l += 1
+      }
+      if (l > 16) -1
+      else h.symbol(h.valPtr(l) + code - h.minCode(l))
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map a magnitude-category code to its value. */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Separable double-precision IDCT on one dequantized 8x8 block
+    * (raster order in, spatial samples out, level-shifted and clamped).
+    */
+  private def idct(block: Array[Double], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    val c = new Array[Double](8)
+    c(0) = 1.0 / math.sqrt(2.0)
+    var i = 1
+    while (i < 8) { c(i) = 1.0; i += 1 }
+    // rows
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          s += c(u) * block(y * 8 + u) * math.cos((2 * x + 1) * u * math.Pi / 16)
+          u += 1
+        }
+        tmp(y * 8 + x) = s / 2
+        x += 1
+      }
+      y += 1
+    }
+    // columns
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          s += c(v) * tmp(v * 8 + x) * math.cos((2 * yy + 1) * v * math.Pi / 16)
+          v += 1
+        }
+        val px = math.round(s / 2 + 128).toInt
+        out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int,
+                                     var dcTab: Int = 0, var acTab: Int = 0)
+
+  /** Full pixel decode: Some((width, height, channels, raster)) with
+    * channels 1 (gray) or 3 (RGB, row-major interleaved); None for
+    * anything outside the supported profile or structurally broken.
+    */
+  def decodeRaster(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    val quant = new Array[Array[Int]](4)
+    val dcHuff = new Array[Huff](4)
+    val acHuff = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var pos = 2
+    var scanStart = -1
+
+    while (scanStart < 0) {
+      if (pos + 3 >= b.length) return None
+      if (u8(b, pos) != 0xff) return None
+      val marker = u8(b, pos + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { pos += 2 }
+      else if (marker == 0xd9) return None // EOI before any scan
+      else {
+        val len = u16(b, pos + 2)
+        val seg = pos + 4
+        if (seg + len - 2 > b.length) return None
+        marker match {
+          case 0xdb => // DQT
+            var p = seg
+            while (p < seg + len - 2) {
+              val pq = u8(b, p) >> 4
+              val tq = u8(b, p) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              val tab = new Array[Int](64)
+              var k = 0
+              p += 1
+              while (k < 64) {
+                tab(Zigzag(k)) =
+                  if (pq == 0) u8(b, p + k) else u16(b, p + 2 * k)
+                k += 1
+              }
+              p += (if (pq == 0) 64 else 128)
+              quant(tq) = tab
+            }
+          case 0xc4 => // DHT
+            var p = seg
+            while (p < seg + len - 2) {
+              val tc = u8(b, p) >> 4
+              val th = u8(b, p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = new Array[Int](16)
+              var total = 0
+              var k = 0
+              while (k < 16) { counts(k) = u8(b, p + 1 + k); total += counts(k); k += 1 }
+              val syms = new Array[Int](total)
+              k = 0
+              while (k < total) { syms(k) = u8(b, p + 17 + k); k += 1 }
+              val huff = new Huff(counts, syms)
+              if (tc == 0) dcHuff(th) = huff else acHuff(th) = huff
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            if (u8(b, seg) != 8) return None // 8-bit precision only
+            height = u16(b, seg + 1)
+            width = u16(b, seg + 3)
+            val n = u8(b, seg + 5)
+            if (n != 1 && n != 3) return None
+            comps = Array.tabulate(n) { i =>
+              val o = seg + 6 + 3 * i
+              Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 0x0f, u8(b, o + 2))
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4))
+              return None
+          case 0xc2 => return None // progressive: out of scope
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless / arithmetic / differential families
+          case 0xdd => restartInterval = u16(b, seg)
+          case 0xda => // SOS
+            if (comps == null) return None
+            val n = u8(b, seg)
+            if (n != comps.length) return None
+            var i2 = 0
+            while (i2 < n) {
+              val id = u8(b, seg + 1 + 2 * i2)
+              val tabs = u8(b, seg + 2 + 2 * i2)
+              comps.find(_.id == id) match {
+                case Some(c) => c.dcTab = tabs >> 4; c.acTab = tabs & 0x0f
+                case None => return None
+              }
+              i2 += 1
+            }
+            scanStart = seg + len - 2
+          case _ => () // APPn / COM / others: skip
+        }
+        if (scanStart < 0) pos += 2 + len
+      }
+    }
+
+    if (width == 0 || height == 0 || width * height > 64_000_000) return None
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+
+    // per-component sample planes at native resolution
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = Array.tabulate(comps.length)(i => new Array[Byte](planeW(i) * planeH(i)))
+    comps.foreach(c => if (quant(c.tq) == null) return None)
+
+    val reader = new BitReader(b, scanStart)
+    val dcPred = new Array[Int](comps.length)
+    val coeff = new Array[Double](64)
+    val px = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!reader.readRestart()) return None
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val dh = dcHuff(c.dcTab)
+        val ah = acHuff(c.acTab)
+        val qt = quant(c.tq)
+        if (dh == null || ah == null) return None
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // one 8x8 block
+            java.util.Arrays.fill(coeff, 0.0)
+            val t = reader.decode(dh)
+            if (t < 0 || t > 11 || reader.hitMarker) return None
+            dcPred(ci) += extend(reader.bits(t), t)
+            coeff(0) = dcPred(ci).toDouble * qt(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = reader.decode(ah)
+              if (rs < 0 || reader.hitMarker) return None
+              val r = rs >> 4
+              val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                if (k > 63) return None
+                coeff(Zigzag(k)) = extend(reader.bits(s), s).toDouble * qt(Zigzag(k))
+                k += 1
+              }
+            }
+            idct(coeff, px)
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            val pw = planeW(ci)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((oy + yy) * pw + ox + xx) = px(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    if (comps.length == 1) {
+      val out = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * pw, out, y * width, width)
+        y += 1
+      }
+      Some((width, height, 1, out))
+    } else {
+      // chroma upsample (nearest) + JFIF YCbCr→RGB
+      val out = new Array[Byte](width * height * 3)
+      val (yP, cbP, crP) = (planes(0), planes(1), planes(2))
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yv = yP(y * planeW(0) + x) & 0xff
+          val cb = (cbP((y * comps(1).v / vMax) * planeW(1) + x * comps(1).h / hMax) & 0xff) - 128
+          val cr = (crP((y * comps(2).v / vMax) * planeW(2) + x * comps(2).h / hMax) & 0xff) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * width + x) * 3
+          out(o) = clamp(yv + 1.402 * cr)
+          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, 3, out))
+    }
+  }
+
+  /** Synthetic fixture ENCODER — the one place this file touches the
+    * JDK's own codec (javax.imageio ships in every JVM, no media
+    * library): a deterministic gradient image compressed by the JDK
+    * writer. The decode path above never uses ImageIO; fixtures from an
+    * independent implementation are the point — a decoder bug cannot
+    * cancel out against its own encoder.
+    */
+  def syntheticJpeg(w: Int, h: Int, seed: Int, quality: Float = 0.8f): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 255 / math.max(1, w - 1) + seed) % 256
+        val g = (y * 255 / math.max(1, h - 1) + seed * 3) % 256
+        val b = ((x + y) * 255 / math.max(1, w + h - 2) + seed * 5) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.flush(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Independent-decoder reference: (w, h, meanR, meanG, meanB) via the
+    * JDK's reader over RAW raster samples (getRGB would layer a
+    * gray→sRGB gamma conversion on top of the JPEG samples). Used as
+    * the runtime cross-check for `pixels_ok` — two unrelated decoder
+    * implementations must agree on every image.
+    */
+  def jdkMeans(b: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val ch = raster.getNumBands
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            if (ch == 1) {
+              val v = raster.getSample(x, y, 0); sr += v; sg += v; sb += v
+            } else {
+              sr += raster.getSample(x, y, 0)
+              sg += raster.getSample(x, y, 1)
+              sb += raster.getSample(x, y, 2)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        Some((img.getWidth, img.getHeight,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Decode to (width, height, meanR, meanG, meanB) — the multimodal
+    * feature contract shared with PngPixels/GifPixels (gray replicates
+    * into all three channels).
+    */
+  def decode(b: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    decodeRaster(b).map { case (w, h, ch, raster) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      val n = w.toLong * h
+      if (ch == 1) {
+        var i = 0
+        while (i < raster.length) { val v = raster(i) & 0xff; sr += v; sg += v; sb += v; i += 1 }
+      } else {
+        var i = 0
+        while (i < raster.length) {
+          sr += raster(i) & 0xff; sg += raster(i + 1) & 0xff; sb += raster(i + 2) & 0xff
+          i += 3
+        }
+      }
+      (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+}

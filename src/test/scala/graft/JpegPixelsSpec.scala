@@ -1,0 +1,145 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.stream.MemoryCacheImageOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import graft.functions.JpegPixels
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline JPEG decode against an independent implementation: the
+  * JDK's ImageIO writer produces the fixtures (real libjpeg-style
+  * baseline streams, 4:2:0 at default quality) and its reader is the
+  * reference decode. Our IDCT and the JDK's differ in rounding, so
+  * per-channel MEANS are compared within a small tolerance; dimensions
+  * are exact.
+  */
+class JpegPixelsSpec extends AnyFunSuite {
+  System.setProperty("java.awt.headless", "true")
+
+  private def pattern(w: Int, h: Int, seed: Int, gray: Boolean): BufferedImage = {
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7 + seed) % 256
+      val g = (y * 11 + seed * 3) % 256
+      val b = (x + y + seed * 5) % 256
+      img.setRGB(x, y, if (gray) (r << 16) | (r << 8) | r else (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, quality: Float): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.flush(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Reference means from the JDK decode. Raw raster samples, NOT
+    * getRGB: on TYPE_BYTE_GRAY getRGB converts linear gray → sRGB
+    * (gamma), which is a color-management choice layered on top of the
+    * JPEG samples — both decoders' raw samples are the comparable unit.
+    */
+  private def refMeans(b: Array[Byte]): (Int, Int, Double, Double, Double) = {
+    val img = ImageIO.read(new ByteArrayInputStream(b))
+    val raster = img.getRaster
+    val ch = raster.getNumBands
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      if (ch == 1) {
+        val v = raster.getSample(x, y, 0)
+        sr += v; sg += v; sb += v
+      } else {
+        sr += raster.getSample(x, y, 0)
+        sg += raster.getSample(x, y, 1)
+        sb += raster.getSample(x, y, 2)
+      }
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    (img.getWidth, img.getHeight, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  private def check(w: Int, h: Int, seed: Int, quality: Float, gray: Boolean,
+                    tol: Double = 1.0): Unit = {
+    val bytes = encode(pattern(w, h, seed, gray), quality)
+    val got = JpegPixels.decode(bytes)
+    assert(got.isDefined, s"decode failed for ${w}x$h q=$quality gray=$gray")
+    val (gw, gh, gr, gg, gb) = got.get
+    val (rw, rh, rr, rg, rb) = refMeans(bytes)
+    assert(gw == rw && gh == rh)
+    assert(math.abs(gr - rr) <= tol, s"R mean $gr vs $rr (${w}x$h q=$quality)")
+    assert(math.abs(gg - rg) <= tol, s"G mean $gg vs $rg (${w}x$h q=$quality)")
+    assert(math.abs(gb - rb) <= tol, s"B mean $gb vs $rb (${w}x$h q=$quality)")
+  }
+
+  test("RGB 4:2:0 across qualities matches the JDK decoder's means") {
+    for (q <- Seq(0.5f, 0.75f, 0.9f, 1.0f)) check(64, 48, 3, q, gray = false)
+  }
+
+  test("odd (non-MCU-aligned) dimensions decode exactly as the JDK does") {
+    check(17, 13, 7, 0.8f, gray = false)
+    check(33, 31, 1, 0.8f, gray = false)
+    check(8, 8, 9, 0.8f, gray = false)
+    check(7, 5, 2, 0.8f, gray = false)
+  }
+
+  test("grayscale single-component decodes") {
+    check(40, 25, 4, 0.8f, gray = true)
+    check(64, 64, 8, 0.95f, gray = true)
+  }
+
+  test("larger image with high-frequency content") {
+    check(200, 150, 6, 0.7f, gray = false)
+  }
+
+  test("raster-level agreement: every pixel within IDCT rounding slack") {
+    // smooth gradient, no sawtooth wraps: a hard discontinuity makes
+    // the 4:2:0 chroma-phase difference (our nearest upsample vs the
+    // JDK's filtered one) legitimately large at the wrap columns
+    val img = new BufferedImage(48, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      img.setRGB(x, y, ((x * 255 / 47) << 16) | ((y * 255 / 31) << 8) | ((x + y) * 255 / 78))
+    val bytes = encode(img, 0.85f)
+    val (w, h, ch, raster) = JpegPixels.decodeRaster(bytes).get
+    assert(ch == 3)
+    val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - (raster(o) & 0xff)))
+      worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) - (raster(o + 1) & 0xff)))
+      worst = math.max(worst, math.abs((rgb & 0xff) - (raster(o + 2) & 0xff)))
+    }
+    // different-but-conformant IDCTs: T.81 §A.3.3 accuracy class is
+    // ±1; chroma upsample phase differs (nearest vs JDK's filtered),
+    // so allow a few counts at block/chroma edges
+    assert(worst <= 8, s"worst per-pixel delta $worst")
+  }
+
+  test("m_jpeg_pixels: every payload decodes and agrees with the JDK decoder") {
+    val rows = SparkSpec.session // shared session; this suite is otherwise sparkless
+    val out = SparkEntry.queries("m_jpeg_pixels")(rows, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getBoolean(6)), "some pixels_ok=false")
+    // decoded dimensions vary with doc_id (lcm(16,12) = 48 distinct
+    // combos) — the decode is not a constant
+    assert(out.map(r => (r.getInt(1), r.getInt(2))).distinct.length == 48)
+  }
+
+  test("broken inputs return None, never a wrong answer") {
+    assert(JpegPixels.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(JpegPixels.decode(Array.fill[Byte](100)(0x55)).isEmpty)
+    val ok = encode(pattern(32, 32, 1, gray = false), 0.8f)
+    assert(JpegPixels.decode(ok.take(20)).isEmpty)    // truncated pre-scan
+    val noSoi = ok.clone(); noSoi(1) = 0x00
+    assert(JpegPixels.decode(noSoi).isEmpty)
+  }
+}
