@@ -19,17 +19,15 @@ import org.apache.spark.sql.types._
   */
 object CorpusStreaming {
 
-  val docSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   /** File-based stream over the documents parquet (stands in for the
-    * continuous feed; the plan downstream is identical).
+    * continuous feed; the plan downstream is identical). Schema is
+    * DERIVED from the parquet footer, never hand-written — the same
+    * drift-proofing as EventsStreaming.readEventStream: a hand-coded
+    * schema silently coerces regenerated testdata.
     */
   def readDocumentStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(docSchema)
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
@@ -42,17 +40,13 @@ object CorpusStreaming {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
-  val embeddingSchema: StructType = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(FloatType)),
-    StructField("label", IntegerType)))
-
   /** File-based stream over the embeddings parquet (stands in for a
     * continuous vector feed — e.g. freshly embedded crawl documents).
+    * Footer-derived schema, like [[readDocumentStream]].
     */
   def readEmbeddingStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(embeddingSchema)
+      .schema(spark.read.parquet(s"$dir/embeddings.parquet").schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
 
