@@ -18,6 +18,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("l_comment") && !p.contains("l_orderkey#"))
   }
 
+  test("events ts filters push down through the contract normalization") {
+    // EventTime.normalizeTs casts TIMESTAMP_NTZ → TIMESTAMP; in a UTC
+    // session Catalyst rewrites timestamp predicates through that cast
+    // into NTZ literals AT THE SCAN. This is a pushdown the old
+    // raw-int64 contract could never get — and a regression here would
+    // silently turn every time-windowed events query into a full scan.
+    val p = plan("q_count_today")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"), p)
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"), p)
+  }
+
   test("q1 scan reads only the referenced columns") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
