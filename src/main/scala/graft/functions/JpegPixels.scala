@@ -190,10 +190,13 @@ object JpegPixels {
         marker match {
           case 0xdb => // DQT
             var p = seg
-            while (p < seg + len - 2) {
+            val segEnd = seg + len - 2
+            while (p < segEnd) {
               val pq = u8(b, p) >> 4
               val tq = u8(b, p) & 0x0f
               if (tq > 3 || pq > 1) return None
+              // the declared length must actually hold the table
+              if (p + 1 + (if (pq == 0) 64 else 128) > segEnd) return None
               val tab = new Array[Int](64)
               var k = 0
               p += 1
@@ -207,14 +210,16 @@ object JpegPixels {
             }
           case 0xc4 => // DHT
             var p = seg
-            while (p < seg + len - 2) {
+            val segEnd = seg + len - 2
+            while (p < segEnd) {
               val tc = u8(b, p) >> 4
               val th = u8(b, p) & 0x0f
-              if (tc > 1 || th > 3) return None
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
               val counts = new Array[Int](16)
               var total = 0
               var k = 0
               while (k < 16) { counts(k) = u8(b, p + 1 + k); total += counts(k); k += 1 }
+              if (p + 17 + total > segEnd) return None
               val syms = new Array[Int](total)
               k = 0
               while (k < total) { syms(k) = u8(b, p + 17 + k); k += 1 }
@@ -223,11 +228,11 @@ object JpegPixels {
               p += 17 + total
             }
           case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
-            if (u8(b, seg) != 8) return None // 8-bit precision only
+            if (len < 8 || u8(b, seg) != 8) return None // 8-bit precision only
             height = u16(b, seg + 1)
             width = u16(b, seg + 3)
             val n = u8(b, seg + 5)
-            if (n != 1 && n != 3) return None
+            if ((n != 1 && n != 3) || len - 2 < 6 + 3 * n) return None
             comps = Array.tabulate(n) { i =>
               val o = seg + 6 + 3 * i
               Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 0x0f, u8(b, o + 2))
@@ -239,9 +244,9 @@ object JpegPixels {
             return None // lossless / arithmetic / differential families
           case 0xdd => restartInterval = u16(b, seg)
           case 0xda => // SOS
-            if (comps == null) return None
+            if (comps == null || len < 3) return None
             val n = u8(b, seg)
-            if (n != comps.length) return None
+            if (n != comps.length || len - 2 < 1 + 2 * n) return None
             var i2 = 0
             while (i2 < n) {
               val id = u8(b, seg + 1 + 2 * i2)

@@ -35,6 +35,7 @@ class PropertySpec extends AnyFunSuite {
       ImageHeaders.parse(b); AudioHeaders.parse(b); VideoHeaders.parse(b)
       ImageHeaders.decodeBmpPixels(b); AudioHeaders.decodePcmSamples(b)
       graft.functions.AviFrames.decode(b)
+      graft.functions.JpegPixels.decode(b)
       graft.sources.Extract.decompress(b)
       true
     })
@@ -42,6 +43,7 @@ class PropertySpec extends AnyFunSuite {
       ImageHeaders.parse(b); AudioHeaders.parse(b); VideoHeaders.parse(b)
       ImageHeaders.decodeBmpPixels(b); AudioHeaders.decodePcmSamples(b)
       graft.functions.AviFrames.decode(b)
+      graft.functions.JpegPixels.decode(b)
       true
     })
   }
