@@ -507,6 +507,39 @@ object TextAnalysis extends QueryModule {
              |SELECT bucket, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
              |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
+    // sliding-window document chunking (the RAG / long-context
+    // pretraining splitter, complement of t_sequence_pack's packer):
+    // 256-char windows at 192-char stride (64 overlap), each chunk
+    // content-addressed by md5 so the gate hash-pins every chunk's
+    // exact bytes without shipping the text. Pure
+    // sequence+explode+substring — one codegen'd projection, no UDF,
+    // no shuffle before the final ORDER BY; chunk count per doc is
+    // data-derived, so a 100 TB corpus fans out row-locally exactly
+    // like this.
+    QueryDef(
+      "t_chunk_overlap",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        d.select(col("doc_id"), col("text"))
+          .select(col("doc_id"), col("text"),
+            explode(expr(
+              "sequence(0, CAST(ceil(greatest(length(text) - 256, 0) / 192.0) AS BIGINT))"))
+              .as("chunk_id"))
+          .select(
+            col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * 192).as("start"),
+            expr("CAST(length(substring(text, CAST(chunk_id * 192 + 1 AS INT), 256)) AS BIGINT)")
+              .as("chunk_chars"),
+            expr("md5(substring(text, CAST(chunk_id * 192 + 1 AS INT), 256))").as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""SELECT doc_id, gs.chunk_id, gs.chunk_id * 192 AS start,
+             |CAST(length(substring(text, CAST(gs.chunk_id * 192 + 1 AS INT), 256)) AS BIGINT) AS chunk_chars,
+             |md5(substring(text, CAST(gs.chunk_id * 192 + 1 AS INT), 256)) AS chunk_md5
+             |FROM documents, LATERAL (SELECT unnest(generate_series(0,
+             |  CAST(ceil(greatest(length(text) - 256, 0) / 192.0) AS BIGINT))) AS chunk_id) gs
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+    ),
     // temperature-scaled mixture weights per source (the multinomial
     // sampling step of multi-source training): weight ∝ n_docs^0.5.
     // sqrt is exactly rounded in IEEE so both engines agree bit-for-bit;

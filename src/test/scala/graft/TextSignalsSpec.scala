@@ -67,4 +67,31 @@ class TextSignalsSpec extends SparkSpec {
     val root = new org.apache.hadoop.fs.Path(dir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
   }
+
+  test("t_chunk_overlap tiles every document: starts stride by 192, full coverage") {
+    val rows = SparkEntry.queries("t_chunk_overlap")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables(spark, sfDir).documents
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == docs.size)
+    rows.groupBy(_._1).foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are 0..n-1, starts are id*192
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, id, start, chars) =>
+        assert(start == id * 192)
+        assert(chars > 0 && chars <= 256)
+      }
+      // the last chunk reaches the end of the document
+      val (_, _, lastStart, lastChars) = sorted.last
+      assert(lastStart + lastChars == docs(docId),
+        s"doc $docId: ${lastStart + lastChars} != ${docs(docId)}")
+      // consecutive chunks overlap by 64 chars (except a short tail)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, c1), (_, _, s2, _)) => assert(s1 + c1 >= s2)
+        case _ => ()
+      }
+    }
+  }
 }
