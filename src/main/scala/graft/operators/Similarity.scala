@@ -68,6 +68,35 @@ object Similarity extends QueryModule {
               |SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
               |ORDER BY q_id, rn""".stripMargin),
     ),
+    // radius (range) retrieval: every corpus vector within a cosine
+    // threshold of each query — the fixed-radius twin of top-k (RAG
+    // retrieval-with-floor, duplicate candidate harvesting). The
+    // threshold filter runs INSIDE the scan stage on the codegen'd
+    // cosine expression, so only matches ever cross the exchange —
+    // strictly cheaper than top-k (no heap state); the corpus never
+    // shuffles. Unrounded cos: threshold MEMBERSHIP must agree
+    // cross-engine at the ulp, same discipline as d_embedding_neardup.
+    QueryDef(
+      "s_range_search",
+      (s, dir) => {
+        val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", expr(cos))
+          .filter(col("cos") >= 0.35)
+          .select(col("q_id"), col("vec_id"), col("cos"))
+          .orderBy("q_id", "vec_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding,
+              |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM c WHERE vec_id < 10)
+              |SELECT q_id, vec_id,
+              |${duckDot("q_vec", "embedding")} / (nrm * q_nrm) AS cos
+              |FROM c, q WHERE vec_id <> q_id
+              |  AND ${duckDot("q_vec", "embedding")} / (nrm * q_nrm) >= 0.35
+              |ORDER BY q_id, vec_id""".stripMargin),
+    ),
     // two-stage prefix rerank (matryoshka-style): stage 1 scores only
     // the first 16 of 64 dims (4× less arithmetic and — with truncated
     // storage — 4× fewer bytes scanned) and keeps top-20 candidates per

@@ -282,6 +282,26 @@ object Streaming extends QueryModule {
       },
       None,
     ),
+    // streaming document chunking: the RAG/packing splitter as a
+    // stateless projection over the document stream — the literal
+    // batch t_chunk_overlap plan (shared code), so stream rows equal
+    // batch rows by construction; StreamingSpec-style parity is pinned
+    // in CorpusStreamingSpec
+    QueryDef(
+      "st_chunk_overlap",
+      (s, dir) => {
+        val name = s"st_chunk_${System.nanoTime()}"
+        val q = graft.streaming.CorpusStreaming
+          .chunkOverlap(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_chunk_overlap timed out")
+        s.table(name).orderBy("doc_id", "chunk_id")
+      },
+      None,
+    ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened
     // record rows, AvailableNow + memory sink for the gate

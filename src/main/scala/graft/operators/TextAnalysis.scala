@@ -37,6 +37,26 @@ object TextAnalysis extends QueryModule {
        |       / length(text))*0.3, 4) AS quality
        |  FROM documents)""".stripMargin
 
+  /** Sliding-window chunk projection shared by batch (t_chunk_overlap)
+    * and streaming (st_chunk_overlap): 256-char windows at 192-char
+    * stride, md5-content-addressed. STATELESS sequence+explode+substring
+    * — the same plan serves both engines, so stream/batch parity is
+    * structural, not re-implemented. No ordering here (a streaming frame
+    * cannot sort); batch callers add their own ORDER BY.
+    */
+  private[graft] def chunkOverlap(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          "sequence(0, CAST(ceil(greatest(length(text) - 256, 0) / 192.0) AS BIGINT))"))
+          .as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * 192).as("start"),
+        expr("CAST(length(substring(text, CAST(chunk_id * 192 + 1 AS INT), 256)) AS BIGINT)")
+          .as("chunk_chars"),
+        expr("md5(substring(text, CAST(chunk_id * 192 + 1 AS INT), 256))").as("chunk_md5"))
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "t_token_count",
@@ -518,21 +538,8 @@ object TextAnalysis extends QueryModule {
     // like this.
     QueryDef(
       "t_chunk_overlap",
-      (s, dir) => {
-        val d = Tables(s, dir).documents
-        d.select(col("doc_id"), col("text"))
-          .select(col("doc_id"), col("text"),
-            explode(expr(
-              "sequence(0, CAST(ceil(greatest(length(text) - 256, 0) / 192.0) AS BIGINT))"))
-              .as("chunk_id"))
-          .select(
-            col("doc_id"), col("chunk_id"),
-            (col("chunk_id") * 192).as("start"),
-            expr("CAST(length(substring(text, CAST(chunk_id * 192 + 1 AS INT), 256)) AS BIGINT)")
-              .as("chunk_chars"),
-            expr("md5(substring(text, CAST(chunk_id * 192 + 1 AS INT), 256))").as("chunk_md5"))
-          .orderBy("doc_id", "chunk_id")
-      },
+      (s, dir) => chunkOverlap(Tables(s, dir).documents)
+        .orderBy("doc_id", "chunk_id"),
       Some("""SELECT doc_id, gs.chunk_id, gs.chunk_id * 192 AS start,
              |CAST(length(substring(text, CAST(gs.chunk_id * 192 + 1 AS INT), 256)) AS BIGINT) AS chunk_chars,
              |md5(substring(text, CAST(gs.chunk_id * 192 + 1 AS INT), 256)) AS chunk_md5

@@ -113,4 +113,14 @@ object CorpusStreaming {
     */
   def minhashBucketize(docs: DataFrame): DataFrame =
     graft.operators.Dedup.bandedSignaturesRowwise(docs)
+
+  /** Streaming document chunking — arriving documents fan out into
+    * their 256/192 sliding-window chunks as a stateless projection
+    * (the LITERAL batch t_chunk_overlap plan: shared code, so parity
+    * is structural). Feeding a RAG index or a packing stage from a
+    * crawl stream is this projection plus a sink; no state store, no
+    * watermark, per-doc fan-out stays row-local.
+    */
+  def chunkOverlap(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.chunkOverlap(docs)
 }

@@ -98,4 +98,14 @@ class CorpusStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming chunk fan-out matches the batch t_chunk_overlap row for row") {
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_chunk_overlap").get.fn(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("t_chunk_overlap")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
