@@ -41,7 +41,8 @@ object ScaleDemo {
     * keeps). For these, `nested_loop: true` is the expected shape, and
     * `degraded` below stays false.
     */
-  val IntendedNested: Set[String] = Set("s_cosine_topk")
+  val IntendedNested: Set[String] = Set("s_cosine_topk", "s_range_search",
+    "s_prefix_rerank_topk")
 
   /** Content fingerprint of the base corpus: path plus (size, mtime) of
     * every file under the three source tables. A path-only marker proved
