@@ -300,7 +300,9 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_chunk_overlap timed out")
         s.table(name).orderBy("doc_id", "chunk_id")
       },
-      None,
+      // oracled like the other streaming twins: the stream must match
+      // the same DuckDB SQL the batch entry matches
+      Some(graft.operators.TextAnalysis.ChunkOverlapSql),
     ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened

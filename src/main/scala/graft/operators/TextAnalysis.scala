@@ -57,6 +57,17 @@ object TextAnalysis extends QueryModule {
           .as("chunk_chars"),
         expr("md5(substring(text, CAST(chunk_id * 192 + 1 AS INT), 256))").as("chunk_md5"))
 
+  /** Chunk oracle, shared by the batch entry and its streaming twin
+    * (identical rows by construction — the stream is the same plan).
+    */
+  private[graft] val ChunkOverlapSql: String =
+    """SELECT doc_id, gs.chunk_id, gs.chunk_id * 192 AS start,
+      |CAST(length(substring(text, CAST(gs.chunk_id * 192 + 1 AS INT), 256)) AS BIGINT) AS chunk_chars,
+      |md5(substring(text, CAST(gs.chunk_id * 192 + 1 AS INT), 256)) AS chunk_md5
+      |FROM documents, LATERAL (SELECT unnest(generate_series(0,
+      |  CAST(ceil(greatest(length(text) - 256, 0) / 192.0) AS BIGINT))) AS chunk_id) gs
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "t_token_count",
@@ -540,12 +551,7 @@ object TextAnalysis extends QueryModule {
       "t_chunk_overlap",
       (s, dir) => chunkOverlap(Tables(s, dir).documents)
         .orderBy("doc_id", "chunk_id"),
-      Some("""SELECT doc_id, gs.chunk_id, gs.chunk_id * 192 AS start,
-             |CAST(length(substring(text, CAST(gs.chunk_id * 192 + 1 AS INT), 256)) AS BIGINT) AS chunk_chars,
-             |md5(substring(text, CAST(gs.chunk_id * 192 + 1 AS INT), 256)) AS chunk_md5
-             |FROM documents, LATERAL (SELECT unnest(generate_series(0,
-             |  CAST(ceil(greatest(length(text) - 256, 0) / 192.0) AS BIGINT))) AS chunk_id) gs
-             |ORDER BY doc_id, chunk_id""".stripMargin),
+      Some(ChunkOverlapSql),
     ),
     // temperature-scaled mixture weights per source (the multinomial
     // sampling step of multi-source training): weight ∝ n_docs^0.5.
