@@ -553,6 +553,46 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id", "chunk_id"),
       Some(ChunkOverlapSql),
     ),
+    // cross-document duplicate n-gram fraction (the Gopher-rules
+    // dup_ngram_frac, cross-doc complement of t_repetition's within-doc
+    // rules): per doc, the share of its word 8-gram windows whose gram
+    // also occurs in ANOTHER document. Grams are md5'd before the
+    // global count so the shuffle carries 32-byte keys, not text; ONE
+    // shuffle on the gram key for the global doc-frequency, one hash
+    // join back. dup_frac stays an unrounded division of exact BIGINTs
+    // (IEEE-identical cross-engine; rounding derived doubles is the
+    // documented tie trap).
+    QueryDef(
+      "t_dup_ngram_frac",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val grams = d
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"), explode(expr("sequence(0, size(w) - 8)")).as("i"), col("w"))
+          .select(col("doc_id"), expr("md5(array_join(slice(w, i + 1, 8), ' '))").as("gram"))
+        val global = grams.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+        grams.join(global, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+               sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_windows"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_windows")).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, md5(array_to_string(ws[i + 1 : i + 8], ' ')) AS gram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+             |       LATERAL (SELECT unnest(generate_series(0, len(ws) - 8)) AS i) s
+             |  WHERE len(ws) >= 8),
+             |c AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs_with FROM g GROUP BY 1)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             |  CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+             |FROM g JOIN c USING (gram)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
     // temperature-scaled mixture weights per source (the multinomial
     // sampling step of multi-source training): weight ∝ n_docs^0.5.
     // sqrt is exactly rounded in IEEE so both engines agree bit-for-bit;
