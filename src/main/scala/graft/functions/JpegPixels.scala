@@ -355,30 +355,116 @@ object JpegPixels {
       }
       Some((width, height, 1, out))
     } else {
-      // chroma upsample (nearest) + JFIF YCbCr→RGB
+      // triangular ("fancy") chroma upsample for the 2× factors —
+      // libjpeg's default and therefore what the JDK/libjpeg-family
+      // decoders produce; nearest only for exotic factors. Then JFIF
+      // YCbCr→RGB.
+      def full(ci: Int): Array[Byte] = {
+        val c = comps(ci)
+        val trueW = (width * c.h + hMax - 1) / hMax
+        val trueH = (height * c.v + vMax - 1) / vMax
+        upsamplePlane(planes(ci), planeW(ci), trueW, trueH,
+          hMax / c.h, vMax / c.v, width, height)
+      }
+      val yF = full(0)
+      val cbF = full(1)
+      val crF = full(2)
       val out = new Array[Byte](width * height * 3)
-      val (yP, cbP, crP) = (planes(0), planes(1), planes(2))
-      var y = 0
-      while (y < height) {
+      var i = 0
+      val n = width * height
+      while (i < n) {
+        val yv = yF(i) & 0xff
+        val cb = (cbF(i) & 0xff) - 128
+        val cr = (crF(i) & 0xff) - 128
+        def clamp(d: Double): Byte = {
+          val v = math.round(d).toInt
+          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        }
+        out(i * 3) = clamp(yv + 1.402 * cr)
+        out(i * 3 + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+        out(i * 3 + 2) = clamp(yv + 1.772 * cb)
+        i += 1
+      }
+      Some((width, height, 3, out))
+    }
+  }
+
+  /** Upsample one component plane to full resolution. Factors of 2 use
+    * libjpeg's triangle filter (h2v1/h2v2 fancy upsampling: nearer
+    * sample weighted 3:1 horizontally, 3:1 vertically → 9/3/3/1 with
+    * the 8/7 rounding pair) — the default of every libjpeg-family
+    * decoder, so pixel values line up with the JDK reference within
+    * IDCT rounding instead of differing by half a chroma step. Edge
+    * clamping reproduces libjpeg's first/last duplication exactly
+    * ((4c+1)>>2 = (4c+2)>>2 = c). Other factors fall back to nearest.
+    */
+  private def upsamplePlane(src: Array[Byte], stride: Int, trueW: Int, trueH: Int,
+                            fx: Int, fy: Int, dw: Int, dh: Int): Array[Byte] = {
+    val out = new Array[Byte](dw * dh)
+    def s(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= trueW) trueW - 1 else x
+      val cy = if (y < 0) 0 else if (y >= trueH) trueH - 1 else y
+      src(cy * stride + cx) & 0xff
+    }
+    var y = 0
+    if (fx == 1 && fy == 1) {
+      while (y < dh) {
         var x = 0
-        while (x < width) {
-          val yv = yP(y * planeW(0) + x) & 0xff
-          val cb = (cbP((y * comps(1).v / vMax) * planeW(1) + x * comps(1).h / hMax) & 0xff) - 128
-          val cr = (crP((y * comps(2).v / vMax) * planeW(2) + x * comps(2).h / hMax) & 0xff) - 128
-          def clamp(d: Double): Byte = {
-            val v = math.round(d).toInt
-            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-          }
-          val o = (y * width + x) * 3
-          out(o) = clamp(yv + 1.402 * cr)
-          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-          out(o + 2) = clamp(yv + 1.772 * cb)
+        while (x < dw) { out(y * dw + x) = s(x, y).toByte; x += 1 }
+        y += 1
+      }
+    } else if (fx == 2 && fy == 1) {
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          val j = x >> 1
+          val v =
+            if ((x & 1) == 0) (3 * s(j, y) + s(j - 1, y) + 1) >> 2
+            else (3 * s(j, y) + s(j + 1, y) + 2) >> 2
+          out(y * dw + x) = v.toByte
           x += 1
         }
         y += 1
       }
-      Some((width, height, 3, out))
+    } else if (fx == 1 && fy == 2) {
+      while (y < dh) {
+        val i = y >> 1
+        val far = if ((y & 1) == 0) i - 1 else i + 1
+        val rnd = if ((y & 1) == 0) 1 else 2
+        var x = 0
+        while (x < dw) {
+          out(y * dw + x) = ((3 * s(x, i) + s(x, far) + rnd) >> 2).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else if (fx == 2 && fy == 2) {
+      while (y < dh) {
+        val i = y >> 1
+        val far = if ((y & 1) == 0) i - 1 else i + 1
+        var x = 0
+        while (x < dw) {
+          val j = x >> 1
+          def colsum(jj: Int): Int = 3 * s(jj, i) + s(jj, far)
+          val v =
+            if ((x & 1) == 0) (3 * colsum(j) + colsum(j - 1) + 8) >> 4
+            else (3 * colsum(j) + colsum(j + 1) + 7) >> 4
+          out(y * dw + x) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          out(y * dw + x) = s(x / fx, y / fy).toByte
+          x += 1
+        }
+        y += 1
+      }
     }
+    out
   }
 
   /** Synthetic fixture ENCODER — the one place this file touches the
@@ -448,6 +534,73 @@ object JpegPixels {
         val n = img.getWidth.toLong * img.getHeight
         Some((img.getWidth, img.getHeight,
               sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Nearest-neighbor thumbnail over the decoded raster — the same
+    * (ty*h/th, tx*w/tw) sampling grid as PngPixels.thumbnail, with a
+    * positional FNV fingerprint of the sampled bytes (pins OUR
+    * decoder's determinism; it cannot be compared across decoders —
+    * conformant IDCTs differ by ±1 per sample, which the mean
+    * tolerance absorbs but a hash never would).
+    */
+  def thumbnail(b: Array[Byte], tw: Int, th: Int): Option[(Int, Int, Double, Double, Double, Long)] = {
+    if (tw <= 0 || th <= 0) return None
+    decodeRaster(b).map { case (w, h, ch, raster) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var fnv = 0xcbf29ce484222325L
+      def mix(v: Int): Unit = { fnv ^= (v & 0xff); fnv *= 0x100000001b3L }
+      var ty = 0
+      while (ty < th) {
+        val sy = (ty.toLong * h / th).toInt
+        var tx = 0
+        while (tx < tw) {
+          val sx = (tx.toLong * w / tw).toInt
+          val i = (sy * w + sx) * ch
+          val (r, g, bl) =
+            if (ch == 1) { val v = raster(i) & 0xff; (v, v, v) }
+            else (raster(i) & 0xff, raster(i + 1) & 0xff, raster(i + 2) & 0xff)
+          sr += r; sg += g; sb += bl
+          mix(r); mix(g); mix(bl)
+          tx += 1
+        }
+        ty += 1
+      }
+      val n = tw.toLong * th
+      (tw, th, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, fnv)
+    }
+  }
+
+  /** The JDK decoder's view of the SAME sampling grid — the runtime
+    * cross-check for thumbnails (dims exact, sampled means within
+    * decoder rounding).
+    */
+  def jdkThumbMeans(b: Array[Byte], tw: Int, th: Int): Option[(Double, Double, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val ch = raster.getNumBands
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var ty = 0
+        while (ty < th) {
+          val sy = (ty.toLong * img.getHeight / th).toInt
+          var tx = 0
+          while (tx < tw) {
+            val sx = (tx.toLong * img.getWidth / tw).toInt
+            if (ch == 1) { val v = raster.getSample(sx, sy, 0); sr += v; sg += v; sb += v }
+            else {
+              sr += raster.getSample(sx, sy, 0)
+              sg += raster.getSample(sx, sy, 1)
+              sb += raster.getSample(sx, sy, 2)
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        val n = tw.toLong * th
+        Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
       }
     } catch { case _: Throwable => None }
 

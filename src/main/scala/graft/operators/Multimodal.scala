@@ -467,9 +467,8 @@ object Multimodal extends QueryModule {
     * lossy so there is no closed-form expected gradient; `pixels_ok`
     * instead cross-checks against the JDK's OWN decoder on the same
     * bytes — two unrelated implementations must agree (dims exact,
-    * channel means within 3/255: IDCT rounding plus chroma-upsample
-    * filter choice — nearest here vs libjpeg's triangular in the JDK —
-    * whose edge effect peaks on tiny non-MCU-aligned images).
+    * channel means within 1/255: both use the libjpeg triangle chroma
+    * upsample, so only IDCT rounding remains).
     */
   def decodeJpegPixels(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -482,8 +481,8 @@ object Multimodal extends QueryModule {
             val ok = graft.functions.JpegPixels.jdkMeans(payload) match {
               case Some((rw, rh, rr, rg, rb)) =>
                 w == rw && h == rh && w == meta.getInt(0) && h == meta.getInt(1) &&
-                  math.abs(mr - rr) <= 3.0 && math.abs(mg - rg) <= 3.0 &&
-                  math.abs(mb - rb) <= 3.0
+                  math.abs(mr - rr) <= 1.0 && math.abs(mg - rg) <= 1.0 &&
+                  math.abs(mb - rb) <= 1.0
               case None => false
             }
             Row(r.getLong(0), w, h,
@@ -493,6 +492,36 @@ object Multimodal extends QueryModule {
         }
       }))
     spark.createDataFrame(rdd, pixelSchema)
+  }
+
+  /** DCT-path thumbnails: baseline JPEG decode + the shared
+    * nearest-neighbor sampling grid. `thumb_ok` cross-checks the
+    * SAMPLED means against the JDK decoder reading the same grid —
+    * the tolerance (1/255) absorbs IDCT rounding (the chroma
+    * upsampler matches libjpeg's triangle filter); the FNV pins our
+    * decoder's own determinism (it cannot be compared across
+    * decoders).
+    */
+  def decodeJpegThumbnails(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        graft.functions.JpegPixels.thumbnail(payload, tw, th) match {
+          case Some((w, h, mr, mg, mb, fnv)) =>
+            val ok = graft.functions.JpegPixels.jdkThumbMeans(payload, tw, th) match {
+              case Some((rr, rg, rb)) =>
+                math.abs(mr - rr) <= 1.0 && math.abs(mg - rg) <= 1.0 &&
+                  math.abs(mb - rb) <= 1.0
+              case None => false
+            }
+            Row(r.getLong(0), w, h,
+                math.rint(mr * 10000) / 10000, math.rint(mg * 10000) / 10000,
+                math.rint(mb * 10000) / 10000, fnv, ok)
+          case None => Row(r.getLong(0), 0, 0, 0.0, 0.0, 0.0, 0L, false)
+        }
+      }))
+    spark.createDataFrame(rdd, thumbSchema)
   }
 
   /** REAL pixel decode for the COMPRESSED image format: full PNG chunk
@@ -742,6 +771,15 @@ object Multimodal extends QueryModule {
       "m_jpeg_pixels",
       (s, dir) =>
         decodeJpegPixels(jpegTable(Tables(s, dir))).orderBy("doc_id"),
+      None,
+    ),
+    // DCT-path thumbnails: JPEG decode + the shared nearest-neighbor
+    // grid, sampled means cross-checked against the JDK decoder on
+    // the same grid
+    QueryDef(
+      "m_jpeg_thumbnail",
+      (s, dir) =>
+        decodeJpegThumbnails(jpegTable(Tables(s, dir)), 4, 4).orderBy("doc_id"),
       None,
     ),
     // COMPRESSED-path thumbnails: PNG decode + nearest-neighbor resize,

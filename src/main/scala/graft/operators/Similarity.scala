@@ -31,7 +31,36 @@ object Similarity extends QueryModule {
   // expansion, DuckDB the scaled value) — and here the value feeds
   // top-k SELECTION and d_embedding_neardup's tau MEMBERSHIP, where a
   // one-ulp disagreement flips rows, not just digits.
-  private val cos = "cosine_similarity(q_vec, embedding)"
+  private[graft] val cos = "cosine_similarity(q_vec, embedding)"
+
+  /** Shared radius-scoring projection (s_range_search / its streaming
+    * twin): broadcast query batch against any vector frame — batch scan
+    * or arriving stream — with the codegen'd cosine threshold applied
+    * before anything crosses an exchange. No ordering (streams cannot
+    * sort); batch callers add their own.
+    */
+  private[graft] def rangeSearch(vectors: org.apache.spark.sql.DataFrame,
+                                 queries: org.apache.spark.sql.DataFrame,
+                                 tau: Double): org.apache.spark.sql.DataFrame =
+    vectors.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(cos))
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+
+  /** The shared radius-search oracle (s_range_search + st_range_search:
+    * identical rows by construction — same projection, same threshold).
+    */
+  private[graft] val RangeSearchSql: String = {
+    val dot = duckDot("q_vec", "embedding")
+    s"""WITH c AS (SELECT vec_id, embedding,
+       |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM c WHERE vec_id < 10)
+       |SELECT q_id, vec_id,
+       |$dot / (nrm * q_nrm) AS cos
+       |FROM c, q WHERE vec_id <> q_id
+       |  AND $dot / (nrm * q_nrm) >= 0.35
+       |ORDER BY q_id, vec_id""".stripMargin
+  }
 
   override def entries: Seq[QueryDef] = Seq(
     // brute-force cosine top-k: the exact baseline every ANN variant is
@@ -82,20 +111,9 @@ object Similarity extends QueryModule {
         val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("cos", expr(cos))
-          .filter(col("cos") >= 0.35)
-          .select(col("q_id"), col("vec_id"), col("cos"))
-          .orderBy("q_id", "vec_id")
+        rangeSearch(e, queries, 0.35).orderBy("q_id", "vec_id")
       },
-      Some(s"""WITH c AS (SELECT vec_id, embedding,
-              |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
-              |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM c WHERE vec_id < 10)
-              |SELECT q_id, vec_id,
-              |${duckDot("q_vec", "embedding")} / (nrm * q_nrm) AS cos
-              |FROM c, q WHERE vec_id <> q_id
-              |  AND ${duckDot("q_vec", "embedding")} / (nrm * q_nrm) >= 0.35
-              |ORDER BY q_id, vec_id""".stripMargin),
+      Some(RangeSearchSql),
     ),
     // two-stage prefix rerank (matryoshka-style): stage 1 scores only
     // the first 16 of 64 dims (4× less arithmetic and — with truncated

@@ -304,6 +304,34 @@ object Streaming extends QueryModule {
       // the same DuckDB SQL the batch entry matches
       Some(graft.operators.TextAnalysis.ChunkOverlapSql),
     ),
+    // streaming radius retrieval: arriving vectors score against the
+    // broadcast query batch with the threshold applied BEFORE the sink
+    // — a stateless stream-static broadcast join (no state store, no
+    // watermark), the continuous-monitoring twin of s_range_search
+    // (e.g. "alert when a crawl embedding lands near a benchmark
+    // vector"). Shares the batch projection and oracle, so the STREAM
+    // output is itself hash-gated.
+    QueryDef(
+      "st_range_search",
+      (s, dir) => {
+        val name = s"st_range_${System.nanoTime()}"
+        val queries = Tables(s, dir).embeddings
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val q = graft.operators.Similarity
+          .rangeSearch(
+            graft.streaming.CorpusStreaming.readEmbeddingStream(s, dir)
+              .select(col("vec_id"), col("embedding")),
+            queries, 0.35)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_range_search timed out")
+        s.table(name).orderBy("q_id", "vec_id")
+      },
+      Some(graft.operators.Similarity.RangeSearchSql),
+    ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened
     // record rows, AvailableNow + memory sink for the gate

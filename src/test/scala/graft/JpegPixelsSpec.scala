@@ -119,9 +119,10 @@ class JpegPixelsSpec extends AnyFunSuite {
       worst = math.max(worst, math.abs((rgb & 0xff) - (raster(o + 2) & 0xff)))
     }
     // different-but-conformant IDCTs: T.81 §A.3.3 accuracy class is
-    // ±1; chroma upsample phase differs (nearest vs JDK's filtered),
-    // so allow a few counts at block/chroma edges
-    assert(worst <= 8, s"worst per-pixel delta $worst")
+    // ±1 per sample; the chroma upsampler matches libjpeg's triangle
+    // filter, so only IDCT rounding (±1 in Y and chroma, amplified
+    // ≤2× through the color transform) remains
+    assert(worst <= 3, s"worst per-pixel delta $worst")
   }
 
   test("m_jpeg_pixels: every payload decodes and agrees with the JDK decoder") {
@@ -132,6 +133,15 @@ class JpegPixelsSpec extends AnyFunSuite {
     // decoded dimensions vary with doc_id (lcm(16,12) = 48 distinct
     // combos) — the decode is not a constant
     assert(out.map(r => (r.getInt(1), r.getInt(2))).distinct.length == 48)
+  }
+
+  test("m_jpeg_thumbnail: sampled grids agree with the JDK on every payload") {
+    val s = SparkSpec.session
+    val out = SparkEntry.queries("m_jpeg_thumbnail")(s, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getBoolean(7)), "some thumb_ok=false")
+    // FNV varies across images — the sampler reads real positions
+    assert(out.map(_.getLong(6)).distinct.length > 400)
   }
 
   test("broken inputs return None, never a wrong answer") {
