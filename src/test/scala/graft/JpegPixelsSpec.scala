@@ -144,6 +144,25 @@ class JpegPixelsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(6)).distinct.length > 400)
   }
 
+  test("progressive JPEG is declared out of scope: None, not garbage") {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.8f)
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(pattern(32, 32, 3, gray = false), null, null), param)
+    ios.flush(); writer.dispose()
+    val prog = bos.toByteArray
+    // contains SOF2, and the JDK can read it — our baseline decoder must
+    // refuse rather than misdecode the first scan
+    assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    assert(ImageIO.read(new ByteArrayInputStream(prog)) != null)
+    assert(JpegPixels.decode(prog).isEmpty)
+  }
+
   test("broken inputs return None, never a wrong answer") {
     assert(JpegPixels.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(JpegPixels.decode(Array.fill[Byte](100)(0x55)).isEmpty)
