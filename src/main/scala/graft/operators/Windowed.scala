@@ -127,6 +127,44 @@ object Windowed extends QueryModule {
              |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
              |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
     ),
+    // the BUILT-IN sessionizer: Spark's native session_window
+    // aggregation beside the explicit lag/cumsum derivation above —
+    // the "compose existing ops" preference made concrete (one hash
+    // aggregation, merging session state map-side; no window function
+    // pass at all, so it is also the cheaper plan). Boundary semantics
+    // differ from q_sessionize by design and the oracle encodes it: a
+    // session window is [start, last+gap), so an event arriving at
+    // EXACTLY prev+gap starts a NEW session (>= split), where the
+    // lag-based derivation keeps it (> split).
+    QueryDef(
+      "q_session_window",
+      (s, dir) => {
+        val gapUs = 6L * 3600 * 1000000
+        Tables(s, dir).events
+          .select(col("user_id"), col("ts"), col("value"))
+          .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+               moneySum(col("value")).as("total_value"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("start_us"),
+            (unix_micros(col("sw.end")) - gapUs).as("end_us"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 21600000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM base)),
+             |sessions AS (
+             |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             |CAST(COUNT(*) AS BIGINT) AS n_events,
+             |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+             |FROM sessions GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin),
+    ),
     // session-duration analytics — the panel users run ON TOP of
     // sessionization: corpus-level session count, mean events and
     // duration (exact BIGINT sums → identical double divisions), and
