@@ -30,7 +30,7 @@ object Bench {
     // sentinel below, not zero the whole bench artifact.
     Headline.foreach { n =>
       try queries(n)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // Median of 3 timed passes per query, passes INTERLEAVED round-robin
     // (pass 1 of every query, then pass 2, ...): back-to-back passes let

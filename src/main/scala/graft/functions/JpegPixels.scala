@@ -264,9 +264,20 @@ object JpegPixels {
       }
     }
 
-    if (width == 0 || height == 0 || width * height > 64_000_000) return None
+    // 64-bit product: SOF dims are u16 each, so width*height can exceed
+    // Int.MaxValue (65535² ≈ 2^32) and a 32-bit compare would wrap negative
+    if (width == 0 || height == 0 || width.toLong * height > 64_000_000L) return None
+    // T.81 A.2: a single-component scan is non-interleaved — one 8×8 data
+    // unit per MCU in raster order, declared sampling factors ignored.
+    // Force the effective 1×1 grid so gray JPEGs with h/v > 1 decode in
+    // the correct block order instead of a scrambled interleaved layout.
+    if (comps.length == 1 && (comps(0).h != 1 || comps(0).v != 1))
+      comps = Array(comps(0).copy(h = 1, v = 1))
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
+    // upsample ratios must be integral; a legal 3:2 combo would truncate
+    // to 1 and silently mis-scale the chroma plane — refuse instead
+    if (comps.exists(c => hMax % c.h != 0 || vMax % c.v != 0)) return None
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
 

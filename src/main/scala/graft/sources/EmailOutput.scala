@@ -53,8 +53,11 @@ object EmailOutput {
     * regexp_replace stays inside whole-stage codegen.
     */
   def base64Mime(payload: Column): Column =
+    // (?!$) keeps the final full 76-char chunk break-free so the single
+    // appended CRLF matches encodeBase64's one trailing break even when
+    // the encoded length is an exact multiple of 76
     concat(
-      regexp_replace(base64(payload.cast("binary")), "(.{76})", "$1\r\n"),
+      regexp_replace(base64(payload.cast("binary")), "(.{76})(?!$)", "$1\r\n"),
       lit(Crlf))
 
   /** Assemble the full multipart message (smtp.go:128-166): headers,

@@ -163,6 +163,57 @@ class JpegPixelsSpec extends AnyFunSuite {
     assert(JpegPixels.decode(prog).isEmpty)
   }
 
+  /** Offset of the SOF0 segment payload (first byte after the length). */
+  private def sofSeg(b: Array[Byte]): Int = {
+    var pos = 2
+    while (true) {
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xc0) return pos + 4
+      pos += 2 + (((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff))
+    }
+    -1
+  }
+
+  test("65535x65535 SOF dims are refused, not wrapped through 32-bit math") {
+    // width*height = 65535² overflows Int to -131071; the 64-bit guard
+    // must reject before any plane allocation can throw
+    val b = encode(pattern(32, 32, 3, gray = false), 0.8f)
+    val seg = sofSeg(b)
+    b(seg + 1) = 0xff.toByte; b(seg + 2) = 0xff.toByte // height = 65535
+    b(seg + 3) = 0xff.toByte; b(seg + 4) = 0xff.toByte // width  = 65535
+    assert(JpegPixels.decode(b).isEmpty)
+  }
+
+  test("gray scan ignores declared sampling factors (T.81 non-interleaved)") {
+    // A 1-component scan's entropy data is identical no matter what h/v
+    // the SOF declares, so patching 1x1 → 2x2 must decode to the SAME
+    // raster, not a block-scrambled one. 64x64 (multiple of 16) is the
+    // case where the scrambled decode would 'succeed' silently.
+    val b = encode(pattern(64, 64, 8, gray = true), 0.9f)
+    val ref = JpegPixels.decodeRaster(b).get
+    val seg = sofSeg(b)
+    assert((b(seg + 6 + 1) & 0xff) == 0x11, "JDK gray fixture is not 1x1")
+    val patched = b.clone()
+    patched(seg + 6 + 1) = 0x22.toByte // declare h=2, v=2
+    val got = JpegPixels.decodeRaster(patched)
+    assert(got.isDefined)
+    assert(got.get._1 == ref._1 && got.get._2 == ref._2 && got.get._3 == ref._3)
+    assert(java.util.Arrays.equals(got.get._4, ref._4),
+      "declared-factor gray decode diverged from the 1x1 raster")
+  }
+
+  test("non-integer chroma upsample ratios are refused, not truncated") {
+    // Patch a 4:2:0 stream so Y declares h=4,v=1 and Cb h=3,v=1:
+    // hMax=4, 4 % 3 != 0 — the old integer division would treat Cb as
+    // full-res and silently mis-color; the guard must return None
+    val b = encode(pattern(64, 48, 3, gray = false), 0.8f)
+    val seg = sofSeg(b)
+    assert((b(seg + 5) & 0xff) == 3)
+    b(seg + 6 + 1) = 0x41.toByte     // Y: h=4, v=1
+    b(seg + 6 + 3 + 1) = 0x31.toByte // Cb: h=3, v=1
+    assert(JpegPixels.decode(b).isEmpty)
+  }
+
   test("broken inputs return None, never a wrong answer") {
     assert(JpegPixels.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(JpegPixels.decode(Array.fill[Byte](100)(0x55)).isEmpty)
