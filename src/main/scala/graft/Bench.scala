@@ -32,38 +32,64 @@ object Bench {
       try queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case scala.util.control.NonFatal(_) => () }
     }
-    // Median of 3 timed passes per query, passes INTERLEAVED round-robin
-    // (pass 1 of every query, then pass 2, ...): back-to-back passes let
-    // one sustained co-tenant load burst poison every sample of a single
-    // query and survive the median (observed: one LSH variant recording
-    // a phantom 5× while its neighbors measured clean). Interleaving
-    // spreads each query's samples across the whole bench window, so a
-    // burst degrades at most one sample per query.
-    val Passes = 3
-    val samples = Array.fill(Headline.size, Passes)(0.0)
-    for (p <- 0 until Passes; (name, qi) <- Headline.zipWithIndex) {
-      val t0 = System.nanoTime()
-      // a failed query must NOT record its (tiny) elapsed-to-failure
-      // time as a plausible sample — report the -1 sentinel instead
-      samples(qi)(p) =
-        try { queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+    // Timed passes are INTERLEAVED round-robin (pass 1 of every query,
+    // then pass 2, ...): back-to-back passes let one sustained co-tenant
+    // load burst poison every sample of a single query and survive any
+    // per-query statistic (observed: one LSH variant recording a phantom
+    // 5× while its neighbors measured clean). Interleaving spreads each
+    // query's samples across the whole bench window, so a burst degrades
+    // at most one sample per query.
+    //
+    // Load robustness (the r05 lesson: 8.4 s quiet vs 15.75 s at
+    // loadavg 12.7 for identical code): each pass records the 1-minute
+    // loadavg at its start; if any of the 3 base passes started above
+    // the threshold, up to 2 EXTRA passes run — more samples taken
+    // under lighter load. The per-query value is the MIN of its
+    // samples: co-tenant interference only ever ADDS time, so min is
+    // the statistic that estimates the code, not the neighbors.
+    // Medians are still emitted for cross-checking.
+    def loadNow(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => 0.0 }
+    val maxLoad = sys.env.get("GRAFT_BENCH_MAX_LOAD").flatMap(_.toDoubleOption).getOrElse(8.0)
+    val BasePasses = 3
+    val MaxPasses = 5
+    val samples = Array.fill(Headline.size)(Vector.empty[Double])
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var p = 0
+    var continue = true
+    while (continue) {
+      passLoads += loadNow()
+      for ((name, qi) <- Headline.zipWithIndex) {
+        val t0 = System.nanoTime()
+        // a failed query must NOT record its (tiny) elapsed-to-failure
+        // time as a plausible sample — report the -1 sentinel instead
+        samples(qi) = samples(qi) :+ (
+          try { queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 })
+      }
+      p += 1
+      continue = p < BasePasses || (p < MaxPasses && passLoads.exists(_ > maxLoad))
     }
     val results = Headline.zipWithIndex.map { case (name, qi) =>
-      val times = samples(qi).toSeq.sorted
-      name -> (if (times.head < 0) -1.0 else times(Passes / 2))
+      val ok = samples(qi).filter(_ >= 0)
+      name -> (if (ok.isEmpty) (-1.0, -1.0)
+               else (ok.min, ok.sorted.apply(ok.size / 2)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def dict(f: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val qs = dict(_._2._1)
+    val medians = dict(_._2._2)
+    val total = results.map(_._2._1).sum
     // Machine-load context: recorded r02/r03 totals swung 2-4× purely
     // with co-tenant load average, so the artifact carries the load at
-    // measurement time to make a loaded run self-diagnosing.
+    // every pass start to make a loaded run self-diagnosing.
     val loadAvg =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val nCpu = Runtime.getRuntime.availableProcessors()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadAvg","cpus":$nCpu}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"sf":"$sfDir","passes":$p,"pass_loads":"${passLoads.map(l => f"$l%.1f").mkString(",")}","loadavg":"$loadAvg","cpus":$nCpu}"""
     spark.stop()
     // Driver-parseable channels, most robust first: a file in the repo
     // root, then bare stdout lines (raw via run/outputStrategy, printed

@@ -47,7 +47,10 @@ object DmarcIngest extends QueryModule {
           }.toIndexedSeq: _*)
           .orderBy("report_id", "source_ip_address")
       },
-      None,
+      // snapshot oracle, resource-backed (2302 rows × 25 columns is too
+      // big for inline Scala): the committed expected flatten of the
+      // whole sample corpus, hash-gated like p_aggregate_xml
+      Some(graft.api.ParseSnapshots.resourceSql("p_records_flatten")),
     ),
     QueryDef(
       "p_compressed",

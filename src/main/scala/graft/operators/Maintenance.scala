@@ -246,7 +246,16 @@ object Maintenance extends QueryModule {
         root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
         out
       },
-      None,
+      // ORACLED: the accounting frame is closed-form — repartition(8)
+      // round-robins every month's (thousands of) rows across all 8
+      // writer tasks, so files_before is exactly 8, and the 512 MB
+      // target collapses each small partition to want=1 file. The gate
+      // hash-checks the whole fragment→compact→report loop against that
+      // form; CompactionSpec still pins row preservation and in-file
+      // order on the bytes themselves.
+      Some("""SELECT 'month=' || strftime(CAST(ts AS DATE), '%Y%m') AS partition,
+             |CAST(8 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
     // keyed MERGE into a day-partitioned snapshot, demonstrated end to
     // end: replay a corrected batch (5% of the newest day re-valued)
@@ -283,7 +292,20 @@ object Maintenance extends QueryModule {
         root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
         out
       },
-      None,
+      // ORACLED: the touched-partition accounting recomputes in SQL —
+      // the one touched day is MAX(day), updated = the correction keys
+      // present there (event_id % 20 = 0), inserted = the fresh keys
+      // (% 100 = 1, shifted past the id range so nothing collides), and
+      // rows_after = before + inserted. The gate hash-checks the merge's
+      // bookkeeping; UpsertSpec pins the value replacement on the bytes.
+      Some("""WITH e AS (SELECT event_id, strftime(CAST(ts AS DATE), '%Y%m%d') AS day FROM events),
+             |t AS (SELECT * FROM e WHERE day = (SELECT MAX(day) FROM e))
+             |SELECT 'day=' || day AS partition,
+             |COUNT(*) AS rows_before,
+             |COUNT(*) FILTER (WHERE event_id % 20 = 0) AS updated,
+             |COUNT(*) FILTER (WHERE event_id % 100 = 1) AS inserted,
+             |COUNT(*) + COUNT(*) FILTER (WHERE event_id % 100 = 1) AS rows_after
+             |FROM t GROUP BY day ORDER BY 1""".stripMargin),
     ),
     // incremental MATERIALIZED-VIEW refresh, fully oracled: a daily
     // rollup table is built from a stale snapshot (everything before
@@ -344,7 +366,11 @@ object Maintenance extends QueryModule {
         val table = java.nio.file.Files.createTempDirectory("graft-retain").toString
         val events = Tables(s, dir).events
           .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
-        events.write.mode("overwrite").partitionBy("day").parquet(table)
+        // one file per day partition (each day's rows land in exactly one
+        // shuffle task) — file counts become a function of the DATA, so
+        // the accounting frame below is closed-form for the oracle
+        events.repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(table)
         val days = Compaction.partitionStats(s, table).map(_.partition.split("=", 2)(1)).sorted
         val cutoff = days.takeRight(10).head
         val dropped = Retention.dropPartitionsBefore(s, table, cutoff)
@@ -357,7 +383,20 @@ object Maintenance extends QueryModule {
         root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
         out
       },
-      None,
+      // ORACLED: the drop boundary is pure SQL — cutoff is the 10th-
+      // newest distinct day (everything older is dropped, the newest 10
+      // kept; a table under 10 days old keeps everything), and the
+      // single-file-per-day write makes `files` identically 1. The gate
+      // hash-checks the boundary arithmetic; RetentionSpec pins survivor
+      // byte-identity and idempotence on the bytes.
+      Some("""WITH d AS (SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y%m%d') AS day FROM events),
+             |c AS (SELECT coalesce(
+             |  (SELECT day FROM d ORDER BY day DESC OFFSET 9 LIMIT 1),
+             |  (SELECT MIN(day) FROM d)) AS cutoff)
+             |SELECT 'day=' || day AS partition,
+             |CASE WHEN day < cutoff THEN 'dropped' ELSE 'kept' END AS status,
+             |CAST(1 AS BIGINT) AS files
+             |FROM d, c ORDER BY 1""".stripMargin),
     ),
   )
 }

@@ -53,12 +53,16 @@ object Multimodal extends QueryModule {
       val docId = r.getLong(0)
       val payload = r.getAs[Array[Byte]](1)
       val meta = r.getStruct(2)
+      // raw sum/size, no display rounding: the partial sums stay exact
+      // integers (≤255·len ≪ 2^53), so the single IEEE division is
+      // bit-identical to the DuckDB oracle's SUM::DOUBLE / len — a
+      // rounded mean would reintroduce engine-specific tie behavior
       val mean =
         if (payload.isEmpty) 0.0
         else payload.iterator.map(b => (b & 0xff).toDouble).sum / payload.length
       Row(docId, meta.getString(0), meta.getInt(1), meta.getInt(2),
           payload.length.toLong,
-          math.rint(mean * 10000) / 10000,
+          mean,
           payload.iterator.map(b => b & 0xff).toSet.size)
     }
 
@@ -694,33 +698,174 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, aviSchema)
   }
 
+  /** Closed-form DuckDB oracles for the synthesized-media entries. Every
+    * payload below is a pure function of doc_id (the tables synthesize
+    * bytes from doc_id alone), so the expected DECODE output is the same
+    * closed form the in-query cross-checks assert — which makes the
+    * driver's hash gate a real end-to-end codec check: the Spark side
+    * decodes actual bytes, the oracle recomputes the formula, and any
+    * decoder regression flips the gate red instead of hiding in rows>0.
+    * SF-robust: the formulas hold for every doc_id at every scale.
+    */
+  private object Oracle {
+    /** FNV-1a 64 over a DuckDB list of byte values, folded in HUGEINT
+      * mod-2^64 arithmetic and re-signed to match a JVM Long. The xor
+      * touches only the low byte (v < 256), so it splits into integer
+      * div/mod around a BIGINT-width xor.
+      */
+    def fnv64(byteListSql: String): String =
+      s"""CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
+         |  THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT)""".stripMargin
+        .replace("fh", s"""(list_reduce(list_prepend(14695981039346656037::HUGEINT,
+         |  list_transform($byteListSql, v -> v::HUGEINT)),
+         |  (acc, v) -> ((acc // 256 * 256 + xor(acc % 256, v))
+         |    * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT))""".stripMargin)
+
+    /** documents projected to the shared (w ≤ 19, h ≤ 15, seed) synth dims. */
+    val SmallDims: String =
+      """(SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+        |  CAST(doc_id % 12 + 4 AS INT) AS h,
+        |  CAST(doc_id % 997 AS INT) AS seed FROM documents)""".stripMargin
+
+    val MultimodalMeta: String =
+      """SELECT doc_id,
+        | ['png','jpeg','webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        | CAST(doc_id % 640 + 32 AS INT) AS width,
+        | CAST(doc_id % 480 + 32 AS INT) AS height,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CASE WHEN strlen(text) = 0 THEN 0.0
+        |   ELSE CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS DOUBLE)
+        |     / strlen(text) END AS mean_byte,
+        | CAST(length(list_distinct(list_transform(string_split(text, ''), c -> unicode(c)))) AS INT) AS distinct_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+    val ImageHeaders: String =
+      """SELECT doc_id,
+        | ['png','gif','bmp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        | CAST(doc_id % 640 + 32 AS INT) AS width,
+        | CAST(doc_id % 480 + 32 AS INT) AS height,
+        | TRUE AS header_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+    val AudioHeaders: String =
+      """SELECT doc_id,
+        | CAST(doc_id % 2 + 1 AS INT) AS channels,
+        | [8000,16000,44100][CAST(doc_id % 3 AS INT) + 1] AS sample_rate,
+        | CAST(16 AS INT) AS bits,
+        | CAST((doc_id % 48000 + 1000) * 1000
+        |   // ([8000,16000,44100][CAST(doc_id % 3 AS INT) + 1]) AS BIGINT) AS duration_ms,
+        | TRUE AS header_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+    val VideoHeaders: String =
+      """SELECT doc_id,
+        | ['isom','mp42'][CAST(doc_id % 2 AS INT) + 1] AS brand,
+        | [600,1000,90000][CAST(doc_id % 3 AS INT) + 1] AS timescale,
+        | CAST((doc_id % 3600 + 1) * 1000 AS BIGINT) AS duration_ms,
+        | TRUE AS header_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+    val BmpPixels: String =
+      """SELECT doc_id,
+        | CAST(doc_id % 16 + 4 AS INT) AS width,
+        | CAST(doc_id % 12 + 4 AS INT) AS height,
+        | CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        | CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+        | CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b,
+        | TRUE AS pixels_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+    val BmpThumbnail: String = {
+      // solid color ⇒ every sampled pixel is (b,g,r) = the declared color,
+      // mixed in storage order B,G,R per sample, 16 samples
+      val bytes = "flatten(list_transform(range(16), i -> [doc_id * 13 % 256, doc_id * 7 % 256, doc_id % 256]))"
+      s"""SELECT doc_id,
+         | CAST(4 AS INT) AS thumb_w, CAST(4 AS INT) AS thumb_h,
+         | CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+         | CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+         | CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b,
+         | ${fnv64(bytes)} AS pixel_fnv,
+         | TRUE AS thumb_ok
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
+
+    val PngPixels: String =
+      s"""SELECT doc_id, w AS width, h AS height,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> (x*3+seed)%256)))) AS DOUBLE) / (w*h) AS mean_r,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> (y*5+seed*7)%256)))) AS DOUBLE) / (w*h) AS mean_g,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> (x+y+seed*13)%256)))) AS DOUBLE) / (w*h) AS mean_b,
+         | TRUE AS pixels_ok
+         |FROM $SmallDims t ORDER BY doc_id""".stripMargin
+
+    val PngThumbnail: String = {
+      // nearest-neighbor grid: source pixel (tx·w/4, ty·h/4), R,G,B per
+      // sample in (ty, tx) raster order — the same walk thumbnail() takes
+      val samples =
+        """flatten(list_transform(range(4), ty -> flatten(list_transform(range(4), tx ->
+          |  [(tx*w//4*3+seed)%256, (ty*h//4*5+seed*7)%256, (tx*w//4 + ty*h//4 + seed*13)%256]))))""".stripMargin
+      s"""SELECT doc_id, CAST(4 AS INT) AS thumb_w, CAST(4 AS INT) AS thumb_h,
+         | CAST(list_sum(list_transform(range(16), i -> ($samples)[3*i+1])) AS DOUBLE) / 16 AS mean_r,
+         | CAST(list_sum(list_transform(range(16), i -> ($samples)[3*i+2])) AS DOUBLE) / 16 AS mean_g,
+         | CAST(list_sum(list_transform(range(16), i -> ($samples)[3*i+3])) AS DOUBLE) / 16 AS mean_b,
+         | ${fnv64(samples)} AS pixel_fnv,
+         | TRUE AS thumb_ok
+         |FROM $SmallDims t ORDER BY doc_id""".stripMargin
+    }
+
+    val GifPixels: String =
+      s"""SELECT doc_id, w AS width, h AS height,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> ((x*7+y*13+seed)%64)*4%256)))) AS DOUBLE) / (w*h) AS mean_r,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> ((x*7+y*13+seed)%64)*9%256)))) AS DOUBLE) / (w*h) AS mean_g,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> ((x*7+y*13+seed)%64)*14%256)))) AS DOUBLE) / (w*h) AS mean_b,
+         | TRUE AS pixels_ok
+         |FROM $SmallDims t ORDER BY doc_id""".stripMargin
+
+    val PcmSamples: String =
+      """SELECT doc_id,
+        | CAST((doc_id % 2 + 1) * (doc_id % 2000 + 100) AS BIGINT) AS n_samples,
+        | CAST(doc_id % 30000 + 1 AS DOUBLE) AS rms,
+        | CAST(doc_id % 30000 + 1 AS INT) AS peak,
+        | TRUE AS samples_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+    val AviFrames: String =
+      """SELECT doc_id,
+        | CAST(doc_id % 8 + 2 AS INT) AS width,
+        | CAST(doc_id % 6 + 2 AS INT) AS height,
+        | CAST(doc_id % 12 + 2 AS INT) AS n_frames,
+        | CAST((doc_id % 12 + 2 + 1) // 2 AS INT) AS n_sampled,
+        | CAST(doc_id % 200 + (doc_id % 12 + 2 + 1) // 2 - 1 AS DOUBLE) AS mean_r,
+        | TRUE AS frames_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "m_multimodal_meta",
       (s, dir) =>
         extractFeatures(mediaTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.MultimodalMeta),
     ),
     // real header-metadata decode over synthesized-but-valid image bytes
     QueryDef(
       "m_image_headers",
       (s, dir) =>
         decodeHeaders(imageTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.ImageHeaders),
     ),
     // real audio (WAV/RIFF) header decode — the audio modality's twin
     QueryDef(
       "m_audio_headers",
       (s, dir) =>
         decodeAudioHeaders(audioTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.AudioHeaders),
     ),
     // real video (MP4 ftyp/moov/mvhd) header decode — completes the triple
     QueryDef(
       "m_video_headers",
       (s, dir) =>
         decodeVideoHeaders(videoTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.VideoHeaders),
     ),
     // END-TO-END pixel decode: complete 24bpp BMPs decoded to
     // per-channel means with a declared-color cross-check — the image
@@ -730,7 +875,7 @@ object Multimodal extends QueryModule {
       "m_bmp_pixels",
       (s, dir) =>
         decodePixels(bmpTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.BmpPixels),
     ),
     // END-TO-END resize: 4×4 nearest-neighbor thumbnails of the real
     // BMPs — the multimodal brief's resize stage, with a positional
@@ -741,7 +886,7 @@ object Multimodal extends QueryModule {
       "m_bmp_thumbnail",
       (s, dir) =>
         decodeThumbnails(bmpTable(Tables(s, dir)), 4, 4).orderBy("doc_id"),
-      None,
+      Some(Oracle.BmpThumbnail),
     ),
     // END-TO-END COMPRESSED-format pixel decode: complete PNGs (zlib
     // IDAT + all five row filters) decoded to per-channel means and
@@ -751,7 +896,7 @@ object Multimodal extends QueryModule {
       "m_png_pixels",
       (s, dir) =>
         decodePngPixels(pngTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.PngPixels),
     ),
     // second COMPRESSED format end to end: complete GIF89a files (real
     // LZW streams) decoded to per-channel means and cross-checked
@@ -760,7 +905,7 @@ object Multimodal extends QueryModule {
       "m_gif_pixels",
       (s, dir) =>
         decodeGifPixels(gifTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.GifPixels),
     ),
     // the DCT family end to end: complete baseline JPEGs (JDK-encoded
     // 4:2:0 streams) decoded by the hand-rolled Huffman+IDCT path and
@@ -788,7 +933,7 @@ object Multimodal extends QueryModule {
       "m_png_thumbnail",
       (s, dir) =>
         decodePngThumbnails(pngTable(Tables(s, dir)), 4, 4).orderBy("doc_id"),
-      None,
+      Some(Oracle.PngThumbnail),
     ),
     // END-TO-END sample decode: complete PCM16 WAV square waves decoded
     // to RMS/peak with an exact-amplitude cross-check — the audio
@@ -797,7 +942,7 @@ object Multimodal extends QueryModule {
       "m_pcm_samples",
       (s, dir) =>
         decodePcm(pcmTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.PcmSamples),
     ),
     // END-TO-END video FRAME-SAMPLING: complete uncompressed AVIs
     // (RIFF + '00db' DIB frames), every 2nd frame's pixels decoded and
@@ -809,7 +954,7 @@ object Multimodal extends QueryModule {
       "m_avi_frames",
       (s, dir) =>
         decodeAviFrames(aviTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(Oracle.AviFrames),
     ),
   )
 }

@@ -26,9 +26,22 @@ object Streaming extends QueryModule {
         // partial memory table would hash-compare nondeterministically;
         // fail loudly instead
         require(q.awaitTermination(300000), "st_windowed_agg timed out")
-        s.table(name).orderBy("window_start", "event_type")
+        // epoch-micros projection at the gate boundary only (the driver
+        // compares parquet dtypes bit-for-bit and Spark writes tz-adjusted
+        // timestamps, DuckDB literal TIMESTAMPs — same convention as
+        // st_stats_moments' window_us)
+        s.table(name)
+          .select(unix_micros(col("window_start")).as("window_us"),
+                  col("event_type"), col("n_events"), col("total_value"))
+          .orderBy("window_us", "event_type")
       },
-      None,
+      // ORACLED: AvailableNow delivers everything in one pass and the
+      // hourly windows are complete-mode, so the stream result IS the
+      // batch hourly rollup — DuckDB checks it exactly
+      Some("""SELECT EPOCH_US(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_us,
+             |event_type, COUNT(*) AS n_events,
+             |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
     ),
     QueryDef(
       "st_sessionize",
@@ -44,7 +57,11 @@ object Streaming extends QueryModule {
           .toDF()
           .orderBy("user_id", "session_id")
       },
-      None,
+      // ORACLED with q_sessionize's own SQL: the typed fold and the
+      // lag/cumsum window derivation must land on identical sessions,
+      // ids, bounds, and money sums — cross-implementation AND
+      // cross-engine in one hash
+      Some(Windowed.SessionizeSql),
     ),
     // streaming second-moment stats — ORACLED like st_click_attribution:
     // power sums (n, Σx, Σx²) are the mergeable form of variance, so the
@@ -163,7 +180,10 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_dedup_exact timed out")
         s.table(name).orderBy("text_hash")
       },
-      None,
+      // ORACLED: the admitted set after a single AvailableNow pass is
+      // exactly the distinct hash set (which copy survives is racy;
+      // the SET is not) — DuckDB's md5 matches Spark's hex form
+      Some("SELECT DISTINCT md5(text) AS text_hash FROM documents ORDER BY 1"),
     ),
     // watermarked stream-stream interval join (click→view attribution).
     // ORACLED, unlike the other streaming entries: AvailableNow delivers
@@ -211,7 +231,14 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_static_enrich timed out")
         s.table(name).orderBy("event_id")
       },
-      None,
+      // ORACLED: the stream-static broadcast join is stateless, so one
+      // AvailableNow pass equals the batch join row for row; the weight
+      // table is inlined as a CASE (same 5 types, decimal-exact math)
+      Some("""SELECT event_id, event_type, user_id,
+             |CAST(CAST(value AS DECIMAL(18,2)) * CAST(CASE event_type
+             |  WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5 WHEN 'purchase' THEN 5.0
+             |  WHEN 'signup' THEN 2.0 ELSE 0.0 END AS DECIMAL(3,1)) AS DOUBLE) AS weighted_value
+             |FROM events ORDER BY event_id""".stripMargin),
     ),
     // all-time streaming dedup guard: a Bloom filter over the STORED
     // corpus slice (doc_id % 10 < 3 stands in for the historical table)
@@ -351,7 +378,11 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_report_intake timed out")
         s.table(name).orderBy("report_id", "source_ip_address", "count")
       },
-      None,
+      // snapshot oracle (resource-backed, SF-independent sample corpus):
+      // the streaming intake must flatten to the SAME records the batch
+      // parser does — redelivery dedup included, since the snapshot has
+      // no duplicates
+      Some(graft.api.ParseSnapshots.resourceSql("st_report_intake")),
     ),
     // streaming CDC apply: a correction feed (5% of rows re-delivered
     // with fixed values) streams into foreachBatch, and each micro-batch

@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   * the batch twin of streaming.EventsStreaming's state machine.
   */
 object Windowed extends QueryModule {
+
+  /** The lag/cumsum sessionization oracle — shared by q_sessionize and
+    * its streaming twin st_sessionize (same fold semantics, same
+    * projection), so the stream output is hash-gated against the exact
+    * SQL the batch plan is.
+    */
+  private[graft] val SessionizeSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM base)),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   import Det._
 
   override def entries: Seq[QueryDef] = Seq(
@@ -112,20 +133,7 @@ object Windowed extends QueryModule {
                moneySum(col("value")).as("total_value"))
           .orderBy("user_id", "session_id")
       },
-      Some("""WITH base AS (
-             |  SELECT user_id, event_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us, value
-             |  FROM events),
-             |flagged AS (
-             |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000 THEN 1 ELSE 0 END AS new_sess
-             |  FROM (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM base)),
-             |sessions AS (
-             |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-             |  FROM flagged)
-             |SELECT user_id, session_id, COUNT(*) AS n_events,
-             |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-             |CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total_value
-             |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
+      Some(SessionizeSql),
     ),
     // the BUILT-IN sessionizer: Spark's native session_window
     // aggregation beside the explicit lag/cumsum derivation above —

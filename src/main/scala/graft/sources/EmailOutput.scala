@@ -50,15 +50,14 @@ object EmailOutput {
 
   /** 76-column MIME base64 of a string column (smtp.go:189-235's
     * encodeBase64: standard alphabet, CRLF line breaks, trailing break).
-    * regexp_replace stays inside whole-stage codegen.
+    * Spark's `base64` IS the RFC 2045 MIME encoder — 76-column chunks
+    * separated by CRLF, no trailing break — so the only thing to add is
+    * the single trailing break encodeBase64 emits. (An earlier regexp
+    * re-chunk here double-broke every line: the encoder output already
+    * carried the CRLFs.)
     */
   def base64Mime(payload: Column): Column =
-    // (?!$) keeps the final full 76-char chunk break-free so the single
-    // appended CRLF matches encodeBase64's one trailing break even when
-    // the encoded length is an exact multiple of 76
-    concat(
-      regexp_replace(base64(payload.cast("binary")), "(.{76})(?!$)", "$1\r\n"),
-      lit(Crlf))
+    concat(base64(payload.cast("binary")), lit(Crlf))
 
   /** Assemble the full multipart message (smtp.go:128-166): headers,
     * 8bit text part, base64 JSON attachment, closing boundary. Pure SQL

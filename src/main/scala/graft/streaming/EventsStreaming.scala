@@ -140,8 +140,13 @@ object EventsStreaming {
   def enrichWithWeights(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left")
       .withColumn("weight", coalesce(col("weight"), lit(0.0)))
+      // decimal-exact product (the money-column discipline of moneySum):
+      // value at 2dp × weight at 1dp is an EXACT 3dp decimal, so the
+      // double both engines cast to is the same bit pattern — a double
+      // multiply + round(,4) was engine-divergent at display-tie values
       .select(col("event_id"), col("event_type"), col("user_id"),
-              round(col("value") * col("weight"), 4).as("weighted_value"))
+              (col("value").cast("decimal(18,2)") * col("weight").cast("decimal(3,1)"))
+                .cast("double").as("weighted_value"))
 
   /** The at-scale sink shape: append-mode windowed aggregation to a
     * parquet directory. Unlike the complete-mode memory-sink harness
