@@ -150,5 +150,35 @@ object DmarcIngest extends QueryModule {
              |  ${graft.api.ParseSnapshots.emailMimeSqlValues})
              |SELECT * FROM t ORDER BY report_key, mime_chars""".stripMargin),
     ),
+    // Live IMAP intake (internal/imap/client.go), self-contained: an
+    // in-process IMAP4rev1 server is seeded with the sample corpus as
+    // MAIL (raw .eml samples as-is, other files wrapped as multipart
+    // attachments), the protocol client runs the reference's pull loop
+    // (login → select → subject filter → RFC822 fetch → move-to-archive)
+    // over REAL wire bytes, and Spark flattens the fetched messages with
+    // the same executor-side parser as every other intake path. ORACLED
+    // with st_report_intake's snapshot: mail intake, file-stream intake,
+    // and batch parse must all land on the identical record set.
+    QueryDef(
+      "p_imap_intake",
+      (s, _) => {
+        val files = new java.io.File(s"$Samples/aggregate").listFiles().sortBy(_.getName)
+        val seed = files.toIndexedSeq.map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          if (f.getName.endsWith(".eml")) bytes
+          else graft.sources.ImapIntake.wrapReportEmail(f.getName, bytes)
+        }
+        val server = new graft.sources.InMemoryImap("dmarc", "secret", seed)
+        try {
+          val msgs = graft.sources.ImapIntake.pullMessages(
+            graft.sources.ImapConfig("127.0.0.1", server.port, "dmarc", "secret"))
+          graft.sources.ImapIntake.aggregateRecords(s, msgs).toDF()
+            .select(col("report_id"), col("org_name"), col("source_ip_address"),
+                    col("count"), col("disposition"), col("begin_date"))
+            .orderBy("report_id", "source_ip_address", "count")
+        } finally server.close()
+      },
+      Some(graft.api.ParseSnapshots.resourceSql("st_report_intake")),
+    ),
   )
 }
