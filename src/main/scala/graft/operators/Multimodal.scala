@@ -528,6 +528,61 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, thumbSchema)
   }
 
+  /** Image table whose payloads are COMPLETE lossless WebPs (real VP8L
+    * bitstreams — prefix-coded ARGB with seed-cycled transform paths:
+    * plain / subtract-green / per-block predictors / cross-color /
+    * meta-groups+color-cache) — the fourth compressed still format
+    * after PNG, GIF and JPEG.
+    */
+  def webpTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      (col("doc_id") % 16 + 4).cast("int").as("w"),
+      (col("doc_id") % 12 + 4).cast("int").as("h"),
+      (col("doc_id") % 997).cast("int").as("seed"))
+    val rdd = base.rdd.map { r =>
+      Row(r.getLong(0),
+          graft.functions.WebpPixels.syntheticWebp(r.getInt(1), r.getInt(2), r.getInt(3)),
+          Row(r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType), StructField("h", IntegerType),
+        StructField("seed", IntegerType)))),
+    ))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL pixel decode for the LAST compressed still-image format:
+    * full VP8L — RIFF walk, prefix codes, color cache, LZ77, and all
+    * four transform inverses (graft.functions.WebpPixels,
+    * dependency-free), batched like every other modality. `pixels_ok`
+    * cross-checks decoded channel means against the independent
+    * closed-form gradient; because the table cycles five encoding
+    * paths by seed, every transform inverse sits inside the driver's
+    * hash gate, not just the literal path.
+    */
+  def decodeWebpPixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.WebpPixels.decode(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, mr, mg, mb)) =>
+            val (er, eg, eb) = graft.functions.WebpPixels.syntheticMeans(
+              meta.getInt(0), meta.getInt(1), meta.getInt(2))
+            Row(r.getLong(0), w, h, mr, mg, mb,
+                w == meta.getInt(0) && h == meta.getInt(1) &&
+                  mr == er && mg == eg && mb == eb)
+          case None => Row(r.getLong(0), 0, 0, 0.0, 0.0, 0.0, false)
+        }
+      }))
+    spark.createDataFrame(rdd, pixelSchema)
+  }
+
   /** REAL pixel decode for the COMPRESSED image format: full PNG chunk
     * walk + zlib inflate + per-row unfilter (graft.functions.PngPixels,
     * dependency-free), batched like every other modality. `pixels_ok`
@@ -812,6 +867,18 @@ object Multimodal extends QueryModule {
          |FROM $SmallDims t ORDER BY doc_id""".stripMargin
     }
 
+    /** Same gradient family as PngPixels — the WebP table carries the
+      * identical pixel content under five VP8L encodings, so the
+      * closed-form means are the same formulas.
+      */
+    val WebpPixels: String =
+      s"""SELECT doc_id, w AS width, h AS height,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> (x*3+seed)%256)))) AS DOUBLE) / (w*h) AS mean_r,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> (y*5+seed*7)%256)))) AS DOUBLE) / (w*h) AS mean_g,
+         | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> (x+y+seed*13)%256)))) AS DOUBLE) / (w*h) AS mean_b,
+         | TRUE AS pixels_ok
+         |FROM $SmallDims t ORDER BY doc_id""".stripMargin
+
     val GifPixels: String =
       s"""SELECT doc_id, w AS width, h AS height,
          | CAST(list_sum(flatten(list_transform(range(h), y -> list_transform(range(w), x -> ((x*7+y*13+seed)%64)*4%256)))) AS DOUBLE) / (w*h) AS mean_r,
@@ -897,6 +964,18 @@ object Multimodal extends QueryModule {
       (s, dir) =>
         decodePngPixels(pngTable(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.PngPixels),
+    ),
+    // the LAST still-image format end to end: complete lossless WebPs
+    // (real VP8L — five encoding paths cycled by seed: literals,
+    // subtract-green, all 14 predictor modes, cross-color, meta
+    // groups + color cache) decoded by the full spec decoder and
+    // cross-checked against the closed-form gradient — no still-image
+    // codec stub remains
+    QueryDef(
+      "m_webp_pixels",
+      (s, dir) =>
+        decodeWebpPixels(webpTable(Tables(s, dir))).orderBy("doc_id"),
+      Some(Oracle.WebpPixels),
     ),
     // second COMPRESSED format end to end: complete GIF89a files (real
     // LZW streams) decoded to per-channel means and cross-checked
