@@ -179,7 +179,7 @@ object DashboardAnalytics extends QueryModule {
         val e = Tables(s, dir).events
         e.agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("q_uniq_approx")),
     ),
     // forensic p4: daily count series for one class
     QueryDef(

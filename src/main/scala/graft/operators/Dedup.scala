@@ -417,7 +417,7 @@ object Dedup extends QueryModule {
         graft.api.TrainingData.prepare(Tables(s, dir).documents)
           .stages.toDF("stage", "rows")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("d_training_prepare")),
     ),
     QueryDef(
       "d_dedup_exact",
@@ -489,7 +489,7 @@ object Dedup extends QueryModule {
     QueryDef(
       "d_minhash_lsh_fast",
       (s, dir) => minhashLsh64(Tables(s, dir).documents),
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("d_minhash_lsh_fast")),
     ),
     // near-dup pairs → duplicate CLUSTERS: min-label propagation over
     // the LSH pair graph (DedupPipeline.clusters — two hash joins per
@@ -620,7 +620,7 @@ object Dedup extends QueryModule {
     QueryDef(
       "d_simhash64",
       (s, dir) => simhash64Pairs(Tables(s, dir).documents),
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("d_simhash64")),
     ),
     // char-4-gram Jaccard verification on the LSH candidate pairs over
     // the FULL corpus — candidate generation is the banded minhash join

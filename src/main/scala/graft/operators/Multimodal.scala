@@ -124,8 +124,8 @@ object Multimodal extends QueryModule {
     * the declared metadata — a corrupt or mislabeled payload surfaces
     * as false instead of poisoning downstream stats. Pixel decode is
     * REAL for BMP (decodePixels), PNG (decodePngPixels), GIF
-    * (decodeGifPixels), and JPEG (decodeJpegPixels); of the still
-    * formats only WebP keeps the stub.
+    * (decodeGifPixels), JPEG (decodeJpegPixels), and lossless WebP
+    * (decodeWebpPixels) — no still-image format keeps a stub.
     */
   def decodeHeaders(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -995,7 +995,7 @@ object Multimodal extends QueryModule {
       "m_jpeg_pixels",
       (s, dir) =>
         decodeJpegPixels(jpegTable(Tables(s, dir))).orderBy("doc_id"),
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("m_jpeg_pixels")),
     ),
     // DCT-path thumbnails: JPEG decode + the shared nearest-neighbor
     // grid, sampled means cross-checked against the JDK decoder on
@@ -1004,7 +1004,7 @@ object Multimodal extends QueryModule {
       "m_jpeg_thumbnail",
       (s, dir) =>
         decodeJpegThumbnails(jpegTable(Tables(s, dir)), 4, 4).orderBy("doc_id"),
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("m_jpeg_thumbnail")),
     ),
     // COMPRESSED-path thumbnails: PNG decode + nearest-neighbor resize,
     // FNV/mean cross-checked against a formula-only recomputation

@@ -179,7 +179,7 @@ object Relational2 extends QueryModule {
               expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("price_p75"),
               expr("approx_percentile(l_quantity, 0.5, 1000)").as("qty_median"))
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("q_approx_quantiles")),
     ),
   )
 }

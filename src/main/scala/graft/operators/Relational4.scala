@@ -325,7 +325,7 @@ object Relational4 extends QueryModule {
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
           count(lit(1)).as("n_days"))
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("q_hll_rollup")),
     ),
     // mergeable QUANTILE rollup — the quantile twin of q_hll_rollup:
     // per-day fixed-grid histograms (4096 bins over the declared

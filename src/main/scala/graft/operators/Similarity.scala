@@ -221,7 +221,7 @@ object Similarity extends QueryModule {
         graft.api.AnnIndex.nearDupPairs(corpus, centroids, tau = 0.45, nprobe = 3)
           .orderBy("a_id", "b_id")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("d_embedding_neardup_ivf")),
     ),
     // training-free corpus-scale near-dup: SRP band self-join
     // (bucket-capped) + exact cosine — the embedding analogue of the
@@ -234,7 +234,7 @@ object Similarity extends QueryModule {
         graft.api.SrpLsh.nearDupPairs(corpus, dim = 64, tau = 0.45)
           .orderBy("a_id", "b_id")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("d_embedding_neardup_srp")),
     ),
     // SRP-LSH ANN: the training-free bucketed path (random-hyperplane
     // sign signatures, no kmeans build; signatures are pure functions
@@ -250,7 +250,7 @@ object Similarity extends QueryModule {
         graft.api.SrpLsh.search(corpus, queries, dim = 64, topK = 5)
           .orderBy("q_id", "rn")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("s_srp_topk")),
     ),
     // PQ/ADC ANN: the memory-compression path — corpus stored as 16
     // 4-bit codes (8 bytes packed, 32× under float32), queries score
@@ -274,7 +274,7 @@ object Similarity extends QueryModule {
         graft.api.PqIndex.adcSearch(codes, cb, queries, dim = 64, m = 16, topK = 5)
           .orderBy("q_id", "rn")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("s_pq_topk")),
     ),
     // IVF-PQ composed: coarse centroids prune WHICH vectors are scored,
     // PQ codes cut the BYTES per scored vector — the standard
@@ -293,7 +293,7 @@ object Similarity extends QueryModule {
           dim = 64, m = 16, nprobe = 3, topK = 5)
           .orderBy("q_id", "rn")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("s_ivfpq_topk")),
     ),
     // kNN majority-vote classification: predict each query vector's
     // label from its 10 nearest labeled neighbors — the standard
@@ -449,7 +449,7 @@ object Similarity extends QueryModule {
         graft.api.AnnIndex.search(corpus, centroids, queries, nprobe = 3, topK = 5)
           .orderBy("q_id", "rn")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("s_ivf_topk")),
     ),
     // SemDeDup-shaped end-to-end semantic dedup: SRP near-dup pairs →
     // connected-component clusters → keep the smallest vec_id per
@@ -468,7 +468,7 @@ object Similarity extends QueryModule {
         graft.api.DedupPipeline.dedup(corpus, pairs, idCol = "vec_id")
           .select(col("vec_id")).orderBy("vec_id")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("d_semantic_dedup")),
     ),
   )
 }

@@ -155,7 +155,7 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_heavy_hitters timed out")
         s.table(name).orderBy(desc("est_count"), asc("term")).limit(20)
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("st_heavy_hitters")),
     ),
     // streaming exact dedup (the d_dedup_exact twin): first copy of each
     // text admitted, later copies dropped while their hash is inside the
@@ -265,7 +265,7 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_bloom_guard timed out")
         s.table(name).orderBy("doc_id")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("st_bloom_guard")),
     ),
     // streaming ANN-index maintenance: SRP band assignment as a
     // stateless streaming projection (signatures are pure functions of
@@ -286,7 +286,7 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_srp_bucketize timed out")
         s.table(name).orderBy("vec_id", "band_i")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("st_srp_bucketize")),
     ),
     // streaming TEXT-LSH index maintenance: minhash band assignment as
     // a stateless streaming projection (per-row lambdas — no state
@@ -307,7 +307,7 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_minhash_bucketize timed out")
         s.table(name).orderBy("doc_id", "j")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("st_minhash_bucketize")),
     ),
     // streaming document chunking: the RAG/packing splitter as a
     // stateless projection over the document stream — the literal

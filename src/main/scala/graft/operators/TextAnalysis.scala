@@ -170,7 +170,7 @@ object TextAnalysis extends QueryModule {
           .orderBy(desc("est_count"), asc("term"))
           .limit(20)
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("t_heavy_hitters")),
     ),
     // BPE-ish regex tokenization (word / number / punctuation-run
     // classes — the lookahead-free common subset of Java and RE2 regex)
@@ -400,7 +400,7 @@ object TextAnalysis extends QueryModule {
                   (col("pred") === col("lang")).as("hit"))
           .orderBy("doc_id")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("t_lang_id")),
     ),
     // per-doc top-3 characteristic terms by tf·idf rank. The score is
     // tf * 10^9 div df — EXACT BIGINT arithmetic, so Spark and DuckDB
@@ -813,7 +813,7 @@ object TextAnalysis extends QueryModule {
           .toDF("doc_id", "n_raw", "n_deflate", "ratio")
           .orderBy("doc_id")
       },
-      None,
+      Some(graft.api.ParseSnapshots.sfPinnedSql("t_compress_ratio")),
     ),
   )
 }
