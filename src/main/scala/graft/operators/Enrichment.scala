@@ -148,6 +148,52 @@ object Enrichment extends QueryModule {
               |COUNT(DISTINCT ip) AS unique_ips
               |FROM e GROUP BY 1 ORDER BY report_count DESC, country""".stripMargin),
     ),
+    // protocol-true GeoIP: the reference opens a MaxMind .mmdb through
+    // geoip2 (utils.go:42 Open + db.City). Here the REAL binary format
+    // is on the wire end to end: MmdbFixture writes a spec-true v2.0
+    // file (24-bit search tree, separator, pointer-compressed data
+    // section, metadata marker) from the shared geo fixture, the bytes
+    // broadcast once, each partition opens functions.MaxMindDb and
+    // walks the search tree per IP — the production MaxMind-on-Spark
+    // shape (no shuffle except the final aggregate). The DuckDB oracle
+    // recomputes from the fixture VALUES, so the hash gate holds the
+    // tree walk, pointer decode, and City field path to the formula.
+    QueryDef(
+      "f_geoip_mmdb",
+      (s, dir) => {
+        val e = Tables(s, dir).events
+        val ip = concat(((col("user_id") % 223) + 1).cast("string"), lit("."),
+                        ((col("user_id") * 7) % 256).cast("string"), lit("."),
+                        ((col("user_id") * 13) % 256).cast("string"), lit("."),
+                        ((col("user_id") % 251) + 1).cast("string"))
+        val bc = s.sparkContext.broadcast(graft.sources.MmdbFixture.fromGeoFixture())
+        val rdd = e.select(ip.as("ip")).rdd.mapPartitions { it =>
+          val db = graft.functions.MaxMindDb.open(bc.value)
+            .fold(m => throw new IllegalStateException(s"bad mmdb fixture: $m"), identity)
+          it.flatMap { r =>
+            db.lookupCity(r.getString(0))
+              .map(g => org.apache.spark.sql.Row(g.country, g.city))
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source_country",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source_city",
+            org.apache.spark.sql.types.StringType)))
+        s.createDataFrame(rdd, schema)
+          .groupBy("source_country", "source_city")
+          .agg(count(lit(1)).as("messages"))
+          .orderBy("source_country", "source_city")
+      },
+      Some(s"""WITH ips AS (SELECT user_id % 223 + 1 AS o1 FROM events),
+              |geo(octet1, country, zone) AS (VALUES ${graft.functions.GeoEnrichment.sqlValues}),
+              |e AS (SELECT country,
+              |  country || '-' || split_part(zone, '.', 1) AS city
+              |  FROM ips JOIN geo ON o1 = octet1)
+              |SELECT country AS source_country, city AS source_city,
+              |COUNT(*) AS messages
+              |FROM e GROUP BY 1, 2 ORDER BY source_country, source_city""".stripMargin),
+    ),
     QueryDef(
       "f_is_valid_ip",
       (s, dir) => {
