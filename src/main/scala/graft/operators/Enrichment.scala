@@ -148,6 +148,45 @@ object Enrichment extends QueryModule {
               |COUNT(DISTINCT ip) AS unique_ips
               |FROM e GROUP BY 1 ORDER BY report_count DESC, country""".stripMargin),
     ),
+    // protocol-true reverse DNS (utils.go:74-118 GetReverseDNS): an
+    // in-process UDP DNS server answers PTR queries for the shared
+    // synthetic zone, and sources.DnsPtr runs the reference's lookup
+    // loop — reverse-name build, RFC 1035 wire encoding, per-server
+    // timeout failover, compression-pointer decode — over REAL
+    // datagrams for every distinct source IP in the parsed sample
+    // corpus (bounded by construction: distinct sources ≪ records,
+    // the same cardinality the reference resolves online). Resolution
+    // is eager inside the query (IMAP-entry lifecycle) so the server
+    // can close before the frame is consumed. The oracle recomputes
+    // the hostnames from the snapshot IP list + fixture VALUES — the
+    // hash gate holds the whole wire path to the formula.
+    QueryDef(
+      "f_rdns_ptr",
+      (s, _) => {
+        val ips = graft.sources.DmarcReader
+          .aggregateRecords(s, s"${DmarcIngest.Samples}/aggregate").toDF()
+          .select(col("source_ip_address")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val server = new graft.sources.InMemoryDns(graft.sources.InMemoryDns.fixtureZone)
+        val resolved =
+          try {
+            val cfg = graft.sources.DnsPtr.DnsConfig(Seq(("127.0.0.1", server.port)))
+            ips.toIndexedSeq.map(ip =>
+              (ip, graft.sources.DnsPtr.lookup(ip, cfg).getOrElse("")))
+          } finally server.close()
+        import s.implicits._
+        resolved.toDF("source_ip_address", "rdns")
+          .orderBy("source_ip_address")
+      },
+      Some(s"""WITH flat AS (${graft.api.ParseSnapshots.resourceSql("p_records_flatten")}),
+              |ips AS (SELECT DISTINCT source_ip_address AS ip FROM flat),
+              |geo(octet1, country, zone) AS (VALUES ${graft.functions.GeoEnrichment.sqlValues})
+              |SELECT ip AS source_ip_address,
+              |COALESCE('host-' || replace(ip, '.', '-') || '.' || zone, '') AS rdns
+              |FROM ips LEFT JOIN geo
+              |  ON TRY_CAST(split_part(ip, '.', 1) AS INT) = octet1
+              |ORDER BY source_ip_address""".stripMargin),
+    ),
     // protocol-true GeoIP: the reference opens a MaxMind .mmdb through
     // geoip2 (utils.go:42 Open + db.City). Here the REAL binary format
     // is on the wire end to end: MmdbFixture writes a spec-true v2.0
