@@ -180,12 +180,18 @@ object Maintenance extends QueryModule {
     ),
     // Z-order layout rewrite, demonstrated end to end: range-partition
     // the events table by its morton code (so each output file covers a
-    // small rectangle of (user, day) space), write, and report each
-    // file's min/max footer rectangle. A predicate on EITHER dimension
-    // now prunes most files — single-column sort only prunes its own
-    // column. Rows-only: file layout has no DuckDB twin; ZOrderSpec pins
-    // the curve against a JVM reference and proves the pruning claim
-    // against a linear layout.
+    // small rectangle of (user, day) space), write, and report the
+    // layout INVARIANTS the rewrite must establish: every row kept, 16
+    // files, global dimension bounds intact, and per-file z-ranges
+    // disjoint (what makes footer-stat pruning work on EITHER
+    // dimension). Invariants rather than per-file rectangles because
+    // RangePartitioner's sampled boundaries are seeded by the RDD id,
+    // which varies with session execution order — the rectangles are
+    // run-dependent, the invariants are not, so this entry is fully
+    // DuckDB-oracled while the write path keeps the scale-true
+    // sampled-range shape. ZOrderSpec still pins the curve bit-for-bit
+    // against a JVM reference and proves the pruning claim against a
+    // linear layout.
     QueryDef(
       "w_zorder",
       (s, dir) => {
@@ -195,24 +201,40 @@ object Maintenance extends QueryModule {
         coded.repartitionByRange(16, col("z"))
           .sortWithinPartitions("z")
           .write.mode("overwrite").parquet(table)
-        // per-file min/max rectangles — what parquet footer stats expose
-        // to the scan planner (temp-path file names are dropped: they are
-        // not deterministic across runs)
-        val out = s.read.parquet(table)
+        // per-file stats (16 rows — bounded) → layout invariants
+        val stats = s.read.parquet(table)
           .groupBy(input_file_name().as("file"))
-          .agg(min("u16").as("min_u"), max("u16").as("max_u"),
+          .agg(min("z").as("min_z"), max("z").as("max_z"),
+               min("u16").as("min_u"), max("u16").as("max_u"),
                min("d16").as("min_d"), max("d16").as("max_d"),
                count(lit(1)).as("n_rows"))
-          .select("min_u", "max_u", "min_d", "max_d", "n_rows")
-          .orderBy("min_u", "min_d", "max_u", "max_d", "n_rows")
-        val rows = out.collect()
+          .collect()
         val root = new Path(table)
         root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        val byZ = stats.sortBy(_.getAs[Long]("min_z"))
+        val disjoint = byZ.iterator.zip(byZ.iterator.drop(1)).forall {
+          case (a, b) => a.getAs[Long]("max_z") <= b.getAs[Long]("min_z")
+        }
         import s.implicits._
-        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-          .toSeq.toDF("min_u", "max_u", "min_d", "max_d", "n_rows")
+        Seq((
+          stats.map(_.getAs[Long]("n_rows")).sum,
+          stats.length.toLong,
+          stats.map(_.getAs[Long]("min_u")).min,
+          stats.map(_.getAs[Long]("max_u")).max,
+          stats.map(_.getAs[Long]("min_d")).min,
+          stats.map(_.getAs[Long]("max_d")).max,
+          disjoint,
+        )).toDF("total_rows", "n_files", "min_u", "max_u", "min_d", "max_d",
+                "z_ranges_disjoint")
       },
-      None,
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+              |CAST(16 AS BIGINT) AS n_files,
+              |CAST(MIN($u16Sql) AS BIGINT) AS min_u,
+              |CAST(MAX($u16Sql) AS BIGINT) AS max_u,
+              |CAST(MIN($d16Sql) AS BIGINT) AS min_d,
+              |CAST(MAX($d16Sql) AS BIGINT) AS max_d,
+              |TRUE AS z_ranges_disjoint
+              |FROM events""".stripMargin),
     ),
     // small-file compaction, demonstrated end to end: fragment the
     // events table into a month-partitioned tree of deliberately tiny
