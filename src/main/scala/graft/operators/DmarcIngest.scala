@@ -150,6 +150,96 @@ object DmarcIngest extends QueryModule {
              |  ${graft.api.ParseSnapshots.emailMimeSqlValues})
              |SELECT * FROM t ORDER BY report_key, mime_chars""".stripMargin),
     ),
+    // ClickHouse storage over the wire (internal/storage/clickhouse/
+    // clickhouse.go): the reference creates five MergeTree tables and
+    // batch-inserts every report family. Here the REAL ClickHouse HTTP
+    // dialect is on the wire end to end — the same five DDLs
+    // (clickhouse.go:79-228), per-partition batched `INSERT ... FORMAT
+    // JSONEachRow` POSTs from the executors (the production
+    // Spark→ClickHouse write shape; nothing collected to the driver),
+    // and JSONEachRow readback — against an in-process HTTP server
+    // (InMemoryImap pattern). The emitted frame is computed FROM THE
+    // READBACK, so the hash gate holds serialization, the HTTP round
+    // trip, and the row counts/checksums to constants derived from the
+    // committed parse snapshots.
+    QueryDef(
+      "o_clickhouse_http",
+      (s, _) => {
+        import graft.sources.{ClickHouseHttp => CH, OutputWriters => OW}
+        import org.json4s._
+        val server = new graft.sources.InMemoryClickHouse()
+        val summary =
+          try {
+            val base = s"http://127.0.0.1:${server.port}"
+            CH.createTables(base)
+            // globs mirror the snapshot each table is gated against:
+            // reports ↔ p_aggregate_xml ("*.xml"), records ↔ the
+            // p_records_flatten resource (whole corpus incl. gz/zip/eml)
+            val reports = DmarcReader.aggregateReports(s, s"$Samples/aggregate", "*.xml")
+            val records = DmarcReader.enrichedRecords(s, s"$Samples/aggregate")
+            val forensic = DmarcReader.forensicReports(s, s"$Samples/forensic", "*.eml")
+            val tls = DmarcReader.tlsReports(s, s"$Samples/smtp_tls")
+            CH.insertDataFrame(base, "dmarc_aggregate_reports", OW.reportsTableLayout(reports))
+            CH.insertDataFrame(base, "dmarc_aggregate_records", records)
+            CH.insertDataFrame(base, "dmarc_forensic_reports", OW.forensicTableLayout(forensic))
+            CH.insertDataFrame(base, "dmarc_smtp_tls_reports",
+              graft.api.TlsAnalytics.tlsReportRows(tls))
+            CH.insertDataFrame(base, "dmarc_smtp_tls_failures",
+              graft.api.TlsAnalytics.tlsFailureRows(tls))
+            def longOf(v: JValue): Long = v match {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case JDouble(d) => d.toLong
+              case _ => 0L
+            }
+            def strOf(v: JValue): String =
+              v match { case JString(x) => x; case _ => "" }
+            def read(t: String): Seq[JValue] = CH.selectAll(base, t)
+            val recs = read("dmarc_aggregate_records")
+            val reps = read("dmarc_aggregate_reports")
+            val forns = read("dmarc_forensic_reports")
+            val tlsReps = read("dmarc_smtp_tls_reports")
+            val tlsFails = read("dmarc_smtp_tls_failures")
+            Seq(
+              ("dmarc_aggregate_records", recs.size.toLong,
+                recs.map(r => longOf(r \ "count")).sum),
+              ("dmarc_aggregate_reports", reps.size.toLong,
+                reps.map(r => strOf(r \ "report_id")).distinct.size.toLong),
+              ("dmarc_forensic_reports", forns.size.toLong,
+                forns.map(r => strOf(r \ "reported_domain")).distinct.size.toLong),
+              ("dmarc_smtp_tls_reports", tlsReps.size.toLong,
+                tlsReps.map(r => longOf(r \ "successful_session_count")).sum),
+              ("dmarc_smtp_tls_failures", tlsFails.size.toLong,
+                tlsFails.map(r => strOf(r \ "report_id")).distinct.size.toLong),
+            )
+          } finally server.close()
+        import s.implicits._
+        summary.toDF("table_name", "n_rows", "checksum").orderBy("table_name")
+      },
+      Some(s"""WITH flat AS (${graft.api.ParseSnapshots.resourceSql("p_records_flatten")}),
+              |reps(reportId, orgName, domain, p, sp, pct, n_records) AS (VALUES
+              |  ${graft.api.ParseSnapshots.aggregateXmlSqlValues}),
+              |forens(ft, dom, dr, ip, af) AS (VALUES
+              |  ${graft.api.ParseSnapshots.forensicArfSqlValues}),
+              |tls(org, rid, pd, pt, ok, fail, nf) AS (VALUES
+              |  ${graft.api.ParseSnapshots.smtpTlsJsonSqlValues})
+              |SELECT * FROM (
+              |  SELECT 'dmarc_aggregate_records' AS table_name,
+              |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |    CAST(SUM(count) AS BIGINT) AS checksum FROM flat
+              |  UNION ALL SELECT 'dmarc_aggregate_reports',
+              |    CAST(COUNT(*) AS BIGINT),
+              |    CAST(COUNT(DISTINCT reportId) AS BIGINT) FROM reps
+              |  UNION ALL SELECT 'dmarc_forensic_reports',
+              |    CAST(COUNT(*) AS BIGINT),
+              |    CAST(COUNT(DISTINCT dom) AS BIGINT) FROM forens
+              |  UNION ALL SELECT 'dmarc_smtp_tls_reports',
+              |    CAST(COUNT(*) AS BIGINT), CAST(SUM(ok) AS BIGINT) FROM tls
+              |  UNION ALL SELECT 'dmarc_smtp_tls_failures',
+              |    CAST(SUM(nf) AS BIGINT),
+              |    CAST(COUNT(DISTINCT CASE WHEN nf > 0 THEN rid END) AS BIGINT) FROM tls
+              |) ORDER BY table_name""".stripMargin),
+    ),
     // Live IMAP intake (internal/imap/client.go), self-contained: an
     // in-process IMAP4rev1 server is seeded with the sample corpus as
     // MAIL (raw .eml samples as-is, other files wrapped as multipart

@@ -159,16 +159,21 @@ object OutputWriters {
     * (org_name, report_id, begin_date), PARTITION BY month).
     */
   def writeReportsTable(reports: Dataset[AggregateReport], path: String): Unit =
-    writeTable(
-      reports.toDF().select(
-        col("xmlSchema").as("xml_schema"), col("orgName").as("org_name"),
-        col("orgEmail").as("org_email"),
-        col("orgExtraContactInfo").as("org_extra_contact_info"),
-        col("reportId").as("report_id"), col("beginDate").as("begin_date"),
-        col("endDate").as("end_date"), col("errors"), col("domain"),
-        col("adkim"), col("aspf"), col("p"), col("sp"), col("pct"), col("fo")),
+    writeTable(reportsTableLayout(reports),
       date_format(col("begin_date"), "yyyyMM"),
       Seq("org_name", "report_id", "begin_date"), path)
+
+  /** The `dmarc_aggregate_reports` column projection, exposed for the
+    * parquet writer above AND the ClickHouse HTTP output path.
+    */
+  def reportsTableLayout(reports: Dataset[AggregateReport]): DataFrame =
+    reports.toDF().select(
+      col("xmlSchema").as("xml_schema"), col("orgName").as("org_name"),
+      col("orgEmail").as("org_email"),
+      col("orgExtraContactInfo").as("org_extra_contact_info"),
+      col("reportId").as("report_id"), col("beginDate").as("begin_date"),
+      col("endDate").as("end_date"), col("errors"), col("domain"),
+      col("adkim"), col("aspf"), col("p"), col("sp"), col("pct"), col("fo"))
 
   /** `dmarc_forensic_reports` layout (clickhouse.go:175-176: ORDER BY
     * (arrival_date, source_ip_address), PARTITION BY month). The month
@@ -178,25 +183,30 @@ object OutputWriters {
     * non-UTC session.
     */
   def writeForensicTable(forensic: Dataset[ForensicReport], path: String): Unit =
-    writeTable(
-      forensic.toDF().select(
-        col("feedbackType").as("feedback_type"),
-        coalesce(col("userAgent"), lit("")).as("user_agent"),
-        coalesce(col("version"), lit("")).as("version"),
-        coalesce(col("originalEnvelopeId"), lit("")).as("original_envelope_id"),
-        coalesce(col("originalMailFrom"), lit("")).as("original_mail_from"),
-        coalesce(col("originalRcptTo"), lit("")).as("original_rcpt_to"),
-        col("arrivalDate").as("arrival_date"),
-        col("subject"), col("messageId").as("message_id"),
-        col("authenticationResults").as("authentication_results"),
-        coalesce(col("dkimDomain"), lit("")).as("dkim_domain"),
-        col("source.ipAddress").as("source_ip"),
-        col("source.country").as("source_country"),
-        col("deliveryResult").as("delivery_result"),
-        col("authFailure").as("auth_failure"),
-        col("reportedDomain").as("reported_domain")),
+    writeTable(forensicTableLayout(forensic),
       date_format(col("arrival_date"), "yyyyMM"),
       Seq("arrival_date", "source_ip"), path)
+
+  /** The `dmarc_forensic_reports` column projection, exposed for the
+    * parquet writer above AND the ClickHouse HTTP output path.
+    */
+  def forensicTableLayout(forensic: Dataset[ForensicReport]): DataFrame =
+    forensic.toDF().select(
+      col("feedbackType").as("feedback_type"),
+      coalesce(col("userAgent"), lit("")).as("user_agent"),
+      coalesce(col("version"), lit("")).as("version"),
+      coalesce(col("originalEnvelopeId"), lit("")).as("original_envelope_id"),
+      coalesce(col("originalMailFrom"), lit("")).as("original_mail_from"),
+      coalesce(col("originalRcptTo"), lit("")).as("original_rcpt_to"),
+      col("arrivalDate").as("arrival_date"),
+      col("subject"), col("messageId").as("message_id"),
+      col("authenticationResults").as("authentication_results"),
+      coalesce(col("dkimDomain"), lit("")).as("dkim_domain"),
+      col("source.ipAddress").as("source_ip"),
+      col("source.country").as("source_country"),
+      col("deliveryResult").as("delivery_result"),
+      col("authFailure").as("auth_failure"),
+      col("reportedDomain").as("reported_domain"))
 
   /** `dmarc_smtp_tls_reports` layout (clickhouse.go:202-203: ORDER BY
     * (begin_date, organization_name), PARTITION BY month). Takes the
