@@ -150,6 +150,87 @@ object DmarcIngest extends QueryModule {
              |  ${graft.api.ParseSnapshots.emailMimeSqlValues})
              |SELECT * FROM t ORDER BY report_key, mime_chars""".stripMargin),
     ),
+    // Kafka output over the wire (internal/kafka/kafka.go: a producer
+    // JSON-marshalling each report family to its topic). Here the REAL
+    // Kafka binary protocol is on the wire end to end: Produce v3 +
+    // Fetch v4 with record-batch v2 (zigzag varints, CRC32C) against
+    // an in-process broker that VALIDATES the CRC on every produce.
+    // One message per parsed sample report (the reference's unit, 19
+    // messages — bounded by the sample corpus), fetched back and
+    // re-parsed; the emitted frame is computed FROM THE FETCH, so the
+    // hash gate holds batch encoding, framing, the broker round trip,
+    // and the JSON payloads to snapshot-derived constants.
+    QueryDef(
+      "o_kafka_wire",
+      (s, _) => {
+        import graft.sources.{KafkaWire => KW}
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val broker = new graft.sources.InMemoryKafka()
+        val summary =
+          try {
+            def compact(j: JValue) = JsonMethods.compact(JsonMethods.render(j))
+            def produce(topic: String, msgs: Seq[(String, JValue)]): Unit =
+              KW.produce("127.0.0.1", broker.port, topic,
+                msgs.map { case (k, v) =>
+                  (k.getBytes("UTF-8"), compact(v).getBytes("UTF-8"))
+                })
+            def fetchJson(topic: String): Seq[JValue] =
+              KW.fetch("127.0.0.1", broker.port, topic, 0L)
+                .map(r => JsonMethods.parse(new String(r.value, "UTF-8")))
+            val aggs = DmarcReader
+              .aggregateReports(s, s"$Samples/aggregate", "*.xml").collect()
+            val forensic = DmarcReader
+              .forensicReports(s, s"$Samples/forensic", "*.eml").collect()
+            val tls = DmarcReader.tlsReports(s, s"$Samples/smtp_tls").collect()
+            produce("dmarc_aggregate", aggs.toIndexedSeq.map(a => a.reportId ->
+              JObject("report_id" -> JString(a.reportId),
+                      "org_name" -> JString(a.orgName),
+                      "n_records" -> JInt(a.records.size))))
+            produce("dmarc_forensic", forensic.toIndexedSeq.map(f => f.reportedDomain ->
+              JObject("feedback_type" -> JString(f.feedbackType),
+                      "reported_domain" -> JString(f.reportedDomain))))
+            produce("dmarc_smtp_tls", tls.toIndexedSeq.map(t => t.reportId ->
+              JObject("report_id" -> JString(t.reportId),
+                      "ok_sessions" -> JInt(BigInt(
+                        t.policies.map(_.successfulSessionCount).sum)))))
+            def longOf(v: JValue): Long =
+              v match { case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L }
+            def strOf(v: JValue): String =
+              v match { case JString(x) => x; case _ => "" }
+            val a = fetchJson("dmarc_aggregate")
+            val f = fetchJson("dmarc_forensic")
+            val t = fetchJson("dmarc_smtp_tls")
+            Seq(
+              ("dmarc_aggregate", a.size.toLong,
+                a.map(r => longOf(r \ "n_records")).sum),
+              ("dmarc_forensic", f.size.toLong,
+                f.map(r => strOf(r \ "reported_domain")).distinct.size.toLong),
+              ("dmarc_smtp_tls", t.size.toLong,
+                t.map(r => longOf(r \ "ok_sessions")).sum),
+            )
+          } finally broker.close()
+        import s.implicits._
+        summary.toDF("topic", "n_messages", "checksum").orderBy("topic")
+      },
+      Some(s"""WITH reps(reportId, orgName, domain, p, sp, pct, n_records) AS (VALUES
+              |  ${graft.api.ParseSnapshots.aggregateXmlSqlValues}),
+              |forens(ft, dom, dr, ip, af) AS (VALUES
+              |  ${graft.api.ParseSnapshots.forensicArfSqlValues}),
+              |tls(org, rid, pd, pt, ok, fail, nf) AS (VALUES
+              |  ${graft.api.ParseSnapshots.smtpTlsJsonSqlValues}),
+              |tlsrep AS (SELECT rid, SUM(ok) AS ok FROM tls GROUP BY rid)
+              |SELECT * FROM (
+              |  SELECT 'dmarc_aggregate' AS topic,
+              |    CAST(COUNT(*) AS BIGINT) AS n_messages,
+              |    CAST(SUM(n_records) AS BIGINT) AS checksum FROM reps
+              |  UNION ALL SELECT 'dmarc_forensic',
+              |    CAST(COUNT(*) AS BIGINT),
+              |    CAST(COUNT(DISTINCT dom) AS BIGINT) FROM forens
+              |  UNION ALL SELECT 'dmarc_smtp_tls',
+              |    CAST(COUNT(*) AS BIGINT), CAST(SUM(ok) AS BIGINT) FROM tlsrep
+              |) ORDER BY topic""".stripMargin),
+    ),
     // ClickHouse storage over the wire (internal/storage/clickhouse/
     // clickhouse.go): the reference creates five MergeTree tables and
     // batch-inserts every report family. Here the REAL ClickHouse HTTP
