@@ -351,5 +351,80 @@ object DmarcIngest extends QueryModule {
       },
       Some(graft.api.ParseSnapshots.resourceSql("st_report_intake")),
     ),
+    // CLI output surface (cmd/parsedmarc-go/main.go + internal/output/
+    // output.go): every sample-corpus file runs the CLI's parse chain
+    // and byte-faithful serializers (ReportJson — Go MarshalIndent /
+    // encoding/csv twins) ON EXECUTORS over a distributed binaryFile
+    // scan; the frame pins each emitted document's sha256, so the gate
+    // hash-checks the exact bytes a reference user's `-format json`
+    // run would produce. GraftCliSpec pins full golden documents and
+    // the flag/daemon semantics.
+    QueryDef(
+      "o_cli_json",
+      (s, _) => {
+        import s.implicits._
+        cliDocs(s, "json").toDF("file", "family", "doc_sha256", "doc_chars")
+          .orderBy("file")
+      },
+      Some(graft.api.ParseSnapshots.resourceSql("o_cli_json")),
+    ),
+    QueryDef(
+      "o_cli_csv",
+      (s, _) => {
+        import s.implicits._
+        cliDocs(s, "csv").toDF("file", "family", "doc_sha256", "doc_chars")
+          .orderBy("file")
+      },
+      Some(graft.api.ParseSnapshots.resourceSql("o_cli_csv")),
+    ),
   )
+
+  /** Distributed CLI-document projection shared by o_cli_json/o_cli_csv:
+    * (relative file, parsed family, sha256 of the reference-byte
+    * document, document chars); unparseable files keep the CLI's
+    * continue-past-failure semantics as family "error".
+    */
+  private def cliDocs(s: org.apache.spark.sql.SparkSession, format: String):
+      org.apache.spark.sql.Dataset[(String, String, String, Int)] = {
+    import s.implicits._
+    import graft.GraftCli
+    import graft.sources.ReportJson
+    s.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(Samples)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val rel = path.substring(path.indexOf("/samples/") + "/samples/".length)
+        def doc(p: GraftCli.ParsedReport): String =
+          if (format == "json") p match {
+            case GraftCli.ParsedAggregate(r) => ReportJson.aggregate(r)
+            case GraftCli.ParsedForensic(r)  => ReportJson.forensic(r)
+            case GraftCli.ParsedTls(r)       => ReportJson.smtpTls(r)
+          } else p match {
+            case GraftCli.ParsedAggregate(r) =>
+              (ReportJson.csvLine(ReportJson.AggregateCsvHeader) +:
+                ReportJson.aggregateCsvRows(r).map(ReportJson.csvLine)).mkString
+            case GraftCli.ParsedForensic(r) =>
+              ReportJson.csvLine(ReportJson.ForensicCsvHeader) +
+                ReportJson.csvLine(ReportJson.forensicCsvRow(r))
+            case GraftCli.ParsedTls(r) =>
+              (ReportJson.csvLine(ReportJson.TlsCsvHeader) +:
+                ReportJson.tlsCsvRows(r).map(ReportJson.csvLine)).mkString
+          }
+        def family(p: GraftCli.ParsedReport): String = p match {
+          case GraftCli.ParsedAggregate(_) => "aggregate"
+          case GraftCli.ParsedForensic(_)  => "forensic"
+          case GraftCli.ParsedTls(_)       => "smtp_tls"
+        }
+        GraftCli.parseAny(bytes) match {
+          case Right(p) =>
+            val d = doc(p)
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            (rel, family(p), sha, d.length)
+          case Left(_) => (rel, "error", "", 0)
+        }
+      }
+  }
 }
