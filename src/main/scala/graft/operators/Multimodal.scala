@@ -753,6 +753,76 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, aviSchema)
   }
 
+  val mjpegSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_sampled", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("frames_ok", BooleanType),
+  ))
+
+  /** Video table whose payloads are COMPLETE Motion-JPEG AVIs: a
+    * 'vids'/'MJPG' stream header and one real baseline JPEG per
+    * '00dc' chunk (JDK-encoded DCT streams, per-frame seed drift) —
+    * COMPRESSED video a reference media intake would actually meet,
+    * decodable because the codec is the JPEG decoder this library
+    * already has.
+    */
+  def mjpegTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      (col("doc_id") % 12 + 9).cast("int").as("w"),
+      (col("doc_id") % 10 + 9).cast("int").as("h"),
+      (col("doc_id") % 5 + 2).cast("int").as("frames"),
+      (col("doc_id") % 997).cast("int").as("seed"))
+    val rdd = base.rdd.map { r =>
+      Row(r.getLong(0),
+          graft.functions.AviFrames.syntheticMjpeg(
+            r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
+          Row(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType), StructField("h", IntegerType),
+        StructField("frames", IntegerType), StructField("seed", IntegerType)))),
+    ))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL compressed-video frame sampling: every 2nd MJPEG frame
+    * decodes through the hand-rolled baseline-JPEG path
+    * (AviFrames.decodeMjpeg); JPEG is lossy so there is no closed-form
+    * expected mean — `frames_ok` instead requires every sampled
+    * frame's decode to agree with the JDK's own JPEG decoder within
+    * 1/255 per channel, plus the container contract (declared dims,
+    * frame count, ceil(frames/2) sample count).
+    */
+  def decodeMjpegFrames(media: DataFrame, frameStep: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.AviFrames.decodeMjpeg(r.getAs[Array[Byte]](1), frameStep) match {
+          case Some((w, h, nf, ns, mr, mg, mb, jdkOk)) =>
+            val expectSampled = (meta.getInt(2) + frameStep - 1) / frameStep
+            Row(r.getLong(0), w, h, nf, ns,
+                math.rint(mr * 10000) / 10000, math.rint(mg * 10000) / 10000,
+                math.rint(mb * 10000) / 10000,
+                jdkOk && w == meta.getInt(0) && h == meta.getInt(1) &&
+                  nf == meta.getInt(2) && ns == expectSampled)
+          case None => Row(r.getLong(0), 0, 0, 0, 0, 0.0, 0.0, 0.0, false)
+        }
+      }))
+    spark.createDataFrame(rdd, mjpegSchema)
+  }
+
   /** Closed-form DuckDB oracles for the synthesized-media entries. Every
     * payload below is a pure function of doc_id (the tables synthesize
     * bytes from doc_id alone), so the expected DECODE output is the same
@@ -1034,6 +1104,16 @@ object Multimodal extends QueryModule {
       (s, dir) =>
         decodeAviFrames(aviTable(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.AviFrames),
+    ),
+    // COMPRESSED video: Motion-JPEG AVI frame sampling — the container
+    // walk (stream headers, codec fourcc gate) + the baseline-JPEG
+    // decoder per sampled frame, every frame cross-checked in-query
+    // against the JDK's decoder; lossy DCT means pin via SF snapshot
+    QueryDef(
+      "m_mjpeg_frames",
+      (s, dir) =>
+        decodeMjpegFrames(mjpegTable(Tables(s, dir))).orderBy("doc_id"),
+      Some(graft.api.ParseSnapshots.sfPinnedSql("m_mjpeg_frames")),
     ),
   )
 }
