@@ -131,6 +131,106 @@ object GraftCli {
     override def close(): Unit = ()
   }
 
+  // ------------------------------------------------------ senders
+  /** The side channels output.go wires into every writer (SMTPSender /
+    * KafkaSender, output.go:35-46): after each successful main-sink
+    * write, the report also goes out via SMTP and/or Kafka when
+    * configured (main.go:104-113 builds them from cfg in single-file
+    * mode). Sender failures log and continue — the reference treats
+    * them as non-fatal (output.go logs `Failed to send … via SMTP`).
+    */
+  trait ReportSender extends AutoCloseable {
+    def send(p: ParsedReport): Unit
+    override def close(): Unit = ()
+  }
+
+  /** kafka.go's producer: `json.Marshal(report)` (the compact document
+    * — ReportJson's *Compact twins) to the per-family topic, keyed
+    * report-id / "messageId-unixArrival" / report-id (kafka.go:46,78,
+    * 115), over the real wire protocol ([[KafkaWire.produce]]). Empty
+    * topic skips that family, like the reference. Deliberate delta:
+    * the record timestamp is 0 rather than time.Now(), keeping CLI
+    * runs replay-identical.
+    */
+  final class KafkaReportSender(settings: KafkaSettings) extends ReportSender {
+    private val (host, port) = {
+      val hp = settings.hosts.head.split(":")
+      (hp(0), if (hp.length > 1) hp(1).toInt else 9092)
+    }
+    private def produce(topic: String, key: String, value: String): Unit = {
+      KafkaWire.produce(host, port, topic,
+        Seq((key.getBytes("UTF-8"), value.getBytes("UTF-8"))))
+      ()
+    }
+    def send(p: ParsedReport): Unit = p match {
+      case ParsedAggregate(r) if settings.aggregateTopic.nonEmpty =>
+        produce(settings.aggregateTopic, r.reportId, ReportJson.aggregateCompact(r))
+      case ParsedForensic(r) if settings.forensicTopic.nonEmpty =>
+        produce(settings.forensicTopic,
+          s"${r.messageId}-${r.arrivalDate.toInstant.getEpochSecond}",
+          ReportJson.forensicCompact(r))
+      case ParsedTls(r) if settings.smtpTlsTopic.nonEmpty =>
+        produce(settings.smtpTlsTopic, r.reportId, ReportJson.smtpTlsCompact(r))
+      case _ => ()
+    }
+  }
+
+  /** smtp.go's sender, routed through the library's pinned MIME
+    * formatter instead of a duplicate: reports buffer per family and
+    * flush at close through EmailOutput's projections + SMTP client —
+    * the exact bytes o_email_mime hash-gates, delivered over the real
+    * SMTP dialogue. The SparkSession materializes lazily, only when a
+    * report actually buffered (CLI runs without SMTP never touch
+    * Spark).
+    */
+  final class SmtpReportSender(cfg: graft.sources.SmtpConfig,
+                               session: () => org.apache.spark.sql.SparkSession,
+                               sentAt: java.sql.Timestamp) extends ReportSender {
+    private val aggs = scala.collection.mutable.ArrayBuffer.empty[AggregateReport]
+    private val forensics = scala.collection.mutable.ArrayBuffer.empty[ForensicReport]
+    private val tls = scala.collection.mutable.ArrayBuffer.empty[TlsReport]
+    def send(p: ParsedReport): Unit = p match {
+      case ParsedAggregate(r) => aggs += r
+      case ParsedForensic(r)  => forensics += r
+      case ParsedTls(r)       => tls += r
+    }
+    override def close(): Unit =
+      if (aggs.nonEmpty || forensics.nonEmpty || tls.nonEmpty) {
+        val s = session()
+        import s.implicits._
+        if (aggs.nonEmpty)
+          EmailOutput.send(EmailOutput.aggregateEmails(
+            s.createDataset(aggs.toSeq), cfg, sentAt), cfg)
+        if (forensics.nonEmpty)
+          EmailOutput.send(EmailOutput.forensicEmails(
+            s.createDataset(forensics.toSeq), cfg, sentAt), cfg)
+        if (tls.nonEmpty)
+          EmailOutput.send(EmailOutput.tlsEmails(
+            s.createDataset(tls.toSeq), cfg, sentAt), cfg)
+      }
+  }
+
+  /** Decorator attaching the configured senders to a main sink
+    * (output.go's writers call their senders after each write).
+    */
+  final class SendingSink(inner: ReportSink, senders: Seq[ReportSender],
+                          err: PrintStream) extends ReportSink {
+    def write(p: ParsedReport): Unit = {
+      inner.write(p)
+      senders.foreach { sn =>
+        try sn.send(p)
+        catch { case NonFatal(e) => err.println(s"warn: failed to send report: ${e.getMessage}") }
+      }
+    }
+    override def close(): Unit = {
+      senders.foreach { sn =>
+        try sn.close()
+        catch { case NonFatal(e) => err.println(s"warn: failed to send report: ${e.getMessage}") }
+      }
+      inner.close()
+    }
+  }
+
   /** Stream JSON (output.go JSONWriter): the indented document plus a
     * trailing newline, appended per report.
     */
@@ -363,7 +463,19 @@ object GraftCli {
             err.println(s"failed to stat input: $input: no such file or directory")
             return 1
           }
-          val sink = newSink(opts.output, format, out)
+          // main.go:104-113: SMTP/Kafka senders ride along in
+          // single-file mode when the config enables them
+          val cfg = ConfigLoader.load(opts.config)
+          val senders = Seq.newBuilder[ReportSender]
+          if (cfg.smtp.enabled)
+            senders += new SmtpReportSender(cfg.smtp,
+              () => GraftSession.build("graft-cli"),
+              new java.sql.Timestamp(System.currentTimeMillis()))
+          if (cfg.kafka.enabled && cfg.kafka.hosts.nonEmpty)
+            senders += new KafkaReportSender(cfg.kafka)
+          val mainSink = newSink(opts.output, format, out)
+          val built = senders.result()
+          val sink = if (built.isEmpty) mainSink else new SendingSink(mainSink, built, err)
           try {
             val (_, failures) = processInput(input, sink, err)
             // the reference exits 0 unless the TOP-LEVEL file fails:

@@ -153,6 +153,21 @@ object ReportJson {
     b.toString
   }
 
+  /** `json.Marshal(v)` — the compact form (same escaping and field
+    * order, no whitespace); what the reference's Kafka sender puts on
+    * the wire (kafka.go:39,72,108).
+    */
+  def renderCompact(j: J): String = j match {
+    case JNull    => "null"
+    case JBool(x) => if (x) "true" else "false"
+    case JInt(x)  => x.toString
+    case JStr(x)  => goQuote(x)
+    case JArr(items) => items.map(renderCompact).mkString("[", ",", "]")
+    case JObj(fields) =>
+      fields.map { case (k, v) => goQuote(k) + ":" + renderCompact(v) }
+        .mkString("{", ",", "}")
+  }
+
   // -------------------------------------------------- report documents
   private def sourceObj(s: SourceInfo): J = JObj(Seq(
     "ip_address" -> JStr(s.ipAddress),
@@ -164,7 +179,12 @@ object ReportJson {
   ))
 
   /** `json.MarshalIndent` of parser.AggregateReport (types.go:17-113). */
-  def aggregate(r: AggregateReport): String = render(JObj(Seq(
+  def aggregate(r: AggregateReport): String = render(aggregateTree(r))
+
+  /** `json.Marshal` (compact) — the Kafka payload bytes. */
+  def aggregateCompact(r: AggregateReport): String = renderCompact(aggregateTree(r))
+
+  private def aggregateTree(r: AggregateReport): J = JObj(Seq(
     "xml_schema" -> JStr(r.xmlSchema),
     "report_metadata" -> JObj(Seq(
       "org_name" -> JStr(r.orgName),
@@ -217,7 +237,7 @@ object ReportJson {
         )),
       ))
     }),
-  )))
+  ))
 
   /** `json.MarshalIndent` of parser.ForensicReport (types.go:115-137).
     * `parsed_sample` reproduces parser.go:1684-1690's RawMessage
@@ -225,7 +245,12 @@ object ReportJson {
     * alphabetically), re-indented the way MarshalIndent re-indents
     * embedded RawMessage bytes.
     */
-  def forensic(r: ForensicReport): String = render(JObj(Seq(
+  def forensic(r: ForensicReport): String = render(forensicTree(r))
+
+  /** `json.Marshal` (compact) — the Kafka payload bytes. */
+  def forensicCompact(r: ForensicReport): String = renderCompact(forensicTree(r))
+
+  private def forensicTree(r: ForensicReport): J = JObj(Seq(
     "feedback_type" -> JStr(r.feedbackType),
     "user_agent" -> jStrOpt(r.userAgent),
     "version" -> jStrOpt(r.version),
@@ -249,12 +274,17 @@ object ReportJson {
       "headers_only" -> JBool(r.sampleHeadersOnly),
       "raw_sample" -> JStr(r.sample),
     )),
-  )))
+  ))
 
   /** `json.MarshalIndent` of parser.SMTPTLSReport (types.go:139-170) —
     * the only family with `omitempty` tags, honored field-by-field.
     */
-  def smtpTls(r: TlsReport): String = {
+  def smtpTls(r: TlsReport): String = render(smtpTlsTree(r))
+
+  /** `json.Marshal` (compact) — the Kafka payload bytes. */
+  def smtpTlsCompact(r: TlsReport): String = renderCompact(smtpTlsTree(r))
+
+  private def smtpTlsTree(r: TlsReport): J = {
     def failureObj(f: TlsFailureDetail): J = JObj(
       Seq[(String, J)](
         "result_type" -> JStr(f.resultType),
@@ -283,14 +313,14 @@ object ReportJson {
       (if (p.failureDetails.isEmpty) Nil
        else Seq("failure_details" -> (JArr(p.failureDetails.map(failureObj)): J))))
 
-    render(JObj(Seq(
+    JObj(Seq(
       "organization_name" -> JStr(r.organizationName),
       "begin_date" -> JStr(goTime(r.beginDate)),
       "end_date" -> JStr(goTime(r.endDate)),
       "contact_info" -> JStr(r.contactInfo),
       "report_id" -> JStr(r.reportId),
       "policies" -> jArrOrNull(r.policies.map(policyObj)),
-    )))
+    ))
   }
 
   // -------------------------------------------------- Go encoding/csv

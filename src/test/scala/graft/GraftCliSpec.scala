@@ -225,6 +225,88 @@ class GraftCliSpec extends AnyFunSuite {
     } finally imap.close()
   }
 
+  // ---------------------------------------------------- side senders
+  test("Kafka sender: compact json.Marshal bytes on the wire, reference keys") {
+    val broker = new graft.sources.InMemoryKafka()
+    val dir = Files.createTempDirectory("cli-kafka")
+    val cfgFile = dir.resolve("config.yaml")
+    try {
+      Files.writeString(cfgFile,
+        s"""kafka:
+           |  enabled: true
+           |  hosts:
+           |    - 127.0.0.1:${broker.port}
+           |  aggregate_topic: dmarc_aggregate
+           |""".stripMargin)
+      val sample = s"$Samples/aggregate/!example.com!1538204542!1538463818.xml"
+      val (rc, out, _) = runCli("-config", cfgFile.toString, "-input", sample)
+      assert(rc == 0)
+      val recs = graft.sources.KafkaWire.fetch("127.0.0.1", broker.port, "dmarc_aggregate", 0L)
+      assert(recs.size == 1)
+      assert(new String(recs.head.key, "UTF-8") == "example.com:1538463741")
+      val value = new String(recs.head.value, "UTF-8")
+      // the wire payload is the compact form of the SAME document the
+      // stdout writer pretty-printed: Jackson-normalized they are equal
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      assert(mapper.readTree(value) == mapper.readTree(out))
+      assert(!value.contains("\n") && value.startsWith("{\"xml_schema\":"))
+    } finally { broker.close(); Files.delete(cfgFile); Files.delete(dir) }
+  }
+
+  test("Kafka sender: empty topic skips the family, like kafka.go") {
+    val broker = new graft.sources.InMemoryKafka()
+    try {
+      val settings = graft.sources.KafkaSettings(enabled = true,
+        hosts = Seq(s"127.0.0.1:${broker.port}"), aggregateTopic = "")
+      val sender = new KafkaReportSender(settings)
+      val bytes = Files.readAllBytes(Paths.get(s"$Samples/aggregate/empty_reason.xml"))
+      sender.send(parseAny(bytes).toOption.get)
+      sender.close()
+      // nothing produced: the broker never saw the topic at all
+      val e = intercept[java.io.IOException] {
+        graft.sources.KafkaWire.fetch("127.0.0.1", broker.port, "dmarc_aggregate", 0L)
+      }
+      assert(e.getMessage.contains("error code 3")) // UNKNOWN_TOPIC_OR_PARTITION
+    } finally broker.close()
+  }
+
+  test("SMTP sender: reports flush through the pinned MIME path to a live relay") {
+    val smtp = new FakeSmtp(requireAuth = false)
+    val dir = Files.createTempDirectory("cli-smtp")
+    val cfgFile = dir.resolve("config.yaml")
+    try {
+      Files.writeString(cfgFile,
+        s"""smtp:
+           |  enabled: true
+           |  host: 127.0.0.1
+           |  port: ${smtp.port}
+           |  from: dmarc@example.com
+           |  to:
+           |    - admin@example.com
+           |""".stripMargin)
+      val sample = s"$Samples/aggregate/empty_reason.xml"
+      val (rc, _, _) = runCli("-config", cfgFile.toString, "-input", sample)
+      assert(rc == 0)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (smtp.messages().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val msgs = smtp.messages()
+      assert(msgs.size == 1)
+      assert(msgs.head.from == "dmarc@example.com")
+      assert(msgs.head.rcpt == Seq("admin@example.com"))
+      // config.go:230 defaults smtp.subject to "parsedmarc report";
+      // the per-report default subject applies only when cleared
+      assert(msgs.head.body.contains("Subject: parsedmarc report"))
+      assert(msgs.head.body.contains("Content-Disposition: attachment; filename=dmarc-aggregate.json"))
+    } finally { smtp.close(); Files.delete(cfgFile); Files.delete(dir) }
+  }
+
+  test("renderCompact: Go json.Marshal layout — no whitespace, same escaping") {
+    import ReportJson._
+    assert(renderCompact(JObj(Seq("a" -> JInt(1), "b" -> JArr(Seq(JStr("<x>"), JNull)))))
+      == "{\"a\":1,\"b\":[\"\\u003cx\\u003e\",null]}")
+    assert(renderCompact(JObj(Nil)) == "{}")
+  }
+
   test("daemon via run(): config file path, non-blocking handle") {
     val dir = Files.createTempDirectory("cli-cfg")
     val cfgFile = dir.resolve("config.yaml")
