@@ -815,5 +815,72 @@ object TextAnalysis extends QueryModule {
       },
       Some(graft.api.ParseSnapshots.sfPinnedSql("t_compress_ratio")),
     ),
+    // REAL BPE tokenizer TRAINING (functions.BpeTokenizer): the corpus
+    // collapses to a word histogram (one map-side-combined groupBy —
+    // the distinct-pretoken table is bounded, ~10M rows at 100 TB,
+    // which is why every production trainer works from word counts),
+    // TakeOrdered caps it to the 50k most frequent words, and the
+    // classical merge loop runs driver-side over that bounded table.
+    // Deterministic by contract (count-then-lexicographic tie-breaks),
+    // SF-pinned; BpeTokenizerSpec pins the Sennrich textbook corpus
+    // merges by hand.
+    QueryDef(
+      "t_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        // left/right are DuckDB reserved words — *_sym keeps the
+        // snapshot oracle plain-SQL
+        learnBpe(Tables(s, dir))
+          .map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
+          .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+          .orderBy("merge_rank")
+      },
+      Some(graft.api.ParseSnapshots.sfPinnedSql("t_bpe_train")),
+    ),
+    // BPE ENCODE with the vocabulary trained above: the merge ranks
+    // broadcast (a closure constant — ≤ numMerges entries), and every
+    // document tokenizes independently on executors: train once,
+    // apply at cluster width, the tokenizer-application shape of a
+    // training-data pipeline. Compression (pretokens→BPE tokens per
+    // doc) is the per-document signal.
+    QueryDef(
+      "t_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val ranks = graft.functions.BpeTokenizer.rankTable(learnBpe(Tables(s, dir)))
+        val pat = BpePretokenPattern.r
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val pretokens = pat.findAllIn(text).toSeq
+            val nBpe = pretokens.iterator
+              .map(w => graft.functions.BpeTokenizer.encode(w, ranks).size.toLong).sum
+            val nPre = pretokens.size.toLong
+            val nChars = pretokens.iterator.map(_.length.toLong).sum
+            (id, nPre, nBpe,
+             if (nChars > 0) math.rint(nBpe.toDouble / nChars * 10000) / 10000 else 1.0)
+          }
+          .toDF("doc_id", "n_pretokens", "n_bpe_tokens", "bpe_per_char")
+          .orderBy("doc_id")
+      },
+      Some(graft.api.ParseSnapshots.sfPinnedSql("t_bpe_encode")),
+    ),
   )
+
+  /** The shared pre-tokenization classes of t_bpe_token_count. */
+  private[graft] val BpePretokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+  /** Corpus → word histogram → 200 BPE merges (see t_bpe_train). */
+  private[graft] def learnBpe(t: Tables): Seq[graft.functions.BpeTokenizer.Merge] = {
+    val words = t.documents
+      .select(explode(expr(
+        s"regexp_extract_all(text, '$BpePretokenPattern', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(50000)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    graft.functions.BpeTokenizer.learn(words, numMerges = 200)
+  }
 }
