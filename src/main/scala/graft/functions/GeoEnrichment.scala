@@ -74,8 +74,12 @@ object GeoEnrichment {
             "source_base_domain", "source_name")
 
   def enrich(df: DataFrame, ipCol: String): DataFrame = {
+    // try_cast, not cast: a malformed or empty IP (a forensic report
+    // with no Source-IP field, a corrupt record) must enrich to
+    // Unknown, not throw CAST_INVALID_INPUT under ANSI and kill the
+    // whole job — at 100 TB one bad row WILL exist
     val withKey = df.withColumn("__octet1",
-      split(col(ipCol), "\\.").getItem(0).cast("int"))
+      expr(s"try_cast(split(`$ipCol`, '\\\\.')[0] AS INT)"))
     val matched = withKey.join(broadcast(geoTable(df.sparkSession)),
       withKey("__octet1") === col("octet1"), "left")
     val rdns = when(col("rdns_zone").isNotNull,
