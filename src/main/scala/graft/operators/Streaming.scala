@@ -331,6 +331,29 @@ object Streaming extends QueryModule {
       // the same DuckDB SQL the batch entry matches
       Some(graft.operators.TextAnalysis.ChunkOverlapSql),
     ),
+    // streaming BPE tokenize: train OFFLINE (the batch word-histogram
+    // trainer), apply ON THE STREAM — the rank table rides the closure
+    // as a broadcast constant and every arriving document tokenizes
+    // statelessly (no state store, no watermark). Shares the batch
+    // projection AND the batch entry's snapshot oracle, so the stream
+    // output is itself hash-gated to equal t_bpe_encode row-for-row.
+    QueryDef(
+      "st_bpe_encode",
+      (s, dir) => {
+        val name = s"st_bpe_${System.nanoTime()}"
+        val ranks = graft.functions.BpeTokenizer.rankTable(
+          graft.operators.TextAnalysis.learnBpe(graft.Tables(s, dir)))
+        val q = graft.operators.TextAnalysis
+          .bpeEncoded(graft.streaming.CorpusStreaming.readDocumentStream(s, dir), ranks)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_bpe_encode timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.api.ParseSnapshots.sfPinnedSql("t_bpe_encode")),
+    ),
     // streaming radius retrieval: arriving vectors score against the
     // broadcast query batch with the threshold applied BEFORE the sink
     // — a stateless stream-static broadcast join (no state store, no

@@ -846,26 +846,35 @@ object TextAnalysis extends QueryModule {
     QueryDef(
       "t_bpe_encode",
       (s, dir) => {
-        import s.implicits._
         val ranks = graft.functions.BpeTokenizer.rankTable(learnBpe(Tables(s, dir)))
-        val pat = BpePretokenPattern.r
-        Tables(s, dir).documents
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, text) =>
-            val pretokens = pat.findAllIn(text).toSeq
-            val nBpe = pretokens.iterator
-              .map(w => graft.functions.BpeTokenizer.encode(w, ranks).size.toLong).sum
-            val nPre = pretokens.size.toLong
-            val nChars = pretokens.iterator.map(_.length.toLong).sum
-            (id, nPre, nBpe,
-             if (nChars > 0) math.rint(nBpe.toDouble / nChars * 10000) / 10000 else 1.0)
-          }
-          .toDF("doc_id", "n_pretokens", "n_bpe_tokens", "bpe_per_char")
-          .orderBy("doc_id")
+        bpeEncoded(Tables(s, dir).documents, ranks).orderBy("doc_id")
       },
       Some(graft.api.ParseSnapshots.sfPinnedSql("t_bpe_encode")),
     ),
   )
+
+  /** Tokenize-with-trained-vocabulary projection shared by the batch
+    * entry (t_bpe_encode) and its streaming twin (st_bpe_encode): a
+    * STATELESS map with the rank table in the closure (broadcast to
+    * executors), so stream rows equal batch rows by construction. No
+    * ordering here — a streaming frame cannot sort.
+    */
+  private[graft] def bpeEncoded(docs: org.apache.spark.sql.DataFrame,
+                                ranks: Map[(String, String), Int]): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val pretokens = BpePretokenPattern.r.findAllIn(text).toSeq
+        val nBpe = pretokens.iterator
+          .map(w => graft.functions.BpeTokenizer.encode(w, ranks).size.toLong).sum
+        val nPre = pretokens.size.toLong
+        val nChars = pretokens.iterator.map(_.length.toLong).sum
+        (id, nPre, nBpe,
+         if (nChars > 0) math.rint(nBpe.toDouble / nChars * 10000) / 10000 else 1.0)
+      }
+      .toDF("doc_id", "n_pretokens", "n_bpe_tokens", "bpe_per_char")
+  }
 
   /** The shared pre-tokenization classes of t_bpe_token_count. */
   private[graft] val BpePretokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
