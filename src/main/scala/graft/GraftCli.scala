@@ -55,6 +55,9 @@ object GraftCli {
   private val BoolFlags = Set("version", "daemon")
   private val ValueFlags = Set("config", "input", "output", "format")
 
+  /** parseFlags' Left sentinel for -h/-help (Go flag's ErrHelp). */
+  val HelpRequested = "help requested"
+
   /** Go flag-package grammar: `-f v`, `-f=v`, `--f`; booleans take no
     * operand unless `=` bound; first non-flag argument ends parsing.
     */
@@ -83,6 +86,9 @@ object GraftCli {
       val eq = body.indexOf('=')
       val (name, inlineValue) =
         if (eq >= 0) (body.take(eq), Some(body.drop(eq + 1))) else (body, None)
+      // Go flag: undefined -h/-help is ErrHelp — usage then exit 0,
+      // not the exit-2 undefined-flag path
+      if (name == "h" || name == "help") return Left(HelpRequested)
       if (!BoolFlags(name) && !ValueFlags(name))
         return Left(s"flag provided but not defined: -$name")
       val value = inlineValue match {
@@ -231,17 +237,37 @@ object GraftCli {
     }
   }
 
+  /** The per-report document bytes for a format — ONE definition
+    * shared by the directory sink AND the o_cli_json/o_cli_csv
+    * distributed gate entries (DmarcIngest.cliDocs), so the CLI's
+    * actual output and its hash gate cannot drift apart. JSON: the
+    * MarshalIndent document; CSV: the per-file header + rows
+    * (identical to the stream layout — output.go:616-700's directory
+    * headers are the same columns).
+    */
+  def renderDocument(p: ParsedReport, format: String): String =
+    if (format == "json") p match {
+      case ParsedAggregate(r) => ReportJson.aggregate(r)
+      case ParsedForensic(r)  => ReportJson.forensic(r)
+      case ParsedTls(r)       => ReportJson.smtpTls(r)
+    } else p match {
+      case ParsedAggregate(r) =>
+        (ReportJson.csvLine(ReportJson.AggregateCsvHeader) +:
+          ReportJson.aggregateCsvRows(r).map(ReportJson.csvLine)).mkString
+      case ParsedForensic(r) =>
+        ReportJson.csvLine(ReportJson.ForensicCsvHeader) +
+          ReportJson.csvLine(ReportJson.forensicCsvRow(r))
+      case ParsedTls(r) =>
+        (ReportJson.csvLine(ReportJson.TlsCsvHeader) +:
+          ReportJson.tlsCsvRows(r).map(ReportJson.csvLine)).mkString
+    }
+
   /** Stream JSON (output.go JSONWriter): the indented document plus a
     * trailing newline, appended per report.
     */
   final class StreamJsonSink(out: Appendable) extends ReportSink {
     def write(p: ParsedReport): Unit = {
-      val doc = p match {
-        case ParsedAggregate(r) => ReportJson.aggregate(r)
-        case ParsedForensic(r)  => ReportJson.forensic(r)
-        case ParsedTls(r)       => ReportJson.smtpTls(r)
-      }
-      out.append(doc).append('\n')
+      out.append(renderDocument(p, "json")).append('\n')
       ()
     }
   }
@@ -277,30 +303,18 @@ object GraftCli {
     */
   final class DirectorySink(dir: Path, format: String) extends ReportSink {
     Files.createDirectories(dir)
-    private def writeDoc(name: String, content: String): Unit = {
-      Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+    def write(p: ParsedReport): Unit = {
+      val name = p match {
+        case ParsedAggregate(r) =>
+          ReportJson.directoryFilename("aggregate", r.reportId, r.beginDate, format)
+        case ParsedForensic(r) =>
+          ReportJson.directoryFilename(
+            "forensic", ReportJson.forensicFileId(r.messageId), r.arrivalDate, format)
+        case ParsedTls(r) =>
+          ReportJson.directoryFilename("smtp_tls", r.reportId, r.beginDate, format)
+      }
+      Files.write(dir.resolve(name), renderDocument(p, format).getBytes("UTF-8"))
       ()
-    }
-    def write(p: ParsedReport): Unit = p match {
-      case ParsedAggregate(r) =>
-        val name = ReportJson.directoryFilename("aggregate", r.reportId, r.beginDate, format)
-        if (format == "json") writeDoc(name, ReportJson.aggregate(r))
-        else writeDoc(name,
-          (ReportJson.csvLine(ReportJson.AggregateCsvHeader) +:
-            ReportJson.aggregateCsvRows(r).map(ReportJson.csvLine)).mkString)
-      case ParsedForensic(r) =>
-        val name = ReportJson.directoryFilename(
-          "forensic", ReportJson.forensicFileId(r.messageId), r.arrivalDate, format)
-        if (format == "json") writeDoc(name, ReportJson.forensic(r))
-        else writeDoc(name,
-          ReportJson.csvLine(ReportJson.ForensicCsvHeader) +
-            ReportJson.csvLine(ReportJson.forensicCsvRow(r)))
-      case ParsedTls(r) =>
-        val name = ReportJson.directoryFilename("smtp_tls", r.reportId, r.beginDate, format)
-        if (format == "json") writeDoc(name, ReportJson.smtpTls(r))
-        else writeDoc(name,
-          (ReportJson.csvLine(ReportJson.TlsCsvHeader) +:
-            ReportJson.tlsCsvRows(r).map(ReportJson.csvLine)).mkString)
     }
   }
 
@@ -335,14 +349,22 @@ object GraftCli {
     */
   def processInput(input: Path, sink: ReportSink, err: PrintStream): (Int, Int) = {
     val files: Seq[Path] =
-      if (Files.isDirectory(input))
-        Files.list(input).iterator().asScala.filter(Files.isRegularFile(_))
+      if (Files.isDirectory(input)) {
+        val stream = Files.list(input) // close: the stream holds a directory fd
+        try stream.iterator().asScala.filter(Files.isRegularFile(_))
           .toSeq.sortBy(_.getFileName.toString)
-      else Seq(input)
+        finally stream.close()
+      } else Seq(input)
     var ok = 0
     var failed = 0
     files.foreach { f =>
-      parseAny(Files.readAllBytes(f)) match {
+      // read + parse both inside the guard: an unreadable file
+      // (permissions, transient IO) must warn-and-continue exactly
+      // like an unparseable one (main.go:283-287)
+      val result =
+        try parseAny(Files.readAllBytes(f))
+        catch { case NonFatal(e) => Left(e.toString) }
+      result match {
         case Right(parsed) => sink.write(parsed); ok += 1
         case Left(reason) =>
           err.println(s"warn: failed to process file $f: $reason")
@@ -399,7 +421,6 @@ object GraftCli {
           while (!stopped) {
             try {
               val fetched = ImapIntake.pullMessages(cfg.imap.toImapConfig)
-              daemon.imapPolls += 1
               fetched.foreach { m =>
                 // content-addressed name: redelivery across polls (an
                 // archive failure, a shared mailbox) dedups on disk
@@ -407,6 +428,9 @@ object GraftCli {
                   .digest(m.rfc822).take(12).map("%02x".format(_)).mkString
                 Files.write(Paths.get(dropDir, s"imap_$digest.eml"), m.rfc822)
               }
+              // count AFTER the drop writes: pollCount==n means the
+              // n-th poll's files are on disk (waiters key off it)
+              daemon.imapPolls += 1
             } catch {
               case NonFatal(e) =>
                 daemon.imapErrors += 1
@@ -443,6 +467,9 @@ object GraftCli {
   def run(args: Array[String], out: PrintStream, err: PrintStream,
           block: Boolean = true, onDaemon: Daemon => Unit = _ => ()): Int = {
     parseFlags(args.toSeq) match {
+      case Left(HelpRequested) =>
+        usage(err) // Go flag's ErrHelp: usage, exit 0
+        0
       case Left(msg) =>
         err.println(msg)
         usage(err)

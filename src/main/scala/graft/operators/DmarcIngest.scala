@@ -396,22 +396,6 @@ object DmarcIngest extends QueryModule {
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
         val rel = path.substring(path.indexOf("/samples/") + "/samples/".length)
-        def doc(p: GraftCli.ParsedReport): String =
-          if (format == "json") p match {
-            case GraftCli.ParsedAggregate(r) => ReportJson.aggregate(r)
-            case GraftCli.ParsedForensic(r)  => ReportJson.forensic(r)
-            case GraftCli.ParsedTls(r)       => ReportJson.smtpTls(r)
-          } else p match {
-            case GraftCli.ParsedAggregate(r) =>
-              (ReportJson.csvLine(ReportJson.AggregateCsvHeader) +:
-                ReportJson.aggregateCsvRows(r).map(ReportJson.csvLine)).mkString
-            case GraftCli.ParsedForensic(r) =>
-              ReportJson.csvLine(ReportJson.ForensicCsvHeader) +
-                ReportJson.csvLine(ReportJson.forensicCsvRow(r))
-            case GraftCli.ParsedTls(r) =>
-              (ReportJson.csvLine(ReportJson.TlsCsvHeader) +:
-                ReportJson.tlsCsvRows(r).map(ReportJson.csvLine)).mkString
-          }
         def family(p: GraftCli.ParsedReport): String = p match {
           case GraftCli.ParsedAggregate(_) => "aggregate"
           case GraftCli.ParsedForensic(_)  => "forensic"
@@ -419,7 +403,8 @@ object DmarcIngest extends QueryModule {
         }
         GraftCli.parseAny(bytes) match {
           case Right(p) =>
-            val d = doc(p)
+            // the CLI's own renderer — gate and CLI cannot drift
+            val d = GraftCli.renderDocument(p, format)
             val sha = java.security.MessageDigest.getInstance("SHA-256")
               .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
             (rel, family(p), sha, d.length)

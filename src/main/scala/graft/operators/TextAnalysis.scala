@@ -865,7 +865,7 @@ object TextAnalysis extends QueryModule {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val pretokens = BpePretokenPattern.r.findAllIn(text).toSeq
+        val pretokens = BpePretokenRegex.findAllIn(text).toSeq
         val nBpe = pretokens.iterator
           .map(w => graft.functions.BpeTokenizer.encode(w, ranks).size.toLong).sum
         val nPre = pretokens.size.toLong
@@ -878,6 +878,12 @@ object TextAnalysis extends QueryModule {
 
   /** The shared pre-tokenization classes of t_bpe_token_count. */
   private[graft] val BpePretokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+  /** Pre-compiled once (java.util.regex.Pattern is Serializable, so
+    * the compiled form ships in the closure) — compiling per document
+    * row would be pure repeated work on the executor hot path.
+    */
+  private[graft] val BpePretokenRegex = BpePretokenPattern.r
 
   /** Corpus → word histogram → 200 BPE merges (see t_bpe_train). */
   private[graft] def learnBpe(t: Tables): Seq[graft.functions.BpeTokenizer.Merge] = {

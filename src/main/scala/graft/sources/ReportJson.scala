@@ -324,22 +324,40 @@ object ReportJson {
   }
 
   // -------------------------------------------------- Go encoding/csv
+  /** Go `unicode.IsSpace` — NOT Java's Character.isWhitespace, which
+    * diverges on both sides (Java excludes the non-breaking spaces
+    * U+00A0/U+2007/U+202F that Go includes, and includes the control
+    * chars U+001C-001F that Go excludes).
+    */
+  private def goIsSpace(c: Char): Boolean = c match {
+    case '\t' | '\n' | '\u000B' | '\f' | '\r' | ' ' | '\u0085' | '\u00A0' => true
+    case _ =>
+      Character.getType(c) match {
+        case Character.SPACE_SEPARATOR | Character.LINE_SEPARATOR |
+             Character.PARAGRAPH_SEPARATOR => true
+        case _ => false
+      }
+  }
+
   /** Go encoding/csv field quoting (csv/writer.go fieldNeedsQuotes):
     * quoted when the field contains a comma, quote, CR or LF, starts
-    * with a Unicode space, or is the literal `\.`.
+    * with a Unicode space (Go's IsSpace), or is the literal `\.`.
     */
   private def csvField(f: String): String = {
     val needs =
       f == "\\." ||
       f.exists(c => c == ',' || c == '"' || c == '\r' || c == '\n') ||
-      (f.nonEmpty && Character.isWhitespace(f.charAt(0)))
+      (f.nonEmpty && goIsSpace(f.charAt(0)))
     if (needs) "\"" + f.replace("\"", "\"\"") + "\"" else f
   }
 
-  /** One `csv.Writer.Write` call with UseCRLF=false (`\n` terminator,
-    * and `\r\n` inside quoted fields collapses to `\n` — writer.go). */
+  /** One `csv.Writer.Write` call with UseCRLF=false: `\n` terminator,
+    * field bytes verbatim — writer.go writes both `\r` and `\n` as-is
+    * in this mode (the `\r`-dropping branch is UseCRLF=true only, where
+    * the following `\n` re-expands to CRLF).
+    */
   def csvLine(fields: Seq[String]): String =
-    fields.map(f => csvField(f).replace("\r\n", "\n")).mkString(",") + "\n"
+    fields.map(csvField).mkString(",") + "\n"
 
   // Column layouts of the stream-mode CSV writers (output.go:265-462).
   val AggregateCsvHeader: Seq[String] = Seq(

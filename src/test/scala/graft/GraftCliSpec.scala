@@ -86,9 +86,23 @@ class GraftCliSpec extends AnyFunSuite {
   }
 
   test("csvLine: encoding/csv quoting — comma, quote, leading space, CRLF") {
+    // UseCRLF=false keeps \r\n VERBATIM inside the quoted field
+    // (writer.go's \r-dropping branch is UseCRLF=true only)
     assert(ReportJson.csvLine(Seq("a", "b,c", "d\"e", " f", "g\r\nh"))
-      == "a,\"b,c\",\"d\"\"e\",\" f\",\"g\nh\"\n")
+      == "a,\"b,c\",\"d\"\"e\",\" f\",\"g\r\nh\"\n")
     assert(ReportJson.csvLine(Seq("plain", "")) == "plain,\n")
+    // leading-space rule follows Go's unicode.IsSpace, not Java's:
+    // NBSP quotes, the U+001C control char does not
+    assert(ReportJson.csvLine(Seq("\u00A0x")) == "\"\u00A0x\"\n")
+    assert(ReportJson.csvLine(Seq("\u001Cx")) == "\u001Cx\n")
+  }
+
+  test("-h / -help: Go flag's ErrHelp — usage to stderr, exit 0") {
+    val (rc, _, err) = runCli("-h")
+    assert(rc == 0)
+    assert(err.contains("Usage of graft"))
+    assert(!err.contains("not defined"))
+    assert(runCli("--help")._1 == 0)
   }
 
   test("render: MarshalIndent layout — two-space, ': ', inline empties") {
