@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.sources.JsonText
 import org.apache.spark.sql.functions._
 
 /** The reference's dashboard analytics as a library API over the real
@@ -134,15 +135,7 @@ object DmarcAnalytics {
     * renders as "unknown" instead of NPE-ing the whole summary job.
     */
   private def jstr(s: String): String =
-    "\"" + (if (s == null) "unknown" else s).flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    JsonText.str(if (s == null) "unknown" else s)
 
   /** The reference HTTP server's document surface as a batch artifact
     * (internal/http/server.go: handleRoot's service/version/endpoints,

@@ -51,7 +51,13 @@ final class MaxMindDb private (
     * data record, None on not-found or corruption.
     */
   def lookupRaw(ip: String): Option[Any] = {
-    val bits = MaxMindDb.ipv4Bits(ip).getOrElse(return None)
+    val v4 = MaxMindDb.ipv4Bits(ip).getOrElse(return None)
+    // an ip_version=6 tree (every real GeoLite2 file) stores IPv4 under
+    // the ::/96 prefix — walk 96 zero bits before the 32 address bits,
+    // or the search lands mid-tree and silently resolves nothing
+    val bits =
+      if (ipVersion == 6) Array.fill[Int](96)(0) ++ v4
+      else v4
     var node = 0
     var i = 0
     while (i < bits.length) {

@@ -143,15 +143,9 @@ object ClickHouseHttp {
   private val TsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
 
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  // the shared escaper renders a null element as the JSON literal null
+  // (a null inside an Array(String) column must not NPE the task)
+  private def jsonStr(s: String): String = JsonText.str(s)
 
   /** One Row → one JSONEachRow line, ClickHouse's documented text
     * forms per type (UInt8 booleans as 0/1, DateTime as UTC seconds

@@ -41,7 +41,13 @@ final case class HttpSettings(enabled: Boolean = false, host: String = "0.0.0.0"
                               rateLimit: Int = 60, rateBurst: Int = 10,
                               maxUploadBytes: Long = 50L * 1024 * 1024) {
   def toHttpConfig: HttpConfig =
-    HttpConfig(port = if (port == 8080) 0 else port, maxBodyBytes = maxUploadBytes.toInt,
+    // port passes through verbatim — an explicitly configured 8080 must
+    // bind 8080, not a silent ephemeral port (tests wanting an OS-chosen
+    // port say `port: 0` themselves); the body cap clamps below the Int
+    // ceiling so a >=2 GiB configured limit can't wrap negative and
+    // reject every upload
+    HttpConfig(port = port,
+      maxBodyBytes = math.min(maxUploadBytes, (Int.MaxValue - 1).toLong).toInt,
       ratePerMinute = rateLimit, rateBurst = rateBurst)
 }
 
@@ -182,7 +188,16 @@ object ConfigLoader {
     else if (t.startsWith("'") && t.indexOf('\'', 1) > 0)
       Some(t.substring(1, t.indexOf('\'', 1)))
     else {
-      val h = t.indexOf('#')
+      // a '#' starts a comment only at the value start or after
+      // whitespace (YAML rule): `password: abc#123` is the scalar
+      // "abc#123", not "abc"
+      var h = -1
+      var i = 0
+      while (h < 0 && i < t.length) {
+        if (t.charAt(i) == '#' &&
+            (i == 0 || t.charAt(i - 1) == ' ' || t.charAt(i - 1) == '\t')) h = i
+        i += 1
+      }
       val v = (if (h >= 0) t.substring(0, h) else t).trim
       if (v.isEmpty) None else Some(v)
     }
@@ -203,7 +218,10 @@ object ConfigLoader {
             throw new IllegalArgumentException(s"line ${i + 1}: list item outside a list"))
           val s = section.getOrElse(
             throw new IllegalArgumentException(s"line ${i + 1}: list item outside a section"))
-          val cur = root(s).getOrElse(key, Seq.empty[String]).asInstanceOf[Seq[String]]
+          val cur = root(s).get(key) match {
+            case Some(xs: Seq[_]) => xs.asInstanceOf[Seq[String]]
+            case _ => Seq.empty[String]
+          }
           root(s)(key) = cur :+ scalar(t.stripPrefix("-")).getOrElse("")
         } else {
           val c = t.indexOf(':')
@@ -222,7 +240,15 @@ object ConfigLoader {
             val s = section.getOrElse(
               throw new IllegalArgumentException(s"line ${i + 1}: key outside a section"))
             value match {
-              case None => listKey = Some(key); root(s)(key) = Seq.empty[String]
+              case None =>
+                // `key:` with nothing after it: either a list follows
+                // (materialized when the first `- item` arrives) or the
+                // value is YAML null — treated as ABSENT so the typed
+                // accessors apply their defaults (viper's nil handling),
+                // instead of surfacing a bogus empty list
+                listKey = Some(key)
+                root(s).remove(key)
+                ()
               case Some(v) => listKey = None; root(s)(key) = v
             }
           }

@@ -135,15 +135,7 @@ object GrafanaDashboards {
 
   // ------------------------------------------------------------- JSON
 
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def q(s: String): String = JsonText.str(s)
 
   private def renderPanel(p: Panel): String =
     s"""    {

@@ -200,6 +200,11 @@ final class HttpIntake(cfg: HttpConfig, dropDir: String,
             """{"service":"graft-dmarc","version":"1.0.0","endpoints":{""" +
               """"health":"/health","dmarc_report":"/dmarc/report",""" +
               """"metrics":"/metrics","summary":"/summary"}}""")
+        // the read-only routes are GET-only — any other method is 405,
+        // the documented middleware surface (a POST /health answering
+        // 200 would mask a misrouted upload)
+        case "/health" | "/metrics" | "/summary" | "/" if x.getRequestMethod != "GET" =>
+          respond(x, 405, jsonError("Method not allowed"))
         case "/health" =>
           val ts = DateTimeFormatter.ISO_INSTANT.format(Instant.now().atOffset(ZoneOffset.UTC))
           respond(x, 200, s"""{"status":"healthy","timestamp":"$ts"}""")

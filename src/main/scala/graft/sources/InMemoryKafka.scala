@@ -129,6 +129,12 @@ final class InMemoryKafka extends AutoCloseable {
     val (errCode, hw, set) = lock.synchronized {
       logs.get(topic) match {
         case None => (3, 0L, Array.emptyByteArray) // UNKNOWN_TOPIC_OR_PARTITION
+        // out-of-range offsets (negative — Fetch has no -1 'latest'
+        // sentinel, that's ListOffsets — or past the log end) answer
+        // OFFSET_OUT_OF_RANGE like a real broker, instead of toInt
+        // truncation silently replaying the log
+        case Some(log) if offset < 0 || offset > log.size =>
+          (1, log.size.toLong, Array.emptyByteArray) // OFFSET_OUT_OF_RANGE
         case Some(log) =>
           val slice = log.drop(offset.toInt).toSeq
           val bytes =

@@ -103,7 +103,8 @@ object MmdbFixture {
     * the same keying as GeoEnrichment.Fixture. Records are deduped by
     * content: two octets sharing a record share one data offset.
     */
-  def build(entries: Seq[(Int, CityRecord)]): Array[Byte] = {
+  def build(entries: Seq[(Int, CityRecord)], ipVersion: Int = 4): Array[Byte] = {
+    require(ipVersion == 4 || ipVersion == 6, s"ip_version $ipVersion")
     val dw = new DataWriter
     val recOffset = mutable.Map.empty[CityRecord, Int]
     val root = new Node
@@ -128,6 +129,18 @@ object MmdbFixture {
       if ((octet & 1) == 0) cur.left = Right(off) else cur.right = Right(off)
     }
 
+    // an ip_version=6 tree (what every real GeoLite2 file ships) keys
+    // IPv4 under ::/96: 96 zero-bit chain nodes precede the octet tree,
+    // exercising MaxMindDb's IPv4-mapped walk against real layout
+    if (ipVersion == 6) {
+      val chain = Vector.fill(96)(new Node)
+      chain.sliding(2).foreach {
+        case Seq(a, b2) => a.left = Left(b2)
+        case _ => ()
+      }
+      chain.last.left = Left(root)
+      nodes = chain ++ nodes
+    }
     val nodeCount = nodes.size
     val index = nodes.zipWithIndex.toMap
     val tree = new java.io.ByteArrayOutputStream()
@@ -151,7 +164,7 @@ object MmdbFixture {
     meta.string("database_type"); meta.string("GeoLite2-City")
     meta.string("description"); meta.map(1)
     meta.string("en"); meta.string("graft deterministic geo fixture")
-    meta.string("ip_version"); meta.uint(5, 4)
+    meta.string("ip_version"); meta.uint(5, ipVersion.toLong)
     meta.string("languages"); meta.array(1); meta.string("en")
     meta.string("node_count"); meta.uint(6, nodeCount.toLong)
     meta.string("record_size"); meta.uint(5, 24)

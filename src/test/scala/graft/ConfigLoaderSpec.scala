@@ -102,4 +102,32 @@ class ConfigLoaderSpec extends AnyFunSuite {
       assert(server.archivedCount == 1)
     } finally server.close()
   }
+
+  test("a key with a YAML-null value is absent: defaults apply, no crash") {
+    val cfg = ConfigLoader.fromYaml(
+      """imap:
+        |  host:
+        |  port: 143
+        |""".stripMargin)
+    assert(cfg.imap.host == "", "null value -> the default")
+    assert(cfg.imap.port == 143)
+  }
+
+  test("'#' starts a comment only after whitespace (password: abc#123 survives)") {
+    val cfg = ConfigLoader.fromYaml(
+      """imap:
+        |  password: abc#123
+        |  host: mail.example.com # trailing comment
+        |""".stripMargin)
+    assert(cfg.imap.password == "abc#123")
+    assert(cfg.imap.host == "mail.example.com")
+  }
+
+  test("toHttpConfig: explicit ports bind verbatim; giant upload caps clamp positive") {
+    assert(graft.sources.HttpSettings(port = 8080).toHttpConfig.port == 8080)
+    assert(graft.sources.HttpSettings(port = 0).toHttpConfig.port == 0)
+    val big = graft.sources.HttpSettings(maxUploadBytes = 3L * 1024 * 1024 * 1024).toHttpConfig
+    assert(big.maxBodyBytes > 0 && big.maxBodyBytes == Int.MaxValue - 1)
+  }
+
 }

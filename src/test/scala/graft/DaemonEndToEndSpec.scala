@@ -41,7 +41,7 @@ class DaemonEndToEndSpec extends SparkSpec {
       val cfg = GraftConfig(
         imap = ImapSettings(enabled = true, host = "127.0.0.1", port = imap.port,
           username = "dmarc", password = "secret", checkIntervalSec = 1),
-        http = HttpSettings(enabled = true))
+        http = HttpSettings(enabled = true, port = 0))
       val daemon = GraftCli.startDaemon(cfg, dropDir, summary = () => summaryDoc)
       try {
         // 1. intake: the poll loop fetches and archives the mailbox

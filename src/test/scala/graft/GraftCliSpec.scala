@@ -216,7 +216,7 @@ class GraftCliSpec extends AnyFunSuite {
       val cfg = GraftConfig(
         imap = ImapSettings(enabled = true, host = "127.0.0.1", port = imap.port,
           username = "dmarc", password = "secret", checkIntervalSec = 1),
-        http = HttpSettings(enabled = true))
+        http = HttpSettings(enabled = true, port = 0))
       val daemon = startDaemon(cfg, dropDir)
       try {
         val deadline = System.nanoTime() + 10e9.toLong
@@ -324,7 +324,7 @@ class GraftCliSpec extends AnyFunSuite {
   test("daemon via run(): config file path, non-blocking handle") {
     val dir = Files.createTempDirectory("cli-cfg")
     val cfgFile = dir.resolve("config.yaml")
-    Files.writeString(cfgFile, "http:\n  enabled: true\n")
+    Files.writeString(cfgFile, "http:\n  enabled: true\n  port: 0\n")
     var handle: Option[Daemon] = None
     val rc = GraftCli.run(Array("-config", cfgFile.toString, "-daemon"),
       new PrintStream(new ByteArrayOutputStream()), new PrintStream(new ByteArrayOutputStream()),

@@ -92,6 +92,9 @@ class HttpIntakeSpec extends SparkSpec {
       assert(bad.statusCode() == 400)
       assert(bad.body().contains("Failed to parse"))
       assert(get(port, "/dmarc/report").statusCode() == 405)
+      // the read-only routes are GET-only: POST/PUT answer 405, not 200
+      for (p <- Seq("/health", "/metrics", "/summary", "/"))
+        assert(post(port, p, "x".getBytes, "application/xml").statusCode() == 405, p)
       assert(new java.io.File(drop).list().isEmpty, "rejected uploads must not land")
     }
   }

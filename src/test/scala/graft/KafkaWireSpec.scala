@@ -121,4 +121,21 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(new String(back.head.key, "UTF-8") == "k")
     }
   }
+
+  test("out-of-range fetch offsets answer OFFSET_OUT_OF_RANGE, not a replay") {
+    val broker = new InMemoryKafka()
+    try {
+      KafkaWire.produce("127.0.0.1", broker.port, "t", Seq((null, "a".getBytes("UTF-8"))))
+      // offset == log end: empty success (a real broker's long-poll shape)
+      assert(KafkaWire.fetch("127.0.0.1", broker.port, "t", 1L).isEmpty)
+      // negative (Fetch has no -1 sentinel; that is ListOffsets) and past-end
+      for (off <- Seq(-1L, 2L, 1L << 33)) {
+        val e = intercept[java.io.IOException] {
+          KafkaWire.fetch("127.0.0.1", broker.port, "t", off)
+        }
+        assert(e.getMessage.contains("error code 1"), s"offset $off")
+      }
+    } finally broker.close()
+  }
+
 }

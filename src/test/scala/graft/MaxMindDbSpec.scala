@@ -111,4 +111,17 @@ class MaxMindDbSpec extends AnyFunSuite {
       assert(db.lookupCity(s"$octet.9.9.9").map(_.country).contains(country))
     }
   }
+
+  test("ip_version=6 tree: IPv4 under ::/96 resolves (the real GeoLite2 layout)") {
+    val v6 = MaxMindDb.open(MmdbFixture.build(
+      GeoEnrichment.Fixture.map { case (octet, country, zone) =>
+        octet -> MmdbFixture.CityRecord(country, s"$country-${zone.split("\\.")(0)}")
+      }, ipVersion = 6)).toOption.get
+    assert(v6.ipVersion == 6)
+    GeoEnrichment.Fixture.foreach { case (octet, country, _) =>
+      assert(v6.lookupCity(s"$octet.1.2.3").map(_.country).contains(country))
+    }
+    assert(v6.lookupCity("99.1.2.3").isEmpty) // non-fixture octet still misses
+  }
+
 }
