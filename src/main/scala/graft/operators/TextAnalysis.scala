@@ -851,6 +851,60 @@ object TextAnalysis extends QueryModule {
       },
       Some(graft.api.ParseSnapshots.sfPinnedSql("t_bpe_encode")),
     ),
+    // BIGRAM-LM cross-entropy scoring (the CCNet/KenLM quality signal
+    // one order up from t_unigram_surprisal): train an add-k-smoothed
+    // bigram model on the corpus itself, score every document by
+    // per-bigram cross-entropy and its perplexity. Adjacency comes
+    // from ARRAY ops (sequence + transform over the token array — no
+    // window, no self-join, no extra shuffle for pairing); the model
+    // tables are token-bounded aggregates ≪ corpus; the vocabulary
+    // size is one broadcast scalar. At 100 TB the only corpus-sized
+    // exchanges are the two model groupBys and the score join — the
+    // same shape as any distributed LM-scoring pass.
+    QueryDef(
+      "t_bigram_surprisal",
+      (s, dir) => {
+        val d = Tables(s, dir).documents
+        val toks = d.select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        val bg = toks
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+        val vocab = bg.select(col("w1").as("w")).union(bg.select(col("w2")))
+          .distinct().agg(count(lit(1)).as("v"))
+        bg.join(cb, Seq("w1", "w2"))
+          .join(cu, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               round(sum(-log2((col("cb") + lit(0.5)) /
+                   (col("cu") + lit(0.5) * col("v"))))
+                 / count(lit(1)), 4).as("xent"))
+          .withColumn("ppl", round(pow(lit(2.0), col("xent")), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+             |  FROM toks, UNNEST(range(1, len(ts))) AS r(i)),
+             |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+             |cu AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM
+             |      (SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)),
+             |scored AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |    ROUND(SUM(-log2((cb + 0.5) / (cu + 0.5 * v))) / COUNT(*), 4) AS xent
+             |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+             |  GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, xent, ROUND(POWER(2, xent), 4) AS ppl
+             |FROM scored ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Tokenize-with-trained-vocabulary projection shared by the batch
@@ -858,20 +912,42 @@ object TextAnalysis extends QueryModule {
     * STATELESS map with the rank table in the closure (broadcast to
     * executors), so stream rows equal batch rows by construction. No
     * ordering here — a streaming frame cannot sort.
+    *
+    * Per-partition memo: pre-token frequency is Zipfian, so the merge
+    * loop re-derives the same token count for the same word millions
+    * of times on a real corpus. A bounded word→count cache (the same
+    * trick HuggingFace `tokenizers` ships as its encode cache) makes
+    * the common path a hash lookup; output is identical because the
+    * cache only memoizes a pure function. The map lives one partition
+    * deep — no cross-task state, nothing to coordinate at cluster
+    * width — and is capped so a pathological all-distinct corpus
+    * can't grow it past ~tens of MB per task.
     */
   private[graft] def bpeEncoded(docs: org.apache.spark.sql.DataFrame,
                                 ranks: Map[(String, String), Int]): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val pretokens = BpePretokenRegex.findAllIn(text).toSeq
-        val nBpe = pretokens.iterator
-          .map(w => graft.functions.BpeTokenizer.encode(w, ranks).size.toLong).sum
-        val nPre = pretokens.size.toLong
-        val nChars = pretokens.iterator.map(_.length.toLong).sum
-        (id, nPre, nBpe,
-         if (nChars > 0) math.rint(nBpe.toDouble / nChars * 10000) / 10000 else 1.0)
+      .mapPartitions { rows =>
+        val cache = new java.util.HashMap[String, Long](1 << 12)
+        val cacheCap = 1 << 17
+        def tokenCount(w: String): Long = {
+          val hit = cache.getOrDefault(w, -1L)
+          if (hit >= 0L) hit
+          else {
+            val n = graft.functions.BpeTokenizer.encode(w, ranks).size.toLong
+            if (cache.size < cacheCap) cache.put(w, n)
+            n
+          }
+        }
+        rows.map { case (id, text) =>
+          val pretokens = BpePretokenRegex.findAllIn(text).toSeq
+          val nBpe = pretokens.iterator.map(tokenCount).sum
+          val nPre = pretokens.size.toLong
+          val nChars = pretokens.iterator.map(_.length.toLong).sum
+          (id, nPre, nBpe,
+           if (nChars > 0) math.rint(nBpe.toDouble / nChars * 10000) / 10000 else 1.0)
+        }
       }
       .toDF("doc_id", "n_pretokens", "n_bpe_tokens", "bpe_per_char")
   }

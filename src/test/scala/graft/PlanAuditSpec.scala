@@ -155,6 +155,8 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row corpus-total broadcast onto the token frame (same scalar
       // shape as the TPC-H threshold queries)
       "t_unigram_surprisal",
+      // 1-row vocabulary-size broadcast onto the bigram frame
+      "t_bigram_surprisal",
       // 1-row node-count broadcast seeding the PageRank iteration
       "d_link_authority")
     val names = SparkEntry.queries.keys.toSeq.sorted
