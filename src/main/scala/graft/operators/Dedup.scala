@@ -777,5 +777,81 @@ object Dedup extends QueryModule {
              |       COUNT(*) AS n_chunks
              |FROM k2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    // WINNOWING fingerprint dedup (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm): the published scalable stand-in
+    // for suffix-array exact-substring dedup (Lee et al.'s
+    // ExactSubstr). Every window of W=8 consecutive character K=16-
+    // grams selects its rightmost-minimal gram under a pseudo-random
+    // (md5) order; the winnowing theorem then guarantees any substring
+    // of >= K+W-1 = 23 chars shared by two documents yields a SHARED
+    // selected fingerprint, while only ~2/(W+1) of positions are ever
+    // selected. Selection is entirely DOC-LOCAL (array lambdas — the
+    // hash array, the per-window argmin fold, and the position->gram
+    // projection never leave the row), so the only corpus-sized
+    // exchange carries the selected (gram, doc) fingerprints — ~22% of
+    // text volume, stride-1 exactness without shipping stride-1 rows.
+    // The candidate join keys on the RAW GRAM, so every reported pair
+    // shares an exact 16-char substring: no hash-collision false
+    // positives, no separate verify pass. Hot boilerplate grams are
+    // dropped by the shared broadcast anti-join bucket cap. md5 is the
+    // oracle-portable order (the same md5-vs-xxhash64 twin convention
+    // as d_minhash_lsh; swap md5 for xxhash64 off-oracle and the plan
+    // is unchanged).
+    QueryDef(
+      "d_winnow_dedup",
+      (s, dir) => {
+        val capped = capBuckets(
+          winnowFingerprints(Tables(s, dir).documents), Seq("gram"), MaxBucket)
+        capped.select(col("gram"), col("doc_id").as("doc_a"))
+          .join(capped.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH f AS (
+             |  SELECT doc_id, text,
+             |    list_transform(range(0, len(text) - 15),
+             |                   i -> md5(substring(text, i + 1, 16))) AS hs
+             |  FROM documents WHERE len(text) >= 23),
+             |sel AS (
+             |  SELECT doc_id, text,
+             |    list_distinct(list_transform(range(0, len(hs) - 7),
+             |      j -> list_reduce(range(j, j + 8),
+             |        (acc, x) -> CASE WHEN hs[x + 1] <= hs[acc + 1]
+             |                    THEN x ELSE acc END))) AS ps
+             |  FROM f),
+             |fp AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(ps,
+             |      p -> substring(text, p + 1, 16)))) AS gram
+             |  FROM sel),
+             |hot AS (SELECT gram FROM fp GROUP BY 1 HAVING COUNT(*) > ${MaxBucket}),
+             |ok AS (SELECT fp.* FROM fp ANTI JOIN hot USING (gram))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM ok a JOIN ok b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
   )
+
+  /** Winnowing selection for d_winnow_dedup: (doc_id, gram) rows, one
+    * per SELECTED k-gram occurrence class. Doc-local throughout; see
+    * the entry comment for the guarantee and density properties
+    * DedupWinnowSpec pins.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int = 16,
+                                        w: Int = 8): DataFrame =
+    docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), col("text"), expr(
+        s"transform(sequence(0, length(text) - $k), i -> md5(substring(text, i + 1, $k)))")
+        .as("hs"))
+      .select(col("doc_id"), col("text"), expr(
+        s"""array_distinct(transform(
+           |  sequence(0, size(hs) - $w),
+           |  j -> aggregate(sequence(j, j + ${w - 1}), j,
+           |       (acc, x) -> IF(hs[x] <= hs[acc], x, acc))))""".stripMargin)
+        .as("ps"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(ps, p -> substring(text, p + 1, $k)))")).as("gram"))
 }
