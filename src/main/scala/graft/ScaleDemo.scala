@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   *
   * Replication is VARIED, not copied, so the workload's statistical
   * shape survives scaling instead of degenerating:
-  *  - documents: every token is salted with the replica id, so replicas
-  *    are mutually shingle-disjoint — each replica keeps the base
-  *    corpus's duplicate structure and contributes its own candidate
-  *    pairs (copy-replication would instead put every doc in a 100-deep
-  *    near-dup cluster and measure the bucket cap, not the pipeline).
+  *  - documents: each replica applies its own deterministic PERMUTATION
+  *    of the letter alphabet (identity at k=0, Fisher-Yates seeded by k
+  *    otherwise), so replicas are mutually disjoint at EVERY textual
+  *    granularity — word shingles AND character k-grams — while every
+  *    intra-replica structure (duplicate clusters, token lengths, word
+  *    frequencies, fingerprint density) is preserved exactly.
+  *    (The previous scheme, a per-token "_k" salt, left char-grams
+  *    INSIDE long tokens identical across replicas: winnowing-
+  *    fingerprint pair volume then grew superlinearly from cross-replica
+  *    long-token matches — measuring the replication artifact, not the
+  *    pipeline. A permutation has no such seam; it also keeps token
+  *    boundaries and lengths byte-exact, which the salt did not.)
   *  - events: ids shift per replica and timestamps shift by 35 days per
   *    replica (past the 30-day base range plus the band width), so
   *    per-user timelines and band-join pair volume scale linearly by
@@ -42,7 +49,13 @@ object ScaleDemo {
     * `degraded` below stays false.
     */
   val IntendedNested: Set[String] = Set("s_cosine_topk", "s_range_search",
-    "s_prefix_rerank_topk")
+    "s_prefix_rerank_topk",
+    // 1-row scalar broadcasts (corpus totals / vocabulary size /
+    // model totals) — the same scalar-threshold shapes PlanAuditSpec
+    // allowlists; bounded at any scale by construction
+    "t_unigram_surprisal", "t_bigram_surprisal", "t_dsir_weight",
+    "q11_important_value", "q20_excess_shippers", "q22_inactive_customers",
+    "d_link_authority")
 
   /** Content fingerprint of the base corpus: path plus (size, mtime) of
     * every file under the three source tables. A path-only marker proved
@@ -59,11 +72,30 @@ object ScaleDemo {
     base + "\n" + files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
   }
 
+  /** Deterministic permutation of a-z for replica `i` (identity at 0):
+    * Fisher-Yates driven by an LCG seeded with the replica id.
+    */
+  def permutedAlphabet(i: Int): String = {
+    val a = ('a' to 'z').toArray
+    if (i > 0) {
+      var x = i.toLong * 6364136223846793005L + 1442695040888963407L
+      var j = a.length - 1
+      while (j > 0) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        val m = ((x >>> 33) % (j + 1)).toInt
+        val t = a(j); a(j) = a(m); a(m) = t
+        j -= 1
+      }
+    }
+    new String(a)
+  }
+
   def generate(spark: SparkSession, base: String, workRoot: String, k: Int): String = {
     val dir = s"$workRoot/x$k"
-    // marker v3: content-fingerprinted (see baseFingerprint) and the
-    // replica events now carry ts as plain TIMESTAMP.
-    val marker = new java.io.File(s"$dir/_GENERATED_V3")
+    // marker v4: replicas vary by alphabet permutation, not token salt
+    // (content-fingerprinted via baseFingerprint; replica events carry
+    // ts as plain TIMESTAMP).
+    val marker = new java.io.File(s"$dir/_GENERATED_V4")
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") ==
           baseFingerprint(base))
@@ -90,12 +122,16 @@ object ScaleDemo {
           s"user=${er.getLong(1)} vec=$v")
     }
     val reps = spark.range(k).select(col("id").cast("int").as("k"))
-    docs.crossJoin(reps)
-      // token-salting keeps replicas shingle-disjoint; k=0 stays the
-      // original corpus byte for byte
-      .withColumn("text",
-        when(col("k") === 0, col("text"))
-          .otherwise(expr("array_join(transform(split(text, ' '), t -> concat(t, '_', k)), ' ')")))
+    // per-replica alphabet permutation (see scaladoc): k=0 stays the
+    // original corpus byte for byte; upper/lower case permute in
+    // lockstep so case structure survives
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val perms = spark.createDataFrame(
+      (0 until k).map { i => (i, permutedAlphabet(i)) }
+    ).toDF("k", "perm")
+    docs.crossJoin(reps).join(broadcast(perms), "k")
+      .withColumn("text", expr(
+        s"translate(text, '$lower${lower.toUpperCase}', concat(perm, upper(perm)))"))
       .select(
         (col("doc_id") + col("k") * docN).as("doc_id"),
         col("text"), col("lang"), col("source"),

@@ -838,20 +838,72 @@ object Dedup extends QueryModule {
     * per SELECTED k-gram occurrence class. Doc-local throughout; see
     * the entry comment for the guarantee and density properties
     * DedupWinnowSpec pins.
+    *
+    * Typed mapPartitions, not SQL lambdas: the selection is a tight
+    * per-document loop (n md5 digests + an O(n) monotonic-deque window
+    * minimum), and interpreted higher-order functions cost ~10× the
+    * arithmetic here (measured: the expression formulation ran the
+    * sf0.1 corpus in 17 s vs ~2 s for this loop). Output is
+    * IDENTICAL to the DuckDB twin in the entry's oracle: same md5
+    * order, same rightmost-min tie-break, and indexing by CODE POINT
+    * to match SQL substring semantics beyond the BMP.
     */
   private[graft] def winnowFingerprints(docs: DataFrame, k: Int = 16,
-                                        w: Int = 8): DataFrame =
-    docs
-      .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"), col("text"), expr(
-        s"transform(sequence(0, length(text) - $k), i -> md5(substring(text, i + 1, $k)))")
-        .as("hs"))
-      .select(col("doc_id"), col("text"), expr(
-        s"""array_distinct(transform(
-           |  sequence(0, size(hs) - $w),
-           |  j -> aggregate(sequence(j, j + ${w - 1}), j,
-           |       (acc, x) -> IF(hs[x] <= hs[acc], x, acc))))""".stripMargin)
-        .as("ps"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(ps, p -> substring(text, p + 1, $k)))")).as("gram"))
+                                        w: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        def hex(b: Array[Byte]): String = {
+          val out = new Array[Char](b.length * 2)
+          var i = 0
+          while (i < b.length) {
+            out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexDigits(b(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        rows.flatMap { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val n = cps.length - k + 1
+          if (n < w) Iterator.empty
+          else {
+            val grams = new Array[String](n)
+            val hs = new Array[String](n)
+            var i = 0
+            while (i < n) {
+              grams(i) = new String(cps, i, k)
+              hs(i) = hex(md.digest(
+                grams(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              i += 1
+            }
+            // rightmost-min per window of w via monotonic deque: pushing
+            // x pops every back index with hs >= hs(x), so equal hashes
+            // keep the LATEST index — the SQL fold's `<=` tie-break
+            val deque = new java.util.ArrayDeque[Int](w + 1)
+            val selected = new java.util.LinkedHashSet[String]()
+            var x = 0
+            while (x < n) {
+              while (!deque.isEmpty && hs(deque.peekLast) >= hs(x)) deque.pollLast()
+              deque.addLast(x)
+              val j = x - w + 1 // window start once x >= w - 1
+              if (j >= 0) {
+                if (deque.peekFirst < j) deque.pollFirst()
+                selected.add(grams(deque.peekFirst))
+              }
+              x += 1
+            }
+            val it = selected.iterator()
+            new Iterator[(Long, String)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, String) = (id, it.next())
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "gram")
+  }
 }

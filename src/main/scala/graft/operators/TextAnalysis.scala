@@ -905,6 +905,60 @@ object TextAnalysis extends QueryModule {
              |SELECT doc_id, n_bigrams, xent, ROUND(POWER(2, xent), 4) AS ppl
              |FROM scored ORDER BY doc_id""".stripMargin),
     ),
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): fit bag-of-hashed-
+    // ngram LMs on a TARGET distribution (here: the lang='en' slice)
+    // and on the RAW corpus, then weight every document by
+    // log p_target(doc) - log p_raw(doc) under those models — the
+    // published recipe for steering a 100 TB crawl toward a target
+    // domain. Features are word unigrams hashed into 4096 buckets via
+    // an md5 prefix (engine-portable, unlike murmur); both models are
+    // 4096-row aggregates ≪ corpus, their totals 1-row broadcasts, so
+    // the only corpus-sized exchanges are the two bucket-count
+    // groupBys and the score join — and the bucket key is 3 hex chars,
+    // not the token. Downstream selection is TakeOrdered on logw (or
+    // Gumbel-top-k for sampling); this entry is the weight pass.
+    QueryDef(
+      "t_dsir_weight",
+      (s, dir) => {
+        val B = 4096
+        val d = Tables(s, dir).documents
+        val toks = d.select(col("doc_id"), col("lang"),
+            explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+          .withColumn("b", expr("substring(md5(term), 1, 3)"))
+        val tc = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("tc"))
+        val rc = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+        val totals = tc.agg(sum(col("tc")).as("nt"))
+          .crossJoin(rc.agg(sum(col("rc")).as("nr")))
+        toks.join(rc, Seq("b"))
+          .join(tc, Seq("b"), "left")
+          .na.fill(0L, Seq("tc"))
+          .crossJoin(broadcast(totals))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               round(sum(
+                 log2((col("tc") + lit(0.5)) / (col("nt") + lit(0.5) * B)) -
+                 log2((col("rc") + lit(0.5)) / (col("nr") + lit(0.5) * B))), 4)
+                 .as("logw_bits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, lang, substring(md5(term), 1, 3) AS b
+             |       FROM toks WHERE term <> ''),
+             |tc AS (SELECT b, COUNT(*) AS tc FROM t2 WHERE lang = 'en' GROUP BY 1),
+             |rc AS (SELECT b, COUNT(*) AS rc FROM t2 GROUP BY 1),
+             |tot AS (SELECT (SELECT CAST(SUM(tc) AS BIGINT) FROM tc) AS nt,
+             |               (SELECT CAST(SUM(rc) AS BIGINT) FROM rc) AS nr)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  ROUND(SUM(
+             |    log2((COALESCE(tc, 0) + 0.5) / (nt + 0.5 * 4096)) -
+             |    log2((rc + 0.5) / (nr + 0.5 * 4096))), 4) AS logw_bits
+             |FROM t2 JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Tokenize-with-trained-vocabulary projection shared by the batch
