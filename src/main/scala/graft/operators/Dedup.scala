@@ -808,23 +808,7 @@ object Dedup extends QueryModule {
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH f AS (
-             |  SELECT doc_id, text,
-             |    list_transform(range(0, len(text) - 15),
-             |                   i -> md5(substring(text, i + 1, 16))) AS hs
-             |  FROM documents WHERE len(text) >= 23),
-             |sel AS (
-             |  SELECT doc_id, text,
-             |    list_distinct(list_transform(range(0, len(hs) - 7),
-             |      j -> list_reduce(range(j, j + 8),
-             |        (acc, x) -> CASE WHEN hs[x + 1] <= hs[acc + 1]
-             |                    THEN x ELSE acc END))) AS ps
-             |  FROM f),
-             |fp AS (
-             |  SELECT doc_id,
-             |    unnest(list_distinct(list_transform(ps,
-             |      p -> substring(text, p + 1, 16)))) AS gram
-             |  FROM sel),
+      Some(s"""WITH $WinnowFpCtes,
              |hot AS (SELECT gram FROM fp GROUP BY 1 HAVING COUNT(*) > ${MaxBucket}),
              |ok AS (SELECT fp.* FROM fp ANTI JOIN hot USING (gram))
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -833,6 +817,30 @@ object Dedup extends QueryModule {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
   )
+
+  /** DuckDB twin of [[winnowFingerprints]] (k=16, w=8) as composable
+    * CTEs — shared by the batch d_winnow_dedup oracle and the
+    * streaming st_winnow_bucketize oracle so both gates recompute the
+    * SAME selection independently.
+    */
+  private[graft] val WinnowFpCtes: String =
+    """f AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(0, len(text) - 15),
+      |                   i -> md5(substring(text, i + 1, 16))) AS hs
+      |  FROM documents WHERE len(text) >= 23),
+      |sel AS (
+      |  SELECT doc_id, text,
+      |    list_distinct(list_transform(range(0, len(hs) - 7),
+      |      j -> list_reduce(range(j, j + 8),
+      |        (acc, x) -> CASE WHEN hs[x + 1] <= hs[acc + 1]
+      |                    THEN x ELSE acc END))) AS ps
+      |  FROM f),
+      |fp AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(ps,
+      |      p -> substring(text, p + 1, 16)))) AS gram
+      |  FROM sel)""".stripMargin
 
   /** Winnowing selection for d_winnow_dedup: (doc_id, gram) rows, one
     * per SELECTED k-gram occurrence class. Doc-local throughout; see

@@ -331,6 +331,30 @@ object Streaming extends QueryModule {
       // the same DuckDB SQL the batch entry matches
       Some(graft.operators.TextAnalysis.ChunkOverlapSql),
     ),
+    // streaming winnowing-fingerprint extraction: the exact-substring
+    // dedup index maintained incrementally — each arriving document's
+    // selected (doc_id, gram) fingerprints as a stateless projection
+    // (shared batch code; see CorpusStreaming.winnowBucketize). The
+    // oracle recomputes the selection in DuckDB from the same CTEs the
+    // batch d_winnow_dedup oracle uses, so the stream output is
+    // independently hash-gated, not just parity-pinned.
+    QueryDef(
+      "st_winnow_bucketize",
+      (s, dir) => {
+        val name = s"st_wn_${System.nanoTime()}"
+        val q = graft.streaming.CorpusStreaming
+          .winnowBucketize(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_winnow_bucketize timed out")
+        s.table(name).orderBy("doc_id", "gram")
+      },
+      Some(s"""WITH ${graft.operators.Dedup.WinnowFpCtes}
+             |SELECT doc_id, gram FROM fp
+             |ORDER BY doc_id, gram""".stripMargin),
+    ),
     // streaming BPE tokenize: train OFFLINE (the batch word-histogram
     // trainer), apply ON THE STREAM — the rank table rides the closure
     // as a broadcast constant and every arriving document tokenizes

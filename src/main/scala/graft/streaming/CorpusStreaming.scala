@@ -123,4 +123,18 @@ object CorpusStreaming {
     */
   def chunkOverlap(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.chunkOverlap(docs)
+
+  /** Incremental EXACT-SUBSTRING index maintenance — the winnowing
+    * twin of [[minhashBucketize]]: each arriving document emits its
+    * selected (doc_id, gram) winnowing fingerprints as a stateless
+    * projection (a per-partition loop, no explode+groupBy, no state
+    * store, no watermark). Appending to the stored fingerprint table
+    * keeps d_winnow_dedup's candidate join incremental: a new doc's
+    * exact-substring matches (any shared run ≥ 23 chars) are exactly
+    * the stored rows sharing a gram — lookup, not corpus rescan.
+    * Shares the batch selection code, so stream rows equal batch rows
+    * by construction; CorpusStreamingSpec pins the parity.
+    */
+  def winnowBucketize(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.winnowFingerprints(docs)
 }

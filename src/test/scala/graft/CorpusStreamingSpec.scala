@@ -99,6 +99,17 @@ class CorpusStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming winnow fingerprints match the batch selection row for row") {
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_winnow_bucketize").get.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val batch = graft.operators.Dedup
+      .winnowFingerprints(Tables(spark, sfDir).documents)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming chunk fan-out matches the batch t_chunk_overlap row for row") {
     val streamed = graft.operators.Streaming.entries
       .find(_.name == "st_chunk_overlap").get.fn(spark, sfDir)
