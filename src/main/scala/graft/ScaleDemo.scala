@@ -54,6 +54,7 @@ object ScaleDemo {
     // model totals) — the same scalar-threshold shapes PlanAuditSpec
     // allowlists; bounded at any scale by construction
     "t_unigram_surprisal", "t_bigram_surprisal", "t_dsir_weight",
+    "t_dsir_sample",
     "q11_important_value", "q20_excess_shippers", "q22_inactive_customers",
     "d_link_authority")
 

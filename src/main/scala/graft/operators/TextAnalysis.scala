@@ -920,46 +920,85 @@ object TextAnalysis extends QueryModule {
     // Gumbel-top-k for sampling); this entry is the weight pass.
     QueryDef(
       "t_dsir_weight",
+      (s, dir) => dsirWeights(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(s"$DsirWeightSqlCore\nORDER BY doc_id"),
+    ),
+    // DSIR step 2 — GUMBEL-TOP-K RESAMPLING (the paper's "importance
+    // resampling" made deterministic): sampling k documents without
+    // replacement with probability ∝ w is equivalent to taking the
+    // top-k of log w + Gumbel noise (the Gumbel-max trick). The noise
+    // here is derandomized — u ~ U(0,1) derived from md5(doc_id), so
+    // the "sample" is reproducible, cross-engine hash-checkable, and
+    // stable under partitioning. Selection is orderBy+limit —
+    // TakeOrdered, a bounded per-partition heap, never a global sort
+    // of the corpus.
+    QueryDef(
+      "t_dsir_sample",
       (s, dir) => {
-        val B = 4096
-        val d = Tables(s, dir).documents
-        val toks = d.select(col("doc_id"), col("lang"),
-            explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
-          .withColumn("b", expr("substring(md5(term), 1, 3)"))
-        val tc = toks.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("tc"))
-        val rc = toks.groupBy("b").agg(count(lit(1)).as("rc"))
-        val totals = tc.agg(sum(col("tc")).as("nt"))
-          .crossJoin(rc.agg(sum(col("rc")).as("nr")))
-        toks.join(rc, Seq("b"))
-          .join(tc, Seq("b"), "left")
-          .na.fill(0L, Seq("tc"))
-          .crossJoin(broadcast(totals))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-               round(sum(
-                 log2((col("tc") + lit(0.5)) / (col("nt") + lit(0.5) * B)) -
-                 log2((col("rc") + lit(0.5)) / (col("nr") + lit(0.5) * B))), 4)
-                 .as("logw_bits"))
-          .orderBy("doc_id")
+        dsirWeights(Tables(s, dir).documents)
+          .withColumn("u",
+            (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS DOUBLE)")
+              + lit(0.5)) / lit(16777216.0))
+          .withColumn("gumbel_key",
+            round(col("logw_bits") * lit(0.6931471805599453) - log(-log(col("u"))), 4))
+          .select(col("doc_id"), col("logw_bits"), col("gumbel_key"))
+          .orderBy(desc("gumbel_key"), col("doc_id"))
+          .limit(100)
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
-             |  FROM documents),
-             |t2 AS (SELECT doc_id, lang, substring(md5(term), 1, 3) AS b
-             |       FROM toks WHERE term <> ''),
-             |tc AS (SELECT b, COUNT(*) AS tc FROM t2 WHERE lang = 'en' GROUP BY 1),
-             |rc AS (SELECT b, COUNT(*) AS rc FROM t2 GROUP BY 1),
-             |tot AS (SELECT (SELECT CAST(SUM(tc) AS BIGINT) FROM tc) AS nt,
-             |               (SELECT CAST(SUM(rc) AS BIGINT) FROM rc) AS nr)
-             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             |  ROUND(SUM(
-             |    log2((COALESCE(tc, 0) + 0.5) / (nt + 0.5 * 4096)) -
-             |    log2((rc + 0.5) / (nr + 0.5 * 4096))), 4) AS logw_bits
-             |FROM t2 JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      Some(s"""WITH w AS ($DsirWeightSqlCore)
+             |SELECT doc_id, logw_bits,
+             |  ROUND(logw_bits * ln(2)
+             |    - ln(-ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 0.5)
+             |             / 16777216.0)), 4) AS gumbel_key
+             |FROM w
+             |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin),
     ),
   )
+
+  /** DSIR importance-weight frame shared by t_dsir_weight and
+    * t_dsir_sample: (doc_id, n_tokens, logw_bits), unordered.
+    */
+  private[graft] def dsirWeights(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val B = 4096
+    val toks = d.select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+      .withColumn("b", expr("substring(md5(term), 1, 3)"))
+    val tc = toks.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+    val totals = tc.agg(sum(col("tc")).as("nt"))
+      .crossJoin(rc.agg(sum(col("rc")).as("nr")))
+    toks.join(rc, Seq("b"))
+      .join(tc, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           round(sum(
+             log2((col("tc") + lit(0.5)) / (col("nt") + lit(0.5) * B)) -
+             log2((col("rc") + lit(0.5)) / (col("nr") + lit(0.5) * B))), 4)
+             .as("logw_bits"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]], no ORDER BY — shared by both
+    * DSIR oracles.
+    */
+  private[graft] val DsirWeightSqlCore: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, lang, substring(md5(term), 1, 3) AS b
+      |       FROM toks WHERE term <> ''),
+      |tc AS (SELECT b, COUNT(*) AS tc FROM t2 WHERE lang = 'en' GROUP BY 1),
+      |rc AS (SELECT b, COUNT(*) AS rc FROM t2 GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(SUM(tc) AS BIGINT) FROM tc) AS nt,
+      |               (SELECT CAST(SUM(rc) AS BIGINT) FROM rc) AS nr)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  ROUND(SUM(
+      |    log2((COALESCE(tc, 0) + 0.5) / (nt + 0.5 * 4096)) -
+      |    log2((rc + 0.5) / (nr + 0.5 * 4096))), 4) AS logw_bits
+      |FROM t2 JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin
 
   /** Tokenize-with-trained-vocabulary projection shared by the batch
     * entry (t_bpe_encode) and its streaming twin (st_bpe_encode): a

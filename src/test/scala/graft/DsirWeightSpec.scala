@@ -37,6 +37,26 @@ class DsirWeightSpec extends SparkSpec {
     assert(w(0L) > w(2L))
   }
 
+  test("gumbel-top-k resample overwhelmingly selects target-like docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-s").toString
+    // 100 target-typical docs (ids 0-99) + 100 alien docs (ids 100-199);
+    // the weight gap (~±10 bits) dwarfs the Gumbel noise (stddev ~1.3
+    // nats), so the deterministic top-100 must be nearly all typical
+    val docs = (0 until 100).map(i => (i.toLong, "alpha beta alpha beta", "en", "src0", 21L)) ++
+      (0 until 100).map(i => (100L + i, "gamma delta gamma delta", "de", "src0", 23L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val picked = graft.operators.TextAnalysis.entries
+      .find(_.name == "t_dsir_sample").get.fn(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(dir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+    assert(picked.size == 100)
+    val typical = picked.count(_ < 100L)
+    assert(typical >= 80, s"expected the sample dominated by target-like docs, got $typical/100")
+  }
+
   test("a mixed doc sits between pure-target and pure-alien") {
     val w = weights(Seq(
       ("alpha beta alpha beta", "en"),

@@ -158,7 +158,7 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row vocabulary-size broadcast onto the bigram frame
       "t_bigram_surprisal",
       // 1-row model-totals broadcast onto the token frame (DSIR)
-      "t_dsir_weight",
+      "t_dsir_weight", "t_dsir_sample",
       // 1-row node-count broadcast seeding the PageRank iteration
       "d_link_authority")
     val names = SparkEntry.queries.keys.toSeq.sorted
