@@ -378,6 +378,30 @@ object Streaming extends QueryModule {
       },
       Some(graft.api.ParseSnapshots.sfPinnedSql("t_bpe_encode")),
     ),
+    // streaming DSIR scoring: fit the hashed-bucket importance model
+    // OFFLINE (the same aggregates as t_dsir_weight), score ON THE
+    // STREAM — the 4096-slot log-ratio table rides the plan as an
+    // array literal and every arriving document scores statelessly
+    // (no state store, no watermark). Shares the batch entry's DuckDB
+    // oracle, so the stream output is itself hash-gated to equal
+    // t_dsir_weight row-for-row, not just parity-pinned.
+    QueryDef(
+      "st_dsir_score",
+      (s, dir) => {
+        val name = s"st_dsir_${System.nanoTime()}"
+        val lr = graft.operators.TextAnalysis
+          .dsirModelLogRatios(Tables(s, dir).documents)
+        val q = graft.streaming.CorpusStreaming
+          .dsirScore(graft.streaming.CorpusStreaming.readDocumentStream(s, dir), lr)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_dsir_score timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"${graft.operators.TextAnalysis.DsirWeightSqlCore}\nORDER BY doc_id"),
+    ),
     // streaming radius retrieval: arriving vectors score against the
     // broadcast query batch with the threshold applied BEFORE the sink
     // — a stateless stream-static broadcast join (no state store, no

@@ -980,6 +980,39 @@ object TextAnalysis extends QueryModule {
              .as("logw_bits"))
   }
 
+  /** Fitted DSIR model as a dense 4096-entry log-ratio table: slot b
+    * holds the per-token bits contribution log₂ p_target(b) − log₂
+    * p_raw(b) under the same add-k smoothing [[dsirWeights]] applies
+    * per token, computed by the SAME Spark column expressions so the
+    * doubles are bit-identical to the batch path's per-token values.
+    * Buckets no corpus token maps into stay 0.0 (never dereferenced
+    * when scoring the corpus the model was fit on). 4096 doubles —
+    * the "collect" is a fixed 32 KB model pull, not data movement;
+    * this is the offline-fit half of the streaming scorer
+    * (CorpusStreaming.dsirScore).
+    */
+  private[graft] def dsirModelLogRatios(d: org.apache.spark.sql.DataFrame): Array[Double] = {
+    val B = 4096
+    val toks = d.select(col("lang"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+      .withColumn("b", expr("substring(md5(term), 1, 3)"))
+    val tc = toks.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+    val totals = tc.agg(sum(col("tc")).as("nt"))
+      .crossJoin(rc.agg(sum(col("rc")).as("nr")))
+    val rows = rc.join(tc, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log2((col("tc") + lit(0.5)) / (col("nt") + lit(0.5) * B)) -
+         log2((col("rc") + lit(0.5)) / (col("nr") + lit(0.5) * B))).as("lr"))
+      .collect()
+    val arr = new Array[Double](B)
+    rows.foreach(r => arr(Integer.parseInt(r.getString(0), 16)) = r.getDouble(1))
+    arr
+  }
+
   /** DuckDB twin of [[dsirWeights]], no ORDER BY — shared by both
     * DSIR oracles.
     */

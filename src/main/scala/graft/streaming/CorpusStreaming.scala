@@ -137,4 +137,29 @@ object CorpusStreaming {
     */
   def winnowBucketize(docs: DataFrame): DataFrame =
     graft.operators.Dedup.winnowFingerprints(docs)
+
+  /** Streaming DSIR scoring — fit OFFLINE, score ON THE STREAM (the
+    * deployment split the DSIR paper assumes: the hashed-ngram models
+    * come from a finished target/raw snapshot, then every newly crawled
+    * document gets its importance weight on arrival). `lrByBucket` is
+    * the fitted 4096-slot per-token log-ratio table
+    * (TextAnalysis.dsirModelLogRatios); it rides the plan as an
+    * array<double> LITERAL, so scoring is a stateless per-row fold —
+    * no join, no aggregation state, no watermark, and each document's
+    * weight is complete the moment the row is, which is what lets the
+    * sink route/drop documents inline. Emits the batch t_dsir_weight
+    * frame (doc_id, n_tokens, logw_bits); zero-token docs are dropped
+    * exactly as the batch explode drops them.
+    */
+  def dsirScore(docs: DataFrame, lrByBucket: Array[Double]): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        typedlit(lrByBucket.toSeq).as("lr_tab"))
+      .selectExpr("doc_id", "lr_tab",
+        "filter(split(text, ' '), t -> t <> '') AS toks")
+      .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS n_tokens",
+        """round(aggregate(toks, CAST(0.0 AS DOUBLE), (acc, t) ->
+          |  acc + element_at(lr_tab,
+          |    CAST(conv(substring(md5(t), 1, 3), 16, 10) AS INT) + 1)),
+          |4) AS logw_bits""".stripMargin)
+      .filter(col("n_tokens") > 0)
 }

@@ -110,6 +110,16 @@ class CorpusStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming DSIR scores match the batch t_dsir_weight row for row") {
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_dsir_score").get.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val batch = SparkEntry.queries("t_dsir_weight")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming chunk fan-out matches the batch t_chunk_overlap row for row") {
     val streamed = graft.operators.Streaming.entries
       .find(_.name == "st_chunk_overlap").get.fn(spark, sfDir)
