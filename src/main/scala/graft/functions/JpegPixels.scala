@@ -7,12 +7,15 @@ package graft.functions
   * unstuffing and restart markers, dequantize + dezigzag, separable
   * floating IDCT, and JFIF YCbCr→RGB.
   *
-  * Scope: baseline + extended sequential DCT (SOF0/SOF1), 8-bit
-  * precision, 1-component grayscale or 3-component YCbCr with any
-  * sampling factors up to 4 (covers 4:4:4, 4:2:2, 4:2:0 — everything
-  * the JDK's own writer and libjpeg-family encoders emit by default).
-  * Progressive (SOF2), arithmetic coding, 12-bit, and CMYK return None
-  * rather than a wrong answer — same contract as PngPixels.
+  * Scope: baseline + extended sequential DCT (SOF0/SOF1) AND
+  * progressive DCT (SOF2, spectral selection + successive
+  * approximation — the full T.81 G.2 scan algebra), 8-bit precision,
+  * 1-component grayscale or 3-component YCbCr with any sampling
+  * factors up to 4 (covers 4:4:4, 4:2:2, 4:2:0 — everything the
+  * JDK's own writer and libjpeg-family encoders emit, sequential or
+  * progressive). Arithmetic coding, 12-bit, hierarchical, and CMYK
+  * return None rather than a wrong answer — same contract as
+  * PngPixels.
   *
   * The reference parses media headers only (multimodal stills are an
   * engine-side extension); like the other decoders this runs inside
@@ -161,6 +164,71 @@ object JpegPixels {
   private final case class Component(id: Int, h: Int, v: Int, tq: Int,
                                      var dcTab: Int = 0, var acTab: Int = 0)
 
+  /** Parse one DQT segment body into `quant`; false on malformed. */
+  private def parseDqt(b: Array[Byte], seg: Int, segEnd: Int,
+                       quant: Array[Array[Int]]): Boolean = {
+    var p = seg
+    while (p < segEnd) {
+      val pq = u8(b, p) >> 4
+      val tq = u8(b, p) & 0x0f
+      if (tq > 3 || pq > 1) return false
+      // the declared length must actually hold the table
+      if (p + 1 + (if (pq == 0) 64 else 128) > segEnd) return false
+      val tab = new Array[Int](64)
+      var k = 0
+      p += 1
+      while (k < 64) {
+        tab(Zigzag(k)) =
+          if (pq == 0) u8(b, p + k) else u16(b, p + 2 * k)
+        k += 1
+      }
+      p += (if (pq == 0) 64 else 128)
+      quant(tq) = tab
+    }
+    true
+  }
+
+  /** Parse one DHT segment body into the table slots; false on malformed. */
+  private def parseDht(b: Array[Byte], seg: Int, segEnd: Int,
+                       dcHuff: Array[Huff], acHuff: Array[Huff]): Boolean = {
+    var p = seg
+    while (p < segEnd) {
+      val tc = u8(b, p) >> 4
+      val th = u8(b, p) & 0x0f
+      if (tc > 1 || th > 3 || p + 17 > segEnd) return false
+      val counts = new Array[Int](16)
+      var total = 0
+      var k = 0
+      while (k < 16) { counts(k) = u8(b, p + 1 + k); total += counts(k); k += 1 }
+      if (p + 17 + total > segEnd) return false
+      val syms = new Array[Int](total)
+      k = 0
+      while (k < total) { syms(k) = u8(b, p + 17 + k); k += 1 }
+      val huff = new Huff(counts, syms)
+      if (tc == 0) dcHuff(th) = huff else acHuff(th) = huff
+      p += 17 + total
+    }
+    true
+  }
+
+  /** Position of the next real marker's 0xFF at or after `from`,
+    * skipping entropy bytes, stuffed FF00 pairs, fill FFs, and RSTn;
+    * -1 if none.
+    */
+  private def nextMarker(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if (u8(b, p) == 0xff) {
+        val m = u8(b, p + 1)
+        if (m == 0x00) p += 2
+        else if (m >= 0xd0 && m <= 0xd7) p += 2
+        else if (m == 0xff) p += 1
+        else return p
+      } else p += 1
+    }
+    -1
+  }
+
   /** Full pixel decode: Some((width, height, channels, raster)) with
     * channels 1 (gray) or 3 (RGB, row-major interleaved); None for
     * anything outside the supported profile or structurally broken.
@@ -174,6 +242,7 @@ object JpegPixels {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
     var pos = 2
     var scanStart = -1
 
@@ -189,46 +258,12 @@ object JpegPixels {
         if (seg + len - 2 > b.length) return None
         marker match {
           case 0xdb => // DQT
-            var p = seg
-            val segEnd = seg + len - 2
-            while (p < segEnd) {
-              val pq = u8(b, p) >> 4
-              val tq = u8(b, p) & 0x0f
-              if (tq > 3 || pq > 1) return None
-              // the declared length must actually hold the table
-              if (p + 1 + (if (pq == 0) 64 else 128) > segEnd) return None
-              val tab = new Array[Int](64)
-              var k = 0
-              p += 1
-              while (k < 64) {
-                tab(Zigzag(k)) =
-                  if (pq == 0) u8(b, p + k) else u16(b, p + 2 * k)
-                k += 1
-              }
-              p += (if (pq == 0) 64 else 128)
-              quant(tq) = tab
-            }
+            if (!parseDqt(b, seg, seg + len - 2, quant)) return None
           case 0xc4 => // DHT
-            var p = seg
-            val segEnd = seg + len - 2
-            while (p < segEnd) {
-              val tc = u8(b, p) >> 4
-              val th = u8(b, p) & 0x0f
-              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
-              val counts = new Array[Int](16)
-              var total = 0
-              var k = 0
-              while (k < 16) { counts(k) = u8(b, p + 1 + k); total += counts(k); k += 1 }
-              if (p + 17 + total > segEnd) return None
-              val syms = new Array[Int](total)
-              k = 0
-              while (k < total) { syms(k) = u8(b, p + 17 + k); k += 1 }
-              val huff = new Huff(counts, syms)
-              if (tc == 0) dcHuff(th) = huff else acHuff(th) = huff
-              p += 17 + total
-            }
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            if (!parseDht(b, seg, seg + len - 2, dcHuff, acHuff)) return None
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
             if (len < 8 || u8(b, seg) != 8) return None // 8-bit precision only
+            progressive = marker == 0xc2
             height = u16(b, seg + 1)
             width = u16(b, seg + 3)
             val n = u8(b, seg + 5)
@@ -239,25 +274,31 @@ object JpegPixels {
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4))
               return None
-          case 0xc2 => return None // progressive: out of scope
           case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // lossless / arithmetic / differential families
           case 0xdd => restartInterval = u16(b, seg)
           case 0xda => // SOS
             if (comps == null || len < 3) return None
-            val n = u8(b, seg)
-            if (n != comps.length || len - 2 < 1 + 2 * n) return None
-            var i2 = 0
-            while (i2 < n) {
-              val id = u8(b, seg + 1 + 2 * i2)
-              val tabs = u8(b, seg + 2 + 2 * i2)
-              comps.find(_.id == id) match {
-                case Some(c) => c.dcTab = tabs >> 4; c.acTab = tabs & 0x0f
-                case None => return None
+            if (progressive) {
+              // progressive frames carry MANY scans, each with its own
+              // component subset and spectral/approximation params —
+              // hand the whole scan sequence to the progressive decoder
+              scanStart = pos
+            } else {
+              val n = u8(b, seg)
+              if (n != comps.length || len - 2 < 1 + 2 * n) return None
+              var i2 = 0
+              while (i2 < n) {
+                val id = u8(b, seg + 1 + 2 * i2)
+                val tabs = u8(b, seg + 2 + 2 * i2)
+                comps.find(_.id == id) match {
+                  case Some(c) => c.dcTab = tabs >> 4; c.acTab = tabs & 0x0f
+                  case None => return None
+                }
+                i2 += 1
               }
-              i2 += 1
+              scanStart = seg + len - 2
             }
-            scanStart = seg + len - 2
           case _ => () // APPn / COM / others: skip
         }
         if (scanStart < 0) pos += 2 + len
@@ -280,6 +321,15 @@ object JpegPixels {
     if (comps.exists(c => hMax % c.h != 0 || vMax % c.v != 0)) return None
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+
+    if (progressive) {
+      // progressive needs the whole coefficient image in memory (later
+      // scans refine earlier ones), ~2 bytes/coefficient/component —
+      // tighter pixel cap than the streaming sequential path
+      if (width.toLong * height > 16_000_000L) return None
+      return decodeProgressive(b, scanStart, comps, quant, dcHuff, acHuff,
+        restartInterval, width, height, hMax, vMax, mcusX, mcusY)
+    }
 
     // per-component sample planes at native resolution
     val planeW = comps.map(c => mcusX * c.h * 8)
@@ -356,6 +406,317 @@ object JpegPixels {
       mcu += 1
     }
 
+    assemble(comps, planes, planeW, width, height, hMax, vMax)
+  }
+
+  /** Progressive (SOF2) decode, T.81 G.2: every scan deposits or
+    * refines DCT coefficients for one spectral band of one-or-more
+    * components; pixels exist only after ALL scans are merged, so the
+    * coefficient image lives in memory (Short per coefficient — the
+    * same bound libjpeg/stb use; magnitudes in an 8-bit-precision
+    * frame fit 16 bits at every approximation stage).
+    *
+    * Scan algebra implemented exactly as the spec's decision tables:
+    *  - DC first (Ah=0): sequential DIFF decode, coefficient = pred<<Al;
+    *    interleaved over the MCU grid when the scan has >1 component.
+    *  - DC refine (Ah>0): one appended bit per block (coef |= 1<<Al).
+    *  - AC first (Ah=0, single component, non-interleaved): runs of
+    *    zeros + EXTEND values shifted by Al, with EOBn run lengths
+    *    (eobrun = (1<<r)-1 + r extra bits) spanning whole blocks.
+    *  - AC refine (Ah>0): the correction-bit walk — every nonzero
+    *    coefficient passed over consumes one bit that may append 1<<Al
+    *    toward its sign; zero-history slots count down the run before
+    *    a ±1<<Al placement; EOBn refines all remaining nonzeros in the
+    *    band and then covers eobrun further blocks.
+    * Restart markers reset DC predictors AND the EOB run. DQT/DHT/DRI
+    * segments between scans update tables mid-frame, per the spec.
+    *
+    * Cross-checked against the JDK's own progressive decode on
+    * JDK-encoded multi-scan fixtures (JpegPixelsSpec) — same ±IDCT
+    * rounding agreement as the sequential path.
+    */
+  private def decodeProgressive(b: Array[Byte], firstSos: Int,
+                                comps: Array[Component],
+                                quant: Array[Array[Int]],
+                                dcHuff: Array[Huff], acHuff: Array[Huff],
+                                restartInterval0: Int,
+                                width: Int, height: Int, hMax: Int, vMax: Int,
+                                mcusX: Int, mcusY: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    var restartInterval = restartInterval0
+    val nC = comps.length
+    // padded (MCU-aligned) block grid per component — interleaved DC
+    // scans address this grid
+    val bw = comps.map(c => mcusX * c.h)
+    val bh = comps.map(c => mcusY * c.v)
+    // non-interleaved grid: blocks covering the component's TRUE sample
+    // area (T.81 A.2.2) — single-component scans address this one
+    val nbw = comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+    val nbh = comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+    val coefs = Array.tabulate(nC)(i => new Array[Short](bw(i) * bh(i) * 64))
+    val dcPred = new Array[Int](nC)
+    var eobrun = 0
+    var scans = 0
+    var pos = firstSos
+    var done = false
+
+    /** Decode the scan whose SOS marker sits at `segStart`; returns the
+      * position where entropy data ended, or -1 on malformed data.
+      */
+    def decodeScan(segStart: Int): Int = {
+      val len = u16(b, segStart + 2)
+      val seg = segStart + 4
+      if (seg + len - 2 > b.length || len < 8) return -1
+      val ns = u8(b, seg)
+      if (ns < 1 || ns > nC || len - 2 < 4 + 2 * ns) return -1
+      val scanComps = new Array[Int](ns)
+      var i = 0
+      while (i < ns) {
+        val id = u8(b, seg + 1 + 2 * i)
+        val tabs = u8(b, seg + 2 + 2 * i)
+        val ci = comps.indexWhere(_.id == id)
+        if (ci < 0) return -1
+        comps(ci).dcTab = tabs >> 4
+        comps(ci).acTab = tabs & 0x0f
+        scanComps(i) = ci
+        i += 1
+      }
+      val ss = u8(b, seg + 1 + 2 * ns)
+      val se = u8(b, seg + 2 + 2 * ns)
+      val ahAl = u8(b, seg + 3 + 2 * ns)
+      val ah = ahAl >> 4
+      val al = ahAl & 0x0f
+      if (ss > 63 || se > 63 || ss > se || al > 13 || ah > 13) return -1
+      if (ss == 0 && se != 0) return -1 // a DC scan is exactly coefficient 0
+      if (ss > 0 && ns != 1) return -1  // AC scans are single-component
+      val reader = new BitReader(b, seg + len - 2)
+      java.util.Arrays.fill(dcPred, 0)
+      eobrun = 0
+
+      def restart(unit: Int): Boolean = {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!reader.readRestart()) return false
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+        true
+      }
+
+      def dcUnit(ci: Int, blockIdx: Int): Boolean = {
+        val base = blockIdx * 64
+        if (ah == 0) {
+          val dh = dcHuff(comps(ci).dcTab)
+          if (dh == null) return false
+          val t = reader.decode(dh)
+          if (t < 0 || t > 11 || reader.hitMarker) return false
+          dcPred(ci) += extend(reader.bits(t), t)
+          coefs(ci)(base) = (dcPred(ci) << al).toShort
+        } else if (reader.bit() == 1) {
+          coefs(ci)(base) = (coefs(ci)(base) | (1 << al)).toShort
+        }
+        true
+      }
+
+      if (ss == 0) { // DC scan
+        if (ns > 1) { // interleaved over the MCU grid
+          var mcu = 0
+          val total = mcusX * mcusY
+          while (mcu < total) {
+            if (!restart(mcu)) return -1
+            val mx = mcu % mcusX
+            val my = mcu / mcusX
+            var si = 0
+            while (si < ns) {
+              val ci = scanComps(si)
+              val c = comps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  if (!dcUnit(ci, (my * c.v + by) * bw(ci) + mx * c.h + bx))
+                    return -1
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            if (reader.hitMarker) return -1
+            mcu += 1
+          }
+        } else { // single component: non-interleaved raster of its blocks
+          val ci = scanComps(0)
+          var blk = 0
+          val total = nbw(ci) * nbh(ci)
+          while (blk < total) {
+            if (!restart(blk)) return -1
+            if (!dcUnit(ci, (blk / nbw(ci)) * bw(ci) + blk % nbw(ci))) return -1
+            if (reader.hitMarker) return -1
+            blk += 1
+          }
+        }
+      } else { // AC scan, single component, non-interleaved
+        val ci = scanComps(0)
+        val ahf = acHuff(comps(ci).acTab)
+        if (ahf == null) return -1
+        val cf = coefs(ci)
+        val p1 = 1 << al
+        var blk = 0
+        val total = nbw(ci) * nbh(ci)
+        while (blk < total) {
+          if (!restart(blk)) return -1
+          val base = ((blk / nbw(ci)) * bw(ci) + blk % nbw(ci)) * 64
+          if (ah == 0) { // AC first
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var end = false
+              while (!end && k <= se) {
+                val rs = reader.decode(ahf)
+                if (rs < 0 || reader.hitMarker) return -1
+                val r = rs >> 4
+                val s = rs & 0x0f
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += reader.bits(r)
+                    end = true
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) return -1
+                  cf(base + k) = (extend(reader.bits(s), s) << al).toShort
+                  k += 1
+                }
+              }
+            }
+          } else { // AC refinement: the correction-bit walk
+            def refineAt(idx: Int): Unit =
+              if (reader.bit() == 1 && (cf(idx) & p1) == 0)
+                cf(idx) = (cf(idx) + (if (cf(idx) >= 0) p1 else -p1)).toShort
+            if (eobrun > 0) {
+              eobrun -= 1
+              var k = ss
+              while (k <= se) {
+                if (cf(base + k) != 0) refineAt(base + k)
+                k += 1
+              }
+            } else {
+              var k = ss
+              var cont = true
+              while (cont) {
+                val rs = reader.decode(ahf)
+                if (rs < 0 || reader.hitMarker) return -1
+                var r = rs >> 4
+                val s = rs & 0x0f
+                var newval = 0
+                if (s == 0) {
+                  if (r < 15) { // EOBn: refine the rest, then cover eobrun blocks
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += reader.bits(r)
+                    r = 64
+                  } // r == 15: ZRL — pass over 16 zero-history slots
+                } else {
+                  if (s != 1) return -1 // only ±1 can appear in a refinement
+                  newval = if (reader.bit() == 1) p1 else -p1
+                }
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = base + k
+                  k += 1
+                  if (cf(idx) != 0) refineAt(idx)
+                  else if (r == 0) { if (newval != 0) cf(idx) = newval.toShort; placed = true }
+                  else r -= 1
+                }
+                if (k > se) cont = false
+              }
+            }
+          }
+          if (reader.hitMarker) return -1
+          blk += 1
+        }
+      }
+      reader.pos
+    }
+
+    while (!done) {
+      if (pos < 0 || pos + 1 >= b.length || u8(b, pos) != 0xff) return None
+      val marker = u8(b, pos + 1)
+      if (marker == 0xd9) done = true // EOI
+      else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      else {
+        if (pos + 3 >= b.length) return None
+        val len = u16(b, pos + 2)
+        val seg = pos + 4
+        if (seg + len - 2 > b.length) return None
+        marker match {
+          case 0xda =>
+            val after = decodeScan(pos)
+            if (after < 0) return None
+            scans += 1
+            pos = nextMarker(b, after)
+          case 0xdb =>
+            if (!parseDqt(b, seg, seg + len - 2, quant)) return None
+            pos += 2 + len
+          case 0xc4 =>
+            if (!parseDht(b, seg, seg + len - 2, dcHuff, acHuff)) return None
+            pos += 2 + len
+          case 0xdd =>
+            restartInterval = u16(b, seg)
+            pos += 2 + len
+          case m if m >= 0xc0 && m <= 0xcf =>
+            return None // a second frame inside the stream
+          case _ => pos += 2 + len // APPn / COM / DNL: skip
+        }
+      }
+    }
+    if (scans == 0) return None
+
+    // merge complete: dequantize + IDCT every block into sample planes
+    val planeW = comps.indices.map(i => bw(i) * 8).toArray
+    val planes = Array.tabulate(nC)(i => new Array[Byte](planeW(i) * bh(i) * 8))
+    val coeff = new Array[Double](64)
+    val px = new Array[Int](64)
+    var ci = 0
+    while (ci < nC) {
+      val qt = quant(comps(ci).tq)
+      if (qt == null) return None
+      val cf = coefs(ci)
+      val pw = planeW(ci)
+      var blk = 0
+      val total = bw(ci) * bh(ci)
+      while (blk < total) {
+        val base = blk * 64
+        var k = 0
+        while (k < 64) {
+          coeff(Zigzag(k)) = cf(base + k).toDouble * qt(Zigzag(k))
+          k += 1
+        }
+        idct(coeff, px)
+        val ox = (blk % bw(ci)) * 8
+        val oy = (blk / bw(ci)) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(ci)((oy + yy) * pw + ox + xx) = px(yy * 8 + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        blk += 1
+      }
+      ci += 1
+    }
+    assemble(comps, planes, planeW, width, height, hMax, vMax)
+  }
+
+  /** Shared output stage for the sequential and progressive paths:
+    * component planes at native resolution → gray raster, or chroma
+    * upsample + JFIF YCbCr→RGB.
+    */
+  private def assemble(comps: Array[Component], planes: Array[Array[Byte]],
+                       planeW: Array[Int], width: Int, height: Int,
+                       hMax: Int, vMax: Int): Option[(Int, Int, Int, Array[Byte])] = {
     if (comps.length == 1) {
       val out = new Array[Byte](width * height)
       val pw = planeW(0)

@@ -144,23 +144,74 @@ class JpegPixelsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(6)).distinct.length > 400)
   }
 
-  test("progressive JPEG is declared out of scope: None, not garbage") {
+  private def encodeProgressive(img: BufferedImage, quality: Float): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(0.8f)
+    param.setCompressionQuality(quality)
     param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
     val bos = new ByteArrayOutputStream()
     val ios = new MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)
-    writer.write(null, new IIOImage(pattern(32, 32, 3, gray = false), null, null), param)
+    writer.write(null, new IIOImage(img, null, null), param)
     ios.flush(); writer.dispose()
-    val prog = bos.toByteArray
-    // contains SOF2, and the JDK can read it — our baseline decoder must
-    // refuse rather than misdecode the first scan
-    assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
-    assert(ImageIO.read(new ByteArrayInputStream(prog)) != null)
-    assert(JpegPixels.decode(prog).isEmpty)
+    bos.toByteArray
+  }
+
+  test("progressive RGB matches the JDK decoder's means across qualities") {
+    for (q <- Seq(0.5f, 0.75f, 0.9f)) {
+      val bytes = encodeProgressive(pattern(64, 48, 3, gray = false), q)
+      // the fixture really is multi-scan progressive
+      assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+      val got = JpegPixels.decode(bytes)
+      assert(got.isDefined, s"progressive decode failed at q=$q")
+      val (gw, gh, gr, gg, gb) = got.get
+      val (rw, rh, rr, rg, rb) = refMeans(bytes)
+      assert(gw == rw && gh == rh)
+      assert(math.abs(gr - rr) <= 1.0, s"R mean $gr vs $rr (q=$q)")
+      assert(math.abs(gg - rg) <= 1.0, s"G mean $gg vs $rg (q=$q)")
+      assert(math.abs(gb - rb) <= 1.0, s"B mean $gb vs $rb (q=$q)")
+    }
+  }
+
+  test("progressive odd dimensions and grayscale match the JDK means") {
+    for ((w, h, gray) <- Seq((17, 13, false), (33, 31, false), (40, 25, true), (64, 64, true))) {
+      val bytes = encodeProgressive(pattern(w, h, 5, gray), 0.8f)
+      val got = JpegPixels.decode(bytes)
+      assert(got.isDefined, s"progressive decode failed ${w}x$h gray=$gray")
+      val (gw, gh, gr, gg, gb) = got.get
+      val (rw, rh, rr, rg, rb) = refMeans(bytes)
+      assert(gw == rw && gh == rh)
+      assert(math.abs(gr - rr) <= 1.0 && math.abs(gg - rg) <= 1.0 && math.abs(gb - rb) <= 1.0,
+        s"means ($gr,$gg,$gb) vs ($rr,$rg,$rb) ${w}x$h gray=$gray")
+    }
+  }
+
+  test("progressive raster-level agreement within IDCT rounding slack") {
+    val img = new BufferedImage(48, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      img.setRGB(x, y, ((x * 255 / 47) << 16) | ((y * 255 / 31) << 8) | ((x + y) * 255 / 78))
+    val bytes = encodeProgressive(img, 0.85f)
+    val (w, h, ch, raster) = JpegPixels.decodeRaster(bytes).get
+    assert(ch == 3)
+    val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - (raster(o) & 0xff)))
+      worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) - (raster(o + 1) & 0xff)))
+      worst = math.max(worst, math.abs((rgb & 0xff) - (raster(o + 2) & 0xff)))
+    }
+    assert(worst <= 3, s"worst per-pixel delta $worst")
+  }
+
+  test("truncated progressive streams return None, never throw") {
+    val bytes = encodeProgressive(pattern(48, 48, 2, gray = false), 0.8f)
+    // cut at several depths: inside the header, inside early scans,
+    // and just before EOI — totality at every prefix length
+    for (cut <- Seq(bytes.length / 8, bytes.length / 3, bytes.length / 2, bytes.length - 2))
+      assert(JpegPixels.decode(java.util.Arrays.copyOf(bytes, cut)).isEmpty, s"cut=$cut")
   }
 
   /** Offset of the SOF0 segment payload (first byte after the length). */
