@@ -846,7 +846,8 @@ object JpegPixels {
     * independent implementation are the point — a decoder bug cannot
     * cancel out against its own encoder.
     */
-  def syntheticJpeg(w: Int, h: Int, seed: Int, quality: Float = 0.8f): Array[Byte] = {
+  def syntheticJpeg(w: Int, h: Int, seed: Int, quality: Float = 0.8f,
+                    progressive: Boolean = false): Array[Byte] = {
     System.setProperty("java.awt.headless", "true")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -866,6 +867,8 @@ object JpegPixels {
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
+    if (progressive) // JDK's multi-scan successive-approximation script
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)

@@ -449,10 +449,14 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 12 + 9).cast("int").as("h"),
       (col("doc_id") % 997).cast("int").as("seed"))
     val rdd = base.rdd.map { r =>
+      // every third payload is PROGRESSIVE (the JDK writer's multi-scan
+      // successive-approximation script), so the driver's hash gate and
+      // the runtime JDK cross-check exercise both entropy paths
       Row(r.getLong(0),
           graft.functions.JpegPixels.syntheticJpeg(
             r.getInt(1), r.getInt(2), r.getInt(3),
-            0.6f + (r.getInt(3) % 5) * 0.08f),
+            0.6f + (r.getInt(3) % 5) * 0.08f,
+            progressive = r.getInt(3) % 3 == 0),
           Row(r.getInt(1), r.getInt(2), r.getInt(3)))
     }
     val schema = StructType(Seq(
