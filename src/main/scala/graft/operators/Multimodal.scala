@@ -469,6 +469,73 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, schema)
   }
 
+  val exifSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_order", StringType),
+    StructField("make", StringType),
+    StructField("model", StringType),
+    StructField("orientation", IntegerType),
+    StructField("date_time", StringType),
+    StructField("iso", IntegerType),
+    StructField("exp_num", IntegerType),
+    StructField("exp_den", IntegerType),
+  ))
+
+  /** JPEGs carrying a CLOSED-FORM EXIF APP1: every field derives from
+    * doc_id (byte order alternates II/MM so both TIFF endianness paths
+    * sit inside the driver's hash gate), spliced after SOI the way
+    * camera encoders place it.
+    */
+  def exifTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      (col("doc_id") % 16 + 9).cast("int").as("w"),
+      (col("doc_id") % 12 + 9).cast("int").as("h"))
+    val rdd = base.rdd.map { r =>
+      val d = r.getLong(0)
+      val e = graft.functions.ExifMeta.Exif(
+        if (d % 2 == 0) "MM" else "II",
+        s"Make${d % 5}", s"Model${d % 7}",
+        (d % 8 + 1).toInt,
+        f"2024:01:${d % 28 + 1}%02d 12:00:00",
+        ((d % 4 + 1) * 100).toInt,
+        1, 1 << ((d % 6) + 1).toInt)
+      Row(d, graft.functions.ExifMeta.spliceApp1(
+        graft.functions.JpegPixels.syntheticJpeg(
+          r.getInt(1), r.getInt(2), (d % 997).toInt),
+        graft.functions.ExifMeta.buildApp1(e)))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL EXIF extraction (graft.functions.ExifMeta: APP1 walk + TIFF
+    * IFD parse, both byte orders) — the image-metadata prong of the
+    * multimodal pipeline: orientation for correct resize, capture time
+    * for provenance, camera fields for source stratification. The gate
+    * hash-compares every parsed field against the oracle's closed-form
+    * recomputation, so a parse that returns-but-misreads any field
+    * (offset, endianness, sub-IFD) is a red row, not a silent skew. A
+    * failed parse emits the never-matching sentinel row.
+    */
+  def decodeExif(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        graft.functions.ExifMeta.parse(r.getAs[Array[Byte]](1)) match {
+          case Some(e) =>
+            Row(r.getLong(0), e.byteOrder, e.make, e.model, e.orientation,
+                e.dateTime, e.iso, e.expNum, e.expDen)
+          case None =>
+            Row(r.getLong(0), "none", "", "", 0, "", 0, 0, 0)
+        }
+      }))
+    spark.createDataFrame(rdd, exifSchema)
+  }
+
   /** REAL pixel decode for the DCT-compressed format: hand-rolled
     * baseline JPEG (graft.functions.JpegPixels — marker walk, canonical
     * Huffman, dequantize, IDCT, chroma upsample, YCbCr→RGB). JPEG is
@@ -876,6 +943,22 @@ object Multimodal extends QueryModule {
         | TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin
 
+    /** Closed-form recomputation of every EXIF field the fixtures
+      * derive from doc_id — the parse must land on these exactly.
+      */
+    val ExifMeta: String =
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+        | 'Make' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        | 'Model' || CAST(doc_id % 7 AS VARCHAR) AS model,
+        | CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        | '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |   || ' 12:00:00' AS date_time,
+        | CAST((doc_id % 4 + 1) * 100 AS INT) AS iso,
+        | CAST(1 AS INT) AS exp_num,
+        | CAST(round(2 ** (doc_id % 6 + 1)) AS INT) AS exp_den
+        |FROM documents ORDER BY doc_id""".stripMargin
+
     val AudioHeaders: String =
       """SELECT doc_id,
         | CAST(doc_id % 2 + 1 AS INT) AS channels,
@@ -1007,6 +1090,14 @@ object Multimodal extends QueryModule {
       (s, dir) =>
         decodeVideoHeaders(videoTable(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.VideoHeaders),
+    ),
+    // real EXIF extraction from JPEG APP1 TIFF streams, both byte
+    // orders, hash-gated against a closed-form field oracle
+    QueryDef(
+      "m_exif_meta",
+      (s, dir) =>
+        decodeExif(exifTable(Tables(s, dir))).orderBy("doc_id"),
+      Some(Oracle.ExifMeta),
     ),
     // END-TO-END pixel decode: complete 24bpp BMPs decoded to
     // per-channel means with a declared-color cross-check — the image
