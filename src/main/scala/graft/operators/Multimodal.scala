@@ -536,6 +536,58 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, exifSchema)
   }
 
+  val mp3Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("has_id3", BooleanType),
+  ))
+
+  /** Valid CBR MPEG-1 Layer III streams closed-form from doc_id —
+    * bitrate/samplerate indices, frame count, the per-frame padding
+    * bit (every fifth stream), and an ID3v2 prefix (every fourth) all
+    * vary, so the gate exercises the padded-walk and tag-skip paths.
+    */
+  def mp3Table(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val rdd = t.documents.select(col("doc_id")).rdd.map { r =>
+      val d = r.getLong(0)
+      Row(d, graft.functions.Mp3Frames.synthetic(
+        frames = (d % 20 + 5).toInt,
+        brIdx = (d % 14 + 1).toInt,
+        srIdx = (d % 3).toInt,
+        padded = d % 5 == 0,
+        id3Bytes = if (d % 4 == 0) 64 else 0))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL MP3 frame-header walk (graft.functions.Mp3Frames): frame
+    * count, sample rate, bitrate, and duration without decoding audio
+    * — the compressed-audio triage stage. Hash-gated field-for-field
+    * against the oracle's closed-form recomputation; a walk that
+    * ignores the padding bit or the ID3 prefix desyncs and reds out.
+    */
+  def decodeMp3Headers(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        graft.functions.Mp3Frames.parse(r.getAs[Array[Byte]](1)) match {
+          case Some(m) =>
+            Row(r.getLong(0), m.nFrames, m.sampleRate, m.bitrateKbps,
+                m.durationMs, m.hasId3)
+          case None =>
+            Row(r.getLong(0), 0, 0, 0, 0L, false)
+        }
+      }))
+    spark.createDataFrame(rdd, mp3Schema)
+  }
+
   /** REAL pixel decode for the DCT-compressed format: hand-rolled
     * baseline JPEG (graft.functions.JpegPixels — marker walk, canonical
     * Huffman, dequantize, IDCT, chroma upsample, YCbCr→RGB). JPEG is
@@ -943,6 +995,20 @@ object Multimodal extends QueryModule {
         | TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin
 
+    /** Closed-form recomputation of the MP3 stream shape the fixtures
+      * derive from doc_id — frame walk must land on these exactly.
+      */
+    val Mp3Headers: String =
+      """SELECT doc_id,
+        | CAST(doc_id % 20 + 5 AS INT) AS n_frames,
+        | CAST([44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS INT) AS sample_rate,
+        | CAST([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |   [CAST(doc_id % 14 AS INT) + 1] AS INT) AS bitrate_kbps,
+        | CAST((doc_id % 20 + 5) * 1152 * 1000
+        |   // [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS BIGINT) AS duration_ms,
+        | doc_id % 4 = 0 AS has_id3
+        |FROM documents ORDER BY doc_id""".stripMargin
+
     /** Closed-form recomputation of every EXIF field the fixtures
       * derive from doc_id — the parse must land on these exactly.
       */
@@ -1098,6 +1164,14 @@ object Multimodal extends QueryModule {
       (s, dir) =>
         decodeExif(exifTable(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.ExifMeta),
+    ),
+    // real MP3 frame-header walk (padding-bit honoring, ID3v2 skip),
+    // closed-form-oracled
+    QueryDef(
+      "m_mp3_headers",
+      (s, dir) =>
+        decodeMp3Headers(mp3Table(Tables(s, dir))).orderBy("doc_id"),
+      Some(Oracle.Mp3Headers),
     ),
     // END-TO-END pixel decode: complete 24bpp BMPs decoded to
     // per-channel means with a declared-color cross-check — the image

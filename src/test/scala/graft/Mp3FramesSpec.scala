@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.Mp3Frames
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MP3 frame walk: hand-computed frame lengths, padding and ID3
+  * handling, profile refusals, and totality on malformed bytes.
+  */
+class Mp3FramesSpec extends AnyFunSuite {
+
+  test("round-trips a plain CBR stream with hand-checked frame length") {
+    // 128 kbps @ 44100: floor(144000*128/44100) = 417 bytes/frame
+    val b = Mp3Frames.synthetic(frames = 7, brIdx = 9, srIdx = 0,
+      padded = false, id3Bytes = 0)
+    assert(b.length == 7 * 417)
+    val m = Mp3Frames.parse(b).get
+    assert(m.nFrames == 7 && m.sampleRate == 44100 && m.bitrateKbps == 128)
+    assert(!m.vbr && !m.hasId3)
+    assert(m.durationMs == 7L * 1152 * 1000 / 44100)
+  }
+
+  test("honors the padding bit — ignoring it would desync") {
+    val b = Mp3Frames.synthetic(frames = 5, brIdx = 9, srIdx = 0,
+      padded = true, id3Bytes = 0)
+    assert(b.length == 5 * 418)
+    assert(Mp3Frames.parse(b).get.nFrames == 5)
+  }
+
+  test("skips an ID3v2 prefix via its syncsafe length") {
+    val b = Mp3Frames.synthetic(frames = 3, brIdx = 1, srIdx = 2,
+      padded = false, id3Bytes = 200)
+    val m = Mp3Frames.parse(b).get
+    assert(m.hasId3 && m.nFrames == 3 && m.sampleRate == 32000 && m.bitrateKbps == 32)
+  }
+
+  test("flags VBR when frame bitrates differ") {
+    val a = Mp3Frames.synthetic(2, 9, 0, padded = false, id3Bytes = 0)
+    val c = Mp3Frames.synthetic(2, 11, 0, padded = false, id3Bytes = 0)
+    val m = Mp3Frames.parse(a ++ c).get
+    assert(m.vbr && m.nFrames == 4 && m.bitrateKbps == 128) // first frame's
+  }
+
+  test("refuses other versions/layers and reserved codes") {
+    val good = Mp3Frames.synthetic(2, 9, 0, padded = false, id3Bytes = 0)
+    val mpeg2 = good.clone(); mpeg2(1) = 0xf3.toByte // version = MPEG-2
+    assert(Mp3Frames.parse(mpeg2).isEmpty)
+    val layer1 = good.clone(); layer1(1) = 0xff.toByte // layer I
+    assert(Mp3Frames.parse(layer1).isEmpty)
+    val free = good.clone(); free(2) = (free(2) & 0x0f).toByte // bitrate idx 0
+    assert(Mp3Frames.parse(free).isEmpty)
+    val badSr = good.clone(); badSr(2) = (badSr(2) | 0x0c).toByte // sr idx 3
+    assert(Mp3Frames.parse(badSr).isEmpty)
+  }
+
+  test("truncation, desync, and trailing junk return None, never throw") {
+    val b = Mp3Frames.synthetic(4, 9, 0, padded = false, id3Bytes = 32)
+    for (cut <- Seq(2, 9, 12, 50, b.length - 1))
+      assert(Mp3Frames.parse(java.util.Arrays.copyOf(b, cut)).isEmpty, s"cut=$cut")
+    assert(Mp3Frames.parse(b ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(Mp3Frames.parse(Array[Byte]()).isEmpty)
+    for (i <- 0 until math.min(b.length, 600)) {
+      val mut = b.clone()
+      mut(i) = (mut(i) ^ 0xff).toByte
+      Mp3Frames.parse(mut) // totality: must not throw
+    }
+  }
+
+  test("m_mp3_headers registry entry: every payload walks clean") {
+    val s = SparkSpec.session
+    val out = SparkEntry.queries("m_mp3_headers")(s, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getInt(1) > 0), "some stream failed to walk")
+    assert(out.map(_.getInt(2)).distinct.sorted.toSeq == Seq(32000, 44100, 48000))
+    assert(out.map(_.getInt(3)).distinct.length == 14)
+  }
+}
