@@ -200,9 +200,22 @@ object ScaleDemo {
         out.append(line).append('\n')
       }
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("scale_result.jsonl"),
-      out.toString.getBytes("UTF-8"))
+    // MERGE into the artifact: replace any previously-measured
+    // (scale, query) cells re-run now, keep the rest — so a selective
+    // re-measurement (args 2/3) refreshes its cells without wiping the
+    // full sweep's rows
+    val path = java.nio.file.Paths.get("scale_result.jsonl")
+    val measured = (for { k <- scales; q <- queryNames }
+      yield s""""scale":$k,"query":"$q"""").toSet
+    val kept =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty)
+          .filterNot(line => measured.exists(line.contains))
+      else Seq.empty
+    java.nio.file.Files.write(path,
+      (kept ++ out.toString.split("\n").toSeq.filter(_.nonEmpty))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

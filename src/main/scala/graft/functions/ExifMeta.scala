@@ -217,6 +217,48 @@ object ExifMeta {
     seg
   }
 
+  /** Normalize an interleaved raster to upright per its EXIF
+    * orientation (1..8): the transform every image pipeline applies
+    * before resize/embedding, since a quarter of phone photos store
+    * rotated sensor data. Returns (raster, w, h) — dims swap for the
+    * transposed family (5-8). Orientation semantics per EXIF 2.3
+    * table 6: 1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V,
+    * 5 transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW.
+    */
+  def orient(raster: Array[Byte], w: Int, h: Int, ch: Int,
+             orientation: Int): Option[(Array[Byte], Int, Int)] = {
+    if (orientation < 1 || orientation > 8) return None
+    if (raster.length != w * h * ch) return None
+    if (orientation == 1) return Some((raster, w, h))
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](raster.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case _ => (w - 1 - y, x) // 8
+        }
+        var c = 0
+        while (c < ch) {
+          out((y * ow + x) * ch + c) = raster((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((out, ow, oh))
+  }
+
   /** Insert an APP1 segment right after SOI — how cameras and encoders
     * place EXIF in a JPEG stream.
     */

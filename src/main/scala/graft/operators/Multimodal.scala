@@ -588,6 +588,64 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, mp3Schema)
   }
 
+  val orientedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("orientation", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("pixel_fnv", LongType),
+  ))
+
+  /** EXIF-orientation-normalized decode — the upright-before-resize
+    * stage every image pipeline runs (a quarter of phone photos store
+    * rotated sensor data): parse the payload's EXIF orientation,
+    * decode pixels, apply the inverse transform (ExifMeta.orient),
+    * then fingerprint a 4×4 sampled grid of the UPRIGHT raster. The
+    * fixtures cycle all 8 orientations, so every transform arm sits
+    * inside the driver's hash gate (SF-pinned snapshot — decode is
+    * deterministic); the sentinel row surfaces any parse/decode/orient
+    * failure as a red row.
+    */
+  def decodeOrientedThumbs(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val row = for {
+          e <- graft.functions.ExifMeta.parse(payload)
+          (w, h, ch, raster) <- graft.functions.JpegPixels.decodeRaster(payload)
+          (up, ow, oh) <- graft.functions.ExifMeta.orient(raster, w, h, ch, e.orientation)
+        } yield {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var fnv = 0xcbf29ce484222325L
+          def mix(v: Int): Unit = { fnv ^= (v & 0xff); fnv *= 0x100000001b3L }
+          var ty = 0
+          while (ty < 4) {
+            val sy = (ty.toLong * oh / 4).toInt
+            var tx = 0
+            while (tx < 4) {
+              val sx = (tx.toLong * ow / 4).toInt
+              val i = (sy * ow + sx) * ch
+              val (pr, pg, pb) =
+                if (ch == 1) { val v = up(i) & 0xff; (v, v, v) }
+                else (up(i) & 0xff, up(i + 1) & 0xff, up(i + 2) & 0xff)
+              sr += pr; sg += pg; sb += pb
+              mix(pr); mix(pg); mix(pb)
+              tx += 1
+            }
+            ty += 1
+          }
+          Row(r.getLong(0), e.orientation, ow, oh,
+              sr.toDouble / 16, sg.toDouble / 16, sb.toDouble / 16, fnv)
+        }
+        row.getOrElse(Row(r.getLong(0), 0, 0, 0, 0.0, 0.0, 0.0, 0L))
+      }))
+    spark.createDataFrame(rdd, orientedSchema)
+  }
+
   /** REAL pixel decode for the DCT-compressed format: hand-rolled
     * baseline JPEG (graft.functions.JpegPixels — marker walk, canonical
     * Huffman, dequantize, IDCT, chroma upsample, YCbCr→RGB). JPEG is
@@ -1172,6 +1230,14 @@ object Multimodal extends QueryModule {
       (s, dir) =>
         decodeMp3Headers(mp3Table(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.Mp3Headers),
+    ),
+    // EXIF-orientation-normalized decode: all 8 transform arms inside
+    // the gate, SF-pinned snapshot oracle
+    QueryDef(
+      "m_oriented_thumb",
+      (s, dir) =>
+        decodeOrientedThumbs(exifTable(Tables(s, dir))).orderBy("doc_id"),
+      Some(graft.api.ParseSnapshots.sfPinnedSql("m_oriented_thumb")),
     ),
     // END-TO-END pixel decode: complete 24bpp BMPs decoded to
     // per-channel means with a declared-color cross-check — the image

@@ -77,6 +77,49 @@ class ExifMetaSpec extends AnyFunSuite {
     assert(ExifMeta.parse(ExifMeta.spliceApp1(jpeg(), bad)).isEmpty)
   }
 
+  test("all 8 orientation transforms land every pixel where EXIF says") {
+    // 2x3 single-channel raster: a b / c d / e f — hand-derived uprights
+    val src = Array[Byte]('a', 'b', 'c', 'd', 'e', 'f')
+    def run(o: Int) = ExifMeta.orient(src, 2, 3, 1, o).get
+    def str(t: (Array[Byte], Int, Int)) = new String(t._1, "US-ASCII")
+    assert(run(1) == ((src, 2, 3)))
+    assert(str(run(2)) == "badcfe" && run(2)._2 == 2) // mirror H per row
+    assert(str(run(3)) == "fedcba")                   // rotate 180
+    assert(str(run(4)) == "efcdab")                   // mirror V
+    assert(str(run(5)) == "acebdf" && run(5)._2 == 3 && run(5)._3 == 2) // transpose
+    assert(str(run(6)) == "ecafdb" && run(6)._2 == 3) // rotate 90 CW
+    assert(str(run(7)) == "fdbeca")                   // transverse
+    assert(str(run(8)) == "bdface")                   // rotate 270 CW
+    assert(ExifMeta.orient(src, 2, 3, 1, 0).isEmpty)
+    assert(ExifMeta.orient(src, 2, 3, 1, 9).isEmpty)
+    assert(ExifMeta.orient(src, 2, 2, 1, 3).isEmpty) // wrong dims
+  }
+
+  test("each orientation composed with its inverse is the identity") {
+    val src = Array.tabulate[Byte](5 * 7 * 3)(i => (i * 31 + 7).toByte)
+    val inverse = Map(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 6 -> 8, 7 -> 7, 8 -> 6)
+    for ((o, inv) <- inverse) {
+      val (mid, mw, mh) = ExifMeta.orient(src, 5, 7, 3, o).get
+      val (back, bw, bh) = ExifMeta.orient(mid, mw, mh, 3, inv).get
+      assert(bw == 5 && bh == 7)
+      assert(java.util.Arrays.equals(back, src), s"o=$o")
+    }
+  }
+
+  test("m_oriented_thumb registry entry: upright on every payload") {
+    val s = SparkSpec.session
+    val out = SparkEntry.queries("m_oriented_thumb")(s, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getInt(1) >= 1), "some payload hit the sentinel row")
+    // dims swap exactly for the transposed family (5-8)
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val (w, h) = ((d % 16 + 9).toInt, (d % 12 + 9).toInt)
+      if (r.getInt(1) >= 5) assert(r.getInt(2) == h && r.getInt(3) == w)
+      else assert(r.getInt(2) == w && r.getInt(3) == h)
+    }
+  }
+
   test("m_exif_meta registry entry: all fields parse on every payload") {
     val s = SparkSpec.session
     val out = SparkEntry.queries("m_exif_meta")(s, "/root/testdata/sf0.001").collect()
