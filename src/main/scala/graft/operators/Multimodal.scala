@@ -1064,6 +1064,12 @@ object Multimodal extends QueryModule {
     * decoder regression flips the gate red instead of hiding in rows>0.
     * SF-robust: the formulas hold for every doc_id at every scale.
     */
+  /** m_exif_meta's closed-form oracle, shared by the streaming twin
+    * (operators.Streaming st_exif_meta) so the stream output is itself
+    * hash-gated.
+    */
+  private[graft] def exifOracle: String = Oracle.ExifMeta
+
   private object Oracle {
     /** FNV-1a 64 over a DuckDB list of byte values, folded in HUGEINT
       * mod-2^64 arithmetic and re-signed to match a JVM Long. The xor

@@ -430,6 +430,28 @@ object Streaming extends QueryModule {
       },
       Some(graft.operators.Similarity.RangeSearchSql),
     ),
+    // continuous MULTIMODAL intake: the media drop directory streamed
+    // with binaryFile, EXIF extracted statelessly per arriving file
+    // (streaming/MediaIntake — the image-side ReportFileIntake).
+    // Shares m_exif_meta's closed-form oracle, so the STREAM output is
+    // itself hash-gated field-for-field.
+    QueryDef(
+      "st_exif_meta",
+      (s, dir) => {
+        val drop = s"/tmp/graft_media_drop/${new java.io.File(dir).getName}"
+        graft.streaming.MediaIntake.materializeDropDir(
+          graft.operators.Multimodal.exifTable(Tables(s, dir)), drop)
+        val name = s"st_exif_${System.nanoTime()}"
+        val q = graft.streaming.MediaIntake.exifStream(s, drop)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_exif_meta timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.operators.Multimodal.exifOracle),
+    ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened
     // record rows, AvailableNow + memory sink for the gate

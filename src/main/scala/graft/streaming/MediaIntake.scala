@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Continuous MULTIMODAL intake: media files land in a drop directory
+  * (crawler output, upload feed) and are feature-extracted as they
+  * arrive — the image-side sibling of ReportFileIntake. Extraction
+  * (EXIF here; any per-file decoder slots in) is a STATELESS stream
+  * projection: each file's metadata is complete the moment the file
+  * is, no state store, no watermark, so the sink can route/tag media
+  * inline. On a cluster the drop dir is an object-store path; the
+  * binaryFile source and the per-file map are identical.
+  */
+object MediaIntake {
+
+  /** One row of extracted EXIF, column-for-column the m_exif_meta
+    * frame so the stream shares its closed-form oracle.
+    */
+  final case class ExifRow(doc_id: Long, byte_order: String, make: String,
+                           model: String, orientation: Int, date_time: String,
+                           iso: Int, exp_num: Int, exp_den: Int)
+
+  private val binarySchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType),
+  ))
+
+  /** Materialize a (doc_id, payload) frame as one file per row —
+    * executor-side, so no driver collect — reused across runs via a
+    * row-count marker (payloads are deterministic functions of doc_id,
+    * so count identity means byte identity).
+    */
+  def materializeDropDir(media: DataFrame, dir: String): Unit = {
+    val n = media.count()
+    val root = new java.io.File(dir)
+    val marker = new java.io.File(root, s"_READY_$n")
+    if (marker.exists()) return
+    root.mkdirs()
+    root.listFiles().foreach(f => if (f.getName.startsWith("_READY_")) f.delete())
+    media.select(col("doc_id"), col("payload")).foreachPartition {
+      rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        rows.forEachRemaining { r =>
+          val f = new java.io.File(dir, s"doc_${r.getLong(0)}.jpg")
+          val tmp = new java.io.File(dir, s".doc_${r.getLong(0)}.jpg.tmp")
+          java.nio.file.Files.write(tmp.toPath, r.getAs[Array[Byte]](1))
+          tmp.renameTo(f) // atomic publish: the stream never sees a torn file
+        }
+    }
+    marker.createNewFile()
+    ()
+  }
+
+  /** The drop-directory file stream (path + bytes). */
+  def mediaFileStream(spark: SparkSession, dropDir: String): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.jpg")
+      .load(dropDir)
+      .select(col("path"), col("content"))
+
+  /** Stateless EXIF extraction over the arriving files; doc_id comes
+    * from the file name, files without parseable EXIF are skipped (the
+    * gate's full-row-set compare then surfaces any skip as missing).
+    */
+  def exifStream(spark: SparkSession, dropDir: String): Dataset[ExifRow] = {
+    import spark.implicits._
+    val id = "doc_([0-9]+)\\.jpg$".r
+    mediaFileStream(spark, dropDir).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        for {
+          m <- id.findFirstMatchIn(path)
+          e <- graft.functions.ExifMeta.parse(bytes)
+        } yield ExifRow(m.group(1).toLong, e.byteOrder, e.make, e.model,
+                        e.orientation, e.dateTime, e.iso, e.expNum, e.expDen)
+      }
+  }
+}

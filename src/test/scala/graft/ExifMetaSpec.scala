@@ -120,6 +120,16 @@ class ExifMetaSpec extends AnyFunSuite {
     }
   }
 
+  test("st_exif_meta: the drop-dir stream lands on the batch rows exactly") {
+    val s = SparkSpec.session
+    val streamed = SparkEntry.queries("st_exif_meta")(s, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("m_exif_meta")(s, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("m_exif_meta registry entry: all fields parse on every payload") {
     val s = SparkSpec.session
     val out = SparkEntry.queries("m_exif_meta")(s, "/root/testdata/sf0.001").collect()
