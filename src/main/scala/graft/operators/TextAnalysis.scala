@@ -953,6 +953,44 @@ object TextAnalysis extends QueryModule {
              |FROM w
              |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin),
     ),
+    // HTML boilerplate removal (functions.HtmlText): each document
+    // rendered as a full HTML page (head junk, script/style bodies,
+    // comments, entity-escaped paragraphs) and extracted back by the
+    // single-pass state machine — the trafilatura-style stage a crawl
+    // runs before any dedup/quality/tokenize sees text. The oracle
+    // recomputes title/text/paragraph-count closed-form from the raw
+    // text, so a parser that mishandles tags, entities, script
+    // bodies, or whitespace collapse reds out field-for-field.
+    QueryDef(
+      "t_html_extract",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("title", StringType),
+          StructField("text_out", StringType),
+          StructField("n_paragraphs", IntegerType)))
+        val rdd = Tables(s, dir).documents.select(col("doc_id"), col("text")).rdd
+          .mapPartitions(_.map { r =>
+            val d = r.getLong(0)
+            val page = graft.functions.HtmlText.syntheticHtml(d, r.getString(1))
+            graft.functions.HtmlText.extract(page) match {
+              case Some(e) => Row(d, e.title, e.text, e.nParagraphs)
+              case None => Row(d, "", "", 0)
+            }
+          })
+        s.createDataFrame(rdd, schema).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             | array_to_string(list_concat(
+             |   list_filter(string_split(text, ' '), w -> w <> ''),
+             |   ['Tail', '&', '@', '<end>']), ' ') AS text_out,
+             | CAST(ceil(CAST(length(list_filter(string_split(text, ' '), w -> w <> ''))
+             |   AS DOUBLE) / 10) AS INT) + 1 AS n_paragraphs
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** DSIR importance-weight frame shared by t_dsir_weight and
