@@ -15,7 +15,8 @@ package graft.functions
   */
 object HtmlText {
 
-  final case class Extracted(title: String, text: String, nParagraphs: Int)
+  final case class Extracted(title: String, text: String, nParagraphs: Int,
+                             links: Seq[String])
 
   private val Entities = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
@@ -33,6 +34,23 @@ object HtmlText {
     var inTitle = false
     var nP = 0
     var pendingSpace = false
+    val links = Seq.newBuilder[String]
+
+    /** href value from a raw <a ...> tag body (quoted forms only). */
+    def href(tagBody: String): Option[String] = {
+      val lb = tagBody.toLowerCase
+      val k = lb.indexOf("href")
+      if (k < 0) return None
+      val eq = tagBody.indexOf('=', k + 4)
+      if (eq < 0) return None
+      var v = eq + 1
+      while (v < tagBody.length && tagBody.charAt(v) == ' ') v += 1
+      if (v >= tagBody.length) return None
+      val q = tagBody.charAt(v)
+      if (q != '"' && q != '\'') return None
+      val endQ = tagBody.indexOf(q, v + 1)
+      if (endQ < 0) None else Some(tagBody.substring(v + 1, endQ))
+    }
 
     def sb: StringBuilder = if (inTitle) title else text
 
@@ -82,6 +100,8 @@ object HtmlText {
               case "title" => inTitle = true; pendingSpace = false
               case "/title" => inTitle = false
               case "p" => if (inBody) nP += 1
+              case "a" =>
+                if (inBody) href(html.substring(i + 1, close)).foreach(links += _)
               case _ => ()
             }
             // any tag is a word boundary (block or not — collapsing
@@ -120,7 +140,7 @@ object HtmlText {
         i += 1
       }
     }
-    Some(Extracted(title.result(), text.result(), nP))
+    Some(Extracted(title.result(), text.result(), nP, links.result()))
   }
 
   /** Fixture-side inverse: wrap a document's words into a full HTML
@@ -132,8 +152,11 @@ object HtmlText {
   def syntheticHtml(docId: Long, text: String): String = {
     val esc = text.split(" ").filter(_.nonEmpty).map(w =>
       w.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
-    val paras = esc.grouped(10)
-      .map(g => s"<p class='c${docId % 7}'>${g.mkString(" ")}</p>").mkString
+    val paras = esc.grouped(10).zipWithIndex
+      .map { case (g, pi) =>
+        s"<p class='c${docId % 7}'>${g.mkString(" ")}</p>" +
+          s"<a href=\"https://site${docId % 5}.test/doc$docId/p$pi\"></a>"
+      }.mkString
     s"""<html><head><title>Doc $docId</title>
        |<script type="text/javascript">if(x<2){alert("&amp;")}</script>
        |<style>p>a{color:red}</style></head>

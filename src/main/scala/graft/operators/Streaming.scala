@@ -430,6 +430,25 @@ object Streaming extends QueryModule {
       },
       Some(graft.operators.Similarity.RangeSearchSql),
     ),
+    // streaming HTML boilerplate removal: arriving pages become clean
+    // text as a stateless per-row map (the literal batch t_html_extract
+    // projection — shared code), carrying the batch entry's own DuckDB
+    // oracle so the STREAM output is itself hash-gated.
+    QueryDef(
+      "st_html_extract",
+      (s, dir) => {
+        val name = s"st_html_${System.nanoTime()}"
+        val q = graft.operators.TextAnalysis
+          .htmlExtracted(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_html_extract timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.operators.TextAnalysis.HtmlExtractSql),
+    ),
     // continuous MULTIMODAL intake: the media drop directory streamed
     // with binaryFile, EXIF extracted statelessly per arriving file
     // (streaming/MediaIntake — the image-side ReportFileIntake).

@@ -963,35 +963,68 @@ object TextAnalysis extends QueryModule {
     // bodies, or whitespace collapse reds out field-for-field.
     QueryDef(
       "t_html_extract",
+      (s, dir) =>
+        htmlExtracted(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(HtmlExtractSql),
+    ),
+    // the link-graph upstream stage: outbound hrefs from each page's
+    // <a> tags in the same single pass — what feeds d_link_authority's
+    // PageRank once a crawl is real. The builder plants one anchor per
+    // paragraph closed-form, so the oracle recomputes the full ordered
+    // link list from (doc_id, word count) alone; joined to one string
+    // because the driver's pandas gate can't sort array cells.
+    QueryDef(
+      "t_html_links",
       (s, dir) => {
-        import org.apache.spark.sql.Row
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("title", StringType),
-          StructField("text_out", StringType),
-          StructField("n_paragraphs", IntegerType)))
-        val rdd = Tables(s, dir).documents.select(col("doc_id"), col("text")).rdd
-          .mapPartitions(_.map { r =>
-            val d = r.getLong(0)
-            val page = graft.functions.HtmlText.syntheticHtml(d, r.getString(1))
-            graft.functions.HtmlText.extract(page) match {
-              case Some(e) => Row(d, e.title, e.text, e.nParagraphs)
-              case None => Row(d, "", "", 0)
-            }
-          })
-        s.createDataFrame(rdd, schema).orderBy("doc_id")
+        import s.implicits._
+        Tables(s, dir).documents.select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (d, text) =>
+            val e = graft.functions.HtmlText
+              .extract(graft.functions.HtmlText.syntheticHtml(d, text)).get
+            (d, e.links.length, e.links.mkString(" "))
+          }.toDF("doc_id", "n_links", "links_joined")
+          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-             | array_to_string(list_concat(
-             |   list_filter(string_split(text, ' '), w -> w <> ''),
-             |   ['Tail', '&', '@', '<end>']), ' ') AS text_out,
              | CAST(ceil(CAST(length(list_filter(string_split(text, ' '), w -> w <> ''))
-             |   AS DOUBLE) / 10) AS INT) + 1 AS n_paragraphs
+             |   AS DOUBLE) / 10) AS INT) AS n_links,
+             | array_to_string(list_transform(
+             |   range(CAST(ceil(CAST(length(list_filter(string_split(text, ' '), w -> w <> ''))
+             |     AS DOUBLE) / 10) AS BIGINT)),
+             |   i -> 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.test/doc'
+             |     || CAST(doc_id AS VARCHAR) || '/p' || CAST(i AS VARCHAR)), ' ') AS links_joined
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
   )
+
+  /** Typed HTML-extraction projection shared by the batch entry
+    * (t_html_extract) and its streaming twin (st_html_extract): a
+    * stateless per-row map, so stream rows equal batch rows by
+    * construction.
+    */
+  private[graft] def htmlExtracted(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (d, text) =>
+        val e = graft.functions.HtmlText
+          .extract(graft.functions.HtmlText.syntheticHtml(d, text)).get
+        (d, e.title, e.text, e.nParagraphs)
+      }.toDF("doc_id", "title", "text_out", "n_paragraphs")
+  }
+
+  /** DuckDB twin of [[htmlExtracted]] — shared by the batch entry and
+    * the streaming twin's oracle.
+    */
+  private[graft] val HtmlExtractSql: String =
+    """SELECT doc_id,
+      | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      | array_to_string(list_concat(
+      |   list_filter(string_split(text, ' '), w -> w <> ''),
+      |   ['Tail', '&', '@', '<end>']), ' ') AS text_out,
+      | CAST(ceil(CAST(length(list_filter(string_split(text, ' '), w -> w <> ''))
+      |   AS DOUBLE) / 10) AS INT) + 1 AS n_paragraphs
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** DSIR importance-weight frame shared by t_dsir_weight and
     * t_dsir_sample: (doc_id, n_tokens, logw_bits), unordered.

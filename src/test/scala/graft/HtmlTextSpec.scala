@@ -55,6 +55,24 @@ class HtmlTextSpec extends AnyFunSuite {
     }
   }
 
+  test("href extraction: quoted forms, body-only, missing-href anchors skipped") {
+    val h = "<head><a href='http://head.only/x'></a></head>" +
+      "<body><a href=\"http://a/1\">x</a> mid <a name='no-href'></a>" +
+      "<A HREF='http://a/2'></A><a href=broken></a></body>"
+    val e = HtmlText.extract(h).get
+    assert(e.links == Seq("http://a/1", "http://a/2")) // head + unquoted skipped
+    assert(e.text == "x mid")
+  }
+
+  test("syntheticHtml plants one anchor per paragraph, recoverable closed-form") {
+    val doc = (1 to 25).map(i => s"w$i").mkString(" ")
+    val e = HtmlText.extract(HtmlText.syntheticHtml(13L, doc)).get
+    assert(e.links == Seq("https://site3.test/doc13/p0",
+                          "https://site3.test/doc13/p1",
+                          "https://site3.test/doc13/p2"))
+    assert(HtmlText.extract(HtmlText.syntheticHtml(13L, "")).get.links.isEmpty)
+  }
+
   test("syntheticHtml round-trips: extraction is the closed-form of the words") {
     val doc = "alpha beta  gamma <odd> & words " + (1 to 25).map(i => s"w$i").mkString(" ")
     val e = HtmlText.extract(HtmlText.syntheticHtml(42L, doc)).get
