@@ -40,7 +40,13 @@ object MediaIntake {
     val marker = new java.io.File(root, s"_READY_$n")
     if (marker.exists()) return
     root.mkdirs()
-    root.listFiles().foreach(f => if (f.getName.startsWith("_READY_")) f.delete())
+    // stale markers AND stale payload files go: a regenerated base with
+    // fewer rows would otherwise leave orphan files the stream would
+    // happily emit as extra (gate-red) rows
+    root.listFiles().foreach { f =>
+      if (f.getName.startsWith("_READY_") || f.getName.endsWith(".jpg") ||
+          f.getName.endsWith(".tmp")) f.delete()
+    }
     media.select(col("doc_id"), col("payload")).foreachPartition {
       rows: java.util.Iterator[org.apache.spark.sql.Row] =>
         rows.forEachRemaining { r =>
