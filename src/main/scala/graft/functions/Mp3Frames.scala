@@ -42,11 +42,12 @@ object Mp3Frames {
   private def parseImpl(b: Array[Byte]): Option[Mp3] = {
     var pos = 0
     var hasId3 = false
-    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), size excludes the header
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); size excludes the
+    // 10-byte header but NOT the optional 10-byte footer (flag 0x10)
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
       if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None // non-syncsafe
-      pos = 10 + size
+      pos = 10 + size + (if ((u8(b, 5) & 0x10) != 0) 10 else 0)
       if (pos > b.length) return None
       hasId3 = true
     }
@@ -105,6 +106,17 @@ object Mp3Frames {
     var artist = ""
     var album = ""
     var pos = 10
+    // v2.4 extended header (flag 0x40): skip via its own syncsafe size,
+    // or the frame walk would misread its bytes as a frame header
+    if ((u8(b, 5) & 0x40) != 0) {
+      if (pos + 4 > end) return None
+      val esz = (u8(b, pos) << 21) | (u8(b, pos + 1) << 14) |
+                (u8(b, pos + 2) << 7) | u8(b, pos + 3)
+      if ((u8(b, pos) | u8(b, pos + 1) | u8(b, pos + 2) | u8(b, pos + 3)) >= 0x80)
+        return None
+      pos += esz // size field includes the whole extended header
+      if (pos > end) return None
+    }
     while (pos + 10 <= end && u8(b, pos) != 0) { // zero byte = padding
       val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val fsz = (u8(b, pos + 4) << 21) | (u8(b, pos + 5) << 14) |

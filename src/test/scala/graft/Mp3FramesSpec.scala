@@ -87,6 +87,33 @@ class Mp3FramesSpec extends AnyFunSuite {
     }
   }
 
+  test("ID3 footer and extended-header flags are honored, not desynced") {
+    val base = Mp3Frames.syntheticId3(Mp3Frames.Id3Tags("T", "A", "L")) ++
+      Mp3Frames.synthetic(2, 9, 0, padded = false, id3Bytes = 0)
+    // footer flag: tag body is followed by a 10-byte "3DI" footer
+    val withFooter = base.clone()
+    withFooter(5) = 0x10.toByte
+    val size = ((base(6) & 0x7f) << 21) | ((base(7) & 0x7f) << 14) |
+               ((base(8) & 0x7f) << 7) | (base(9) & 0x7f)
+    val footered = withFooter.take(10 + size) ++
+      "3DI".getBytes("ISO-8859-1") ++ Array.fill[Byte](7)(0) ++ // 10-byte footer
+      withFooter.drop(10 + size)
+    assert(Mp3Frames.parse(footered).exists(_.nFrames == 2))
+    // extended header: 6-byte minimal (size=6 syncsafe, 1 flag byte, 0 flags)
+    val tag = Mp3Frames.syntheticId3(Mp3Frames.Id3Tags("T2", "A2", "L2"))
+    val body = tag.drop(10)
+    val ext = Array[Byte](0, 0, 0, 6, 1, 0)
+    val newSize = body.length + ext.length
+    val rebuilt = tag.take(10) ++ ext ++ body
+    rebuilt(5) = 0x40.toByte
+    rebuilt(6) = ((newSize >> 21) & 0x7f).toByte
+    rebuilt(7) = ((newSize >> 14) & 0x7f).toByte
+    rebuilt(8) = ((newSize >> 7) & 0x7f).toByte
+    rebuilt(9) = (newSize & 0x7f).toByte
+    assert(Mp3Frames.parseId3Tags(rebuilt)
+      .contains(Mp3Frames.Id3Tags("T2", "A2", "L2")))
+  }
+
   test("m_id3_tags registry entry: every tag extracts with its frame count") {
     val s = SparkSpec.session
     val out = SparkEntry.queries("m_id3_tags")(s, "/root/testdata/sf0.001").collect()
