@@ -1,0 +1,131 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Dependency-free WARC 1.0 record handling — the crawl pipeline's
+  * actual front door: web corpora arrive as WARC files (ISO 28500,
+  * the Common Crawl container), each a concatenation of records
+  * ("WARC/1.0" header block, CRLF-separated named headers,
+  * Content-Length octets of payload, blank-line terminators). A
+  * response record's payload is a full HTTP message whose body is the
+  * page HTML that boilerplate removal then cleans.
+  *
+  * Parse walks records sequentially by declared Content-Length (never
+  * by scanning for magic inside payloads — a payload may legally
+  * contain "WARC/1.0"), skips non-response records (warcinfo,
+  * request, metadata), and splits the HTTP payload at its first blank
+  * line. Totality: malformed framing returns None for the whole blob
+  * (a torn file should be retried/quarantined, not half-ingested).
+  */
+object WarcRecords {
+
+  final case class Response(uri: String, status: Int, httpHeaders: String,
+                            body: Array[Byte])
+
+  /** All response records of one WARC blob; None on broken framing. */
+  def parse(b: Array[Byte]): Option[Seq[Response]] =
+    try parseImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i + 3 < until) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def parseImpl(b: Array[Byte]): Option[Seq[Response]] = {
+    val out = Seq.newBuilder[Response]
+    var pos = 0
+    var sawAny = false
+    while (pos < b.length) {
+      // record header block: "WARC/1.0\r\n" + headers + CRLFCRLF
+      if (pos + 10 > b.length ||
+          new String(b, pos, 8, UTF_8) != "WARC/1.0" ||
+          b(pos + 8) != '\r' || b(pos + 9) != '\n') return None
+      val hEnd = indexOfCrlfCrlf(b, pos + 10, b.length)
+      if (hEnd < 0) return None
+      val headers = new String(b, pos + 10, hEnd - pos - 10, UTF_8)
+      var warcType = ""
+      var uri = ""
+      var clen = -1L
+      headers.split("\r\n").foreach { line =>
+        val k = line.indexOf(':')
+        if (k > 0) {
+          val name = line.substring(0, k).trim.toLowerCase
+          val value = line.substring(k + 1).trim
+          name match {
+            case "warc-type" => warcType = value
+            case "warc-target-uri" => uri = value
+            case "content-length" =>
+              clen = try value.toLong catch { case _: NumberFormatException => -1L }
+            case _ => ()
+          }
+        }
+      }
+      if (clen < 0) return None
+      val payloadStart = hEnd + 4
+      val payloadEnd = payloadStart + clen
+      // two CRLFs terminate every record (ISO 28500 §4)
+      if (payloadEnd + 4 > b.length) return None
+      if (b(payloadEnd.toInt) != '\r' || b(payloadEnd.toInt + 1) != '\n' ||
+          b(payloadEnd.toInt + 2) != '\r' || b(payloadEnd.toInt + 3) != '\n')
+        return None
+      if (warcType.equalsIgnoreCase("response")) {
+        // payload is an HTTP message: status line + headers, CRLFCRLF, body
+        val hhEnd = indexOfCrlfCrlf(b, payloadStart.toInt, payloadEnd.toInt)
+        if (hhEnd < 0) return None
+        val http = new String(b, payloadStart.toInt, hhEnd - payloadStart.toInt, UTF_8)
+        val statusLine = http.takeWhile(_ != '\r')
+        val parts = statusLine.split(" ")
+        if (parts.length < 2 || !parts(0).startsWith("HTTP/")) return None
+        val status = try parts(1).toInt catch { case _: NumberFormatException => return None }
+        val body = java.util.Arrays.copyOfRange(b, hhEnd + 4, payloadEnd.toInt)
+        out += Response(uri, status, http, body)
+      }
+      sawAny = true
+      pos = (payloadEnd + 4).toInt
+    }
+    if (!sawAny) None else Some(out.result())
+  }
+
+  /** One WARC blob from (doc_id, html) pages: a warcinfo record then
+    * one HTTP-response record per page, with the closed-form URI
+    * scheme the oracle recomputes. Framing is byte-exact ISO 28500 —
+    * [[parse]] and independent header checks in the spec both walk it.
+    */
+  def build(pages: Seq[(Long, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+      out.write("WARC/1.0\r\n".getBytes(UTF_8))
+      (headers :+ ("Content-Length" -> payload.length.toString)).foreach {
+        case (k, v) => out.write(s"$k: $v\r\n".getBytes(UTF_8))
+      }
+      out.write("\r\n".getBytes(UTF_8))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes(UTF_8))
+    }
+    record(
+      Seq("WARC-Type" -> "warcinfo",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "Content-Type" -> "application/warc-fields"),
+      "software: graft-crawler/1.0\r\n".getBytes(UTF_8))
+    pages.foreach { case (d, html) =>
+      val body = html.getBytes(UTF_8)
+      val http = (s"HTTP/1.1 200 OK\r\n" +
+        s"Content-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8)
+      record(
+        Seq("WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"https://site${d % 5}.test/doc$d",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "WARC-Record-ID" -> s"<urn:uuid:doc-$d>",
+            "Content-Type" -> "application/http;msgtype=response"),
+        http ++ body)
+    }
+    out.toByteArray
+  }
+}

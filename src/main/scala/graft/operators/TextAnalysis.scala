@@ -995,6 +995,48 @@ object TextAnalysis extends QueryModule {
              |     || CAST(doc_id AS VARCHAR) || '/p' || CAST(i AS VARCHAR)), ' ') AS links_joined
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+    // the crawl front door: pages packed into real WARC 1.0 blobs
+    // (ISO 28500 — the Common Crawl container; warcinfo record + one
+    // HTTP-response record per page, 25 pages per file so blob size is
+    // BOUNDED at any corpus scale), then parsed back record-by-record
+    // and the HTML bodies boilerplate-stripped — the full
+    // WARC → HTTP → HTML → text chain in one distributed pass. The
+    // oracle recomputes URI/status/title/word-count closed-form, so a
+    // framing error in either the record walk or the HTTP split reds
+    // out; WarcRecordsSpec walks the bytes independently of parse().
+    QueryDef(
+      "p_warc_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir).documents
+          .select((col("doc_id") / 25).cast("long").as("bucket"),
+                  col("doc_id"), col("text"))
+          .groupBy("bucket")
+          .agg(sort_array(collect_list(struct(
+            col("doc_id").as("_1"), col("text").as("_2")))).as("pages"))
+          .as[(Long, Seq[(Long, String)])]
+          .flatMap { case (_, pages) =>
+            val blob = graft.functions.WarcRecords.build(
+              pages.map { case (d, t) =>
+                (d, graft.functions.HtmlText.syntheticHtml(d, t)) })
+            graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty).map { r =>
+              val e = graft.functions.HtmlText.extract(
+                new String(r.body, java.nio.charset.StandardCharsets.UTF_8)).get
+              val d = r.uri.substring(r.uri.lastIndexOf("doc") + 3).toLong
+              (d, r.uri, r.status, e.title, e.text.split(" ").length)
+            }
+          }.toDF("doc_id", "url", "http_status", "title", "n_words")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.test/doc'
+             |   || CAST(doc_id AS VARCHAR) AS url,
+             | CAST(200 AS INT) AS http_status,
+             | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             | CAST(length(list_filter(string_split(text, ' '), w -> w <> '')) + 4
+             |   AS INT) AS n_words
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Typed HTML-extraction projection shared by the batch entry

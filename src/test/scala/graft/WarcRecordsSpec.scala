@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.functions.WarcRecords
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC framing: round-trips, an independent hand-walk of the bytes,
+  * length-driven (not magic-scanning) record advance, skip rules, and
+  * totality on torn files.
+  */
+class WarcRecordsSpec extends AnyFunSuite {
+
+  test("build + parse round-trips pages with exact bodies") {
+    val pages = Seq(1L -> "<body>one</body>", 7L -> "<body>seven &amp; more</body>")
+    val rs = WarcRecords.parse(WarcRecords.build(pages)).get
+    assert(rs.length == 2) // warcinfo skipped
+    assert(rs.map(_.uri) == Seq("https://site1.test/doc1", "https://site2.test/doc7"))
+    assert(rs.forall(_.status == 200))
+    assert(new String(rs(1).body, UTF_8) == "<body>seven &amp; more</body>")
+  }
+
+  test("independent byte walk: framing fields are real ISO 28500") {
+    val blob = WarcRecords.build(Seq(3L -> "<body>x</body>"))
+    val s = new String(blob, UTF_8)
+    assert(s.startsWith("WARC/1.0\r\n"))
+    // find the response record and hand-verify its Content-Length
+    val respAt = s.indexOf("WARC-Type: response")
+    assert(respAt > 0)
+    val recStart = s.lastIndexOf("WARC/1.0\r\n", respAt)
+    val hEnd = s.indexOf("\r\n\r\n", recStart)
+    val headers = s.substring(recStart, hEnd)
+    val clen = headers.split("\r\n").find(_.startsWith("Content-Length:"))
+      .get.split(":")(1).trim.toInt
+    val payload = s.substring(hEnd + 4, hEnd + 4 + clen)
+    assert(payload.startsWith("HTTP/1.1 200 OK\r\n"))
+    assert(payload.endsWith("<body>x</body>"))
+    assert(s.substring(hEnd + 4 + clen).startsWith("\r\n\r\n"))
+    // the HTTP Content-Length matches the body bytes
+    val httpClen = payload.split("\r\n").find(_.startsWith("Content-Length:"))
+      .get.split(":")(1).trim.toInt
+    assert(httpClen == "<body>x</body>".getBytes(UTF_8).length)
+  }
+
+  test("record advance is length-driven: payloads containing the magic don't resync") {
+    val tricky = "<body>WARC/1.0 fake\r\n\r\nrecord inside text</body>"
+    val rs = WarcRecords.parse(WarcRecords.build(Seq(9L -> tricky))).get
+    assert(rs.length == 1)
+    assert(new String(rs.head.body, UTF_8) == tricky)
+  }
+
+  test("non-response records are skipped, not misparsed") {
+    val meta = ("WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 4\r\n\r\n" +
+      "abcd\r\n\r\n").getBytes(UTF_8)
+    val blob = meta ++ WarcRecords.build(Seq(2L -> "<body>y</body>"))
+    val rs = WarcRecords.parse(blob).get
+    assert(rs.length == 1 && rs.head.uri.endsWith("doc2"))
+  }
+
+  test("torn framing returns None, never a partial ingest") {
+    val blob = WarcRecords.build(Seq(1L -> "<body>z</body>", 2L -> "<body>w</body>"))
+    for (cut <- Seq(4, 40, blob.length / 2, blob.length - 2))
+      assert(WarcRecords.parse(java.util.Arrays.copyOf(blob, cut)).isEmpty, s"cut=$cut")
+    val badLen = new String(blob, UTF_8)
+      .replaceFirst("Content-Length: [0-9]+", "Content-Length: nope").getBytes(UTF_8)
+    assert(WarcRecords.parse(badLen).isEmpty)
+    assert(WarcRecords.parse("not a warc".getBytes(UTF_8)).isEmpty)
+    assert(WarcRecords.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("p_warc_extract registry entry: the full chain lands on every page") {
+    val s = SparkSpec.session
+    val out = SparkEntry.queries("p_warc_extract")(s, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getInt(2) == 200))
+    assert(out.forall(r => r.getString(3) == s"Doc ${r.getLong(0)}"))
+  }
+}
