@@ -449,6 +449,28 @@ object Streaming extends QueryModule {
       },
       Some(graft.operators.TextAnalysis.HtmlExtractSql),
     ),
+    // continuous CRAWL ingestion: .warc files stream from the drop
+    // directory (the shape a fetcher fleet produces) and every record
+    // flows WARC -> HTTP -> HTML -> text statelessly; shares
+    // p_warc_extract's closed-form oracle, so the STREAM output is
+    // itself hash-gated end to end.
+    QueryDef(
+      "st_warc_extract",
+      (s, dir) => {
+        val drop = s"/tmp/graft_warc_drop/${new java.io.File(dir).getName}"
+        graft.streaming.MediaIntake.materializeWarcDir(
+          graft.operators.TextAnalysis.warcBlobs(Tables(s, dir).documents), drop)
+        val name = s"st_warc_${System.nanoTime()}"
+        val q = graft.streaming.MediaIntake.warcStream(s, drop)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_warc_extract timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.operators.TextAnalysis.WarcExtractSql),
+    ),
     // continuous MULTIMODAL intake: the media drop directory streamed
     // with binaryFile, EXIF extracted statelessly per arriving file
     // (streaming/MediaIntake — the image-side ReportFileIntake).

@@ -1008,36 +1008,60 @@ object TextAnalysis extends QueryModule {
       "p_warc_extract",
       (s, dir) => {
         import s.implicits._
-        Tables(s, dir).documents
-          .select((col("doc_id") / 25).cast("long").as("bucket"),
-                  col("doc_id"), col("text"))
-          .groupBy("bucket")
-          .agg(sort_array(collect_list(struct(
-            col("doc_id").as("_1"), col("text").as("_2")))).as("pages"))
-          .as[(Long, Seq[(Long, String)])]
-          .flatMap { case (_, pages) =>
-            val blob = graft.functions.WarcRecords.build(
-              pages.map { case (d, t) =>
-                (d, graft.functions.HtmlText.syntheticHtml(d, t)) })
-            graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty).map { r =>
-              val e = graft.functions.HtmlText.extract(
-                new String(r.body, java.nio.charset.StandardCharsets.UTF_8)).get
-              val d = r.uri.substring(r.uri.lastIndexOf("doc") + 3).toLong
-              (d, r.uri, r.status, e.title, e.text.split(" ").length)
-            }
+        warcBlobs(Tables(s, dir).documents)
+          .flatMap { case (_, blob) =>
+            graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty)
+              .map(warcPageRow)
           }.toDF("doc_id", "url", "http_status", "title", "n_words")
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id,
-             | 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.test/doc'
-             |   || CAST(doc_id AS VARCHAR) AS url,
-             | CAST(200 AS INT) AS http_status,
-             | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-             | CAST(length(list_filter(string_split(text, ' '), w -> w <> '')) + 4
-             |   AS INT) AS n_words
-             |FROM documents ORDER BY doc_id""".stripMargin),
+      Some(WarcExtractSql),
     ),
   )
+
+  /** Documents packed into bounded WARC blobs (25 pages per file) —
+    * shared by the batch extractor and the streaming drop-dir twin's
+    * file materializer.
+    */
+  private[graft] def warcBlobs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select((col("doc_id") / 25).cast("long").as("bucket"),
+              col("doc_id"), col("text"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("_1"), col("text").as("_2")))).as("pages"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (bucket, pages) =>
+        bucket -> graft.functions.WarcRecords.build(
+          pages.map { case (d, t) =>
+            (d, graft.functions.HtmlText.syntheticHtml(d, t)) })
+      }
+  }
+
+  /** One output row from a parsed WARC response (doc_id recovered from
+    * the URI, body boilerplate-stripped) — shared batch/stream.
+    */
+  private[graft] def warcPageRow(r: graft.functions.WarcRecords.Response): (Long, String, Int, String, Int) = {
+    val e = graft.functions.HtmlText.extract(
+      new String(r.body, java.nio.charset.StandardCharsets.UTF_8)).get
+    val d = r.uri.substring(r.uri.lastIndexOf("doc") + 3).toLong
+    (d, r.uri, r.status, e.title, e.text.split(" ").length)
+  }
+
+  /** DuckDB twin of the WARC→HTTP→HTML chain — shared by the batch
+    * entry and the streaming twin's oracle.
+    */
+  private[graft] val WarcExtractSql: String =
+    """SELECT doc_id,
+      | 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.test/doc'
+      |   || CAST(doc_id AS VARCHAR) AS url,
+      | CAST(200 AS INT) AS http_status,
+      | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      | CAST(length(list_filter(string_split(text, ' '), w -> w <> '')) + 4
+      |   AS INT) AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Typed HTML-extraction projection shared by the batch entry
     * (t_html_extract) and its streaming twin (st_html_extract): a

@@ -68,6 +68,60 @@ object MediaIntake {
       .load(dropDir)
       .select(col("path"), col("content"))
 
+  /** One page row of the streaming WARC chain — column-for-column the
+    * p_warc_extract frame so the stream shares its closed-form oracle.
+    */
+  final case class WarcPage(doc_id: Long, url: String, http_status: Int,
+                            title: String, n_words: Int)
+
+  /** Materialize (bucket, warcBlob) rows as one `.warc` file per
+    * bucket — executor-side, marker-guarded like the media dir.
+    */
+  def materializeWarcDir(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+                         dir: String): Unit = {
+    val n = blobs.count()
+    val root = new java.io.File(dir)
+    val marker = new java.io.File(root, s"_READY_$n")
+    if (marker.exists()) return
+    root.mkdirs()
+    root.listFiles().foreach { f =>
+      if (f.getName.startsWith("_READY_") || f.getName.endsWith(".warc") ||
+          f.getName.endsWith(".tmp")) f.delete()
+    }
+    blobs.foreachPartition { rows: Iterator[(Long, Array[Byte])] =>
+      rows.foreach { case (bucket, blob) =>
+        val f = new java.io.File(dir, s"part_$bucket.warc")
+        val tmp = new java.io.File(dir, s".part_$bucket.warc.tmp")
+        java.nio.file.Files.write(tmp.toPath, blob)
+        tmp.renameTo(f)
+      }
+    }
+    marker.createNewFile()
+    ()
+  }
+
+  /** Continuous CRAWL ingestion: `.warc` files land in the drop dir
+    * (the shape a fetcher fleet actually produces) and every record
+    * flows WARC → HTTP → HTML → text statelessly — one flatMap per
+    * file, no state store, no watermark. A torn file yields zero rows
+    * (WarcRecords.parse's all-or-nothing contract) instead of a
+    * partial ingest.
+    */
+  def warcStream(spark: SparkSession, dropDir: String): Dataset[WarcPage] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc")
+      .load(dropDir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.functions.WarcRecords.parse(bytes).getOrElse(Seq.empty).map { r =>
+          val row = graft.operators.TextAnalysis.warcPageRow(r)
+          WarcPage(row._1, row._2, row._3, row._4, row._5)
+        }
+      }
+  }
+
   /** Stateless EXIF extraction over the arriving files; doc_id comes
     * from the file name, files without parseable EXIF are skipped (the
     * gate's full-row-set compare then surfaces any skip as missing).

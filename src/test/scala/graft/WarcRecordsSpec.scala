@@ -67,6 +67,16 @@ class WarcRecordsSpec extends AnyFunSuite {
     assert(WarcRecords.parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("st_warc_extract: the drop-dir stream lands on the batch rows exactly") {
+    val s = SparkSpec.session
+    val streamed = SparkEntry.queries("st_warc_extract")(s, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("p_warc_extract")(s, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("p_warc_extract registry entry: the full chain lands on every page") {
     val s = SparkSpec.session
     val out = SparkEntry.queries("p_warc_extract")(s, "/root/testdata/sf0.001").collect()
