@@ -92,6 +92,57 @@ object WarcRecords {
     if (!sawAny) None else Some(out.result())
   }
 
+  /** Parse a `.warc.gz` blob — the form Common Crawl actually ships:
+    * each record is its OWN gzip member (concatenated members), which
+    * is what lets a cluster range-read single records out of a
+    * petabyte archive. Java's GZIPInputStream consumes concatenated
+    * members transparently, so decode-side the stream inflates to the
+    * plain record sequence; None on corrupt gzip framing, then the
+    * same all-or-nothing record walk.
+    */
+  def parseGz(b: Array[Byte]): Option[Seq[Response]] = {
+    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
+    val inflated =
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    parse(inflated)
+  }
+
+  /** Detect plain vs gzip framing and parse accordingly. */
+  def parseAny(b: Array[Byte]): Option[Seq[Response]] =
+    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) parseGz(b)
+    else parse(b)
+
+  /** [[build]]'s `.warc.gz` twin: one gzip MEMBER per record (the
+    * member boundary IS the record boundary — Common Crawl's layout).
+    */
+  def buildGz(pages: Seq[(Long, String)]): Array[Byte] = {
+    val plain = build(pages)
+    // re-walk the plain records to emit one member each — reuses the
+    // single framing implementation rather than duplicating it
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < plain.length) {
+      val hEnd = indexOfCrlfCrlf(plain, pos, plain.length)
+      val headers = new String(plain, pos, hEnd - pos, UTF_8)
+      val clen = headers.split("\r\n").find(_.toLowerCase.startsWith("content-length"))
+        .get.split(":")(1).trim.toInt
+      val recEnd = hEnd + 4 + clen + 4
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(plain, pos, recEnd - pos)
+      gz.finish()
+      pos = recEnd
+    }
+    out.toByteArray
+  }
+
   /** One WARC blob from (doc_id, html) pages: a warcinfo record then
     * one HTTP-response record per page, with the closed-form URI
     * scheme the oracle recomputes. Framing is byte-exact ISO 28500 —

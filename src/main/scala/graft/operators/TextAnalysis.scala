@@ -1017,13 +1017,31 @@ object TextAnalysis extends QueryModule {
       },
       Some(WarcExtractSql),
     ),
+    // the same chain over .warc.gz — Common Crawl's ACTUAL shipping
+    // form (one gzip member per record, so single records range-read
+    // out of a petabyte archive); same closed-form oracle, so the
+    // member framing and multi-member inflate are both hash-gated
+    QueryDef(
+      "p_warc_gz",
+      (s, dir) => {
+        import s.implicits._
+        warcBlobs(Tables(s, dir).documents, gz = true)
+          .flatMap { case (_, blob) =>
+            graft.functions.WarcRecords.parseAny(blob).getOrElse(Seq.empty)
+              .map(warcPageRow)
+          }.toDF("doc_id", "url", "http_status", "title", "n_words")
+          .orderBy("doc_id")
+      },
+      Some(WarcExtractSql),
+    ),
   )
 
   /** Documents packed into bounded WARC blobs (25 pages per file) —
     * shared by the batch extractor and the streaming drop-dir twin's
     * file materializer.
     */
-  private[graft] def warcBlobs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+  private[graft] def warcBlobs(docs: org.apache.spark.sql.DataFrame,
+                               gz: Boolean = false): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -1034,9 +1052,10 @@ object TextAnalysis extends QueryModule {
         col("doc_id").as("_1"), col("text").as("_2")))).as("pages"))
       .as[(Long, Seq[(Long, String)])]
       .map { case (bucket, pages) =>
-        bucket -> graft.functions.WarcRecords.build(
-          pages.map { case (d, t) =>
-            (d, graft.functions.HtmlText.syntheticHtml(d, t)) })
+        val html = pages.map { case (d, t) =>
+          (d, graft.functions.HtmlText.syntheticHtml(d, t)) }
+        bucket -> (if (gz) graft.functions.WarcRecords.buildGz(html)
+                   else graft.functions.WarcRecords.build(html))
       }
   }
 

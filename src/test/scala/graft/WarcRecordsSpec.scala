@@ -67,6 +67,38 @@ class WarcRecordsSpec extends AnyFunSuite {
     assert(WarcRecords.parse(Array.emptyByteArray).isEmpty)
   }
 
+  test(".warc.gz: one gzip member per record, inflates to the same records") {
+    val pages = Seq(1L -> "<body>one</body>", 2L -> "<body>two</body>")
+    val gz = WarcRecords.buildGz(pages)
+    // member count == record count (warcinfo + 2 responses): each
+    // member opens with its own gzip magic
+    var members = 0
+    for (i <- 0 until gz.length - 1)
+      if ((gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b) members += 1
+    assert(members == 3)
+    val rs = WarcRecords.parseAny(gz).get
+    assert(rs.map(_.uri) == WarcRecords.parseAny(WarcRecords.build(pages)).get.map(_.uri))
+    // a single member really is one standalone record: inflate just it
+    val secondMember = {
+      var idx = -1
+      var count = 0
+      var i = 1
+      while (idx < 0 && i < gz.length - 1) {
+        if ((gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b) {
+          count += 1
+          if (count == 1) idx = i // first member AFTER the warcinfo one
+        }
+        i += 1
+      }
+      java.util.Arrays.copyOfRange(gz, idx, gz.length)
+    }
+    assert(WarcRecords.parseGz(secondMember).get.nonEmpty)
+    // corrupt gzip framing: None, not a throw
+    val bad = gz.clone(); bad(10) = (bad(10) ^ 0x55).toByte
+    WarcRecords.parseGz(bad) // totality
+    assert(WarcRecords.parseGz("plain".getBytes(UTF_8)).isEmpty)
+  }
+
   test("st_warc_extract: the drop-dir stream lands on the batch rows exactly") {
     val s = SparkSpec.session
     val streamed = SparkEntry.queries("st_warc_extract")(s, "/root/testdata/sf0.001")
