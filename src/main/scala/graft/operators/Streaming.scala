@@ -449,8 +449,9 @@ object Streaming extends QueryModule {
       },
       Some(graft.operators.TextAnalysis.HtmlExtractSql),
     ),
-    // continuous CRAWL ingestion: .warc files stream from the drop
-    // directory (the shape a fetcher fleet produces) and every record
+    // continuous CRAWL ingestion: .warc.gz files stream from the drop
+    // directory (Common Crawl's shipping form, one gzip member per
+    // record) and every record
     // flows WARC -> HTTP -> HTML -> text statelessly; shares
     // p_warc_extract's closed-form oracle, so the STREAM output is
     // itself hash-gated end to end.
@@ -459,7 +460,8 @@ object Streaming extends QueryModule {
       (s, dir) => {
         val drop = s"/tmp/graft_warc_drop/${new java.io.File(dir).getName}"
         graft.streaming.MediaIntake.materializeWarcDir(
-          graft.operators.TextAnalysis.warcBlobs(Tables(s, dir).documents), drop)
+          graft.operators.TextAnalysis.warcBlobs(Tables(s, dir).documents,
+            gz = true), drop)
         val name = s"st_warc_${System.nanoTime()}"
         val q = graft.streaming.MediaIntake.warcStream(s, drop)
           .writeStream.format("memory").queryName(name)

@@ -86,12 +86,12 @@ object MediaIntake {
     root.mkdirs()
     root.listFiles().foreach { f =>
       if (f.getName.startsWith("_READY_") || f.getName.endsWith(".warc") ||
-          f.getName.endsWith(".tmp")) f.delete()
+          f.getName.endsWith(".warc.gz") || f.getName.endsWith(".tmp")) f.delete()
     }
     blobs.foreachPartition { rows: Iterator[(Long, Array[Byte])] =>
       rows.foreach { case (bucket, blob) =>
-        val f = new java.io.File(dir, s"part_$bucket.warc")
-        val tmp = new java.io.File(dir, s".part_$bucket.warc.tmp")
+        val f = new java.io.File(dir, s"part_$bucket.warc.gz")
+        val tmp = new java.io.File(dir, s".part_$bucket.warc.gz.tmp")
         java.nio.file.Files.write(tmp.toPath, blob)
         tmp.renameTo(f)
       }
@@ -100,8 +100,9 @@ object MediaIntake {
     ()
   }
 
-  /** Continuous CRAWL ingestion: `.warc` files land in the drop dir
-    * (the shape a fetcher fleet actually produces) and every record
+  /** Continuous CRAWL ingestion: `.warc.gz` files land in the drop
+    * dir (Common Crawl's actual shipping form — one gzip member per
+    * record; plain `.warc` is accepted too) and every record
     * flows WARC → HTTP → HTML → text statelessly — one flatMap per
     * file, no state store, no watermark. A torn file yields zero rows
     * (WarcRecords.parse's all-or-nothing contract) instead of a
@@ -111,11 +112,11 @@ object MediaIntake {
     import spark.implicits._
     spark.readStream.format("binaryFile")
       .schema(binarySchema)
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.warc*")
       .load(dropDir)
       .select(col("content")).as[Array[Byte]]
       .flatMap { bytes =>
-        graft.functions.WarcRecords.parse(bytes).getOrElse(Seq.empty).map { r =>
+        graft.functions.WarcRecords.parseAny(bytes).getOrElse(Seq.empty).map { r =>
           val row = graft.operators.TextAnalysis.warcPageRow(r)
           WarcPage(row._1, row._2, row._3, row._4, row._5)
         }
