@@ -80,6 +80,7 @@ object ExifMeta {
     var make = ""
     var model = ""
     var orientation = 0
+    var sawOrientation = false // absent tag defaults to 1 (TIFF 6.0); a PRESENT out-of-range value is refused
     var dateTime = ""
     var iso = 0
     var expNum = 0
@@ -111,7 +112,8 @@ object ExifMeta {
         tag match {
           case 0x010f if typ == 2 && !isExifIfd => make = ascii(entry, count)
           case 0x0110 if typ == 2 && !isExifIfd => model = ascii(entry, count)
-          case 0x0112 if typ == 3 && !isExifIfd => orientation = u16(entry + 8)
+          case 0x0112 if typ == 3 && !isExifIfd =>
+            orientation = u16(entry + 8); sawOrientation = true
           case 0x0132 if typ == 2 && !isExifIfd => dateTime = ascii(entry, count)
           case 0x8769 if typ == 4 && !isExifIfd =>
             val sub = u32(entry + 8)
@@ -129,6 +131,10 @@ object ExifMeta {
       true
     }
     if (!walkIfd(ifd0, isExifIfd = false)) return None
+    // Orientation is OPTIONAL in real-world EXIF: absent means the
+    // spec default 1 (top-left). Only a PRESENT tag with a value
+    // outside 1..8 is a malformed stream worth refusing.
+    if (!sawOrientation) orientation = 1
     if (orientation < 1 || orientation > 8) return None
     Some(Exif(if (big) "MM" else "II", make, model, orientation, dateTime,
               iso, expNum, expDen))

@@ -98,6 +98,11 @@ object Mp3Frames {
 
   private def parseId3Impl(b: Array[Byte]): Option[Id3Tags] = {
     if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return None
+    // only v2.4 is in scope: v2.3 frame sizes are NOT syncsafe, so
+    // walking them under v2.4 rules would desync past size-255 frames
+    // and return WRONG tag text instead of None. Refuse other majors
+    // (and the spec-forbidden 0xff in either version byte) up front.
+    if (u8(b, 3) != 4 || u8(b, 4) == 0xff) return None
     if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None
     val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
     val end = 10 + size

@@ -95,24 +95,78 @@ object WarcRecords {
   /** Parse a `.warc.gz` blob — the form Common Crawl actually ships:
     * each record is its OWN gzip member (concatenated members), which
     * is what lets a cluster range-read single records out of a
-    * petabyte archive. Java's GZIPInputStream consumes concatenated
-    * members transparently, so decode-side the stream inflates to the
-    * plain record sequence; None on corrupt gzip framing, then the
-    * same all-or-nothing record walk.
+    * petabyte archive. Members are inflated ONE BY ONE (not via
+    * GZIPInputStream over the whole buffer, which silently treats a
+    * garbled mid-archive member header as "trailing garbage" and ends
+    * the stream — a silent partial ingest): every input byte must
+    * belong to a structurally valid member whose CRC32 + ISIZE
+    * trailer verifies, or the whole blob is None. Then the same
+    * all-or-nothing record walk.
     */
-  def parseGz(b: Array[Byte]): Option[Seq[Response]] = {
-    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
-    val inflated =
+  def parseGz(b: Array[Byte]): Option[Seq[Response]] =
+    inflateMembers(b).flatMap(parse)
+
+  /** Inflate a concatenation of gzip members (RFC 1952), all-or-
+    * nothing: None unless the ENTIRE buffer is consumed as valid
+    * members — header structure, reserved FLG bits, per-member CRC32
+    * and ISIZE all checked. `Inflater.getBytesRead` locates each
+    * member's trailer so a corrupt later member can never be
+    * mistaken for trailing garbage.
+    */
+  private[graft] def inflateMembers(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length == 0) return None
+    def u32le(at: Int): Long =
+      (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+      ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < b.length) {
+      // member header (RFC 1952 §2.3): magic, CM=deflate, known FLG bits
+      if (pos + 10 > b.length || (b(pos) & 0xff) != 0x1f ||
+          (b(pos + 1) & 0xff) != 0x8b || (b(pos + 2) & 0xff) != 8) return None
+      val flg = b(pos + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved bits must be zero
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        if (p + 2 > b.length) return None
+        p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+        if (p > b.length) return None
+      }
+      if ((flg & 8) != 0) { // FNAME: NUL-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 2) != 0) { p += 2; if (p > b.length) return None } // FHCRC
+      // raw deflate stream; getBytesRead pins the trailer position
+      val inf = new java.util.zip.Inflater(true)
       try {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(b))
-        val out = new java.io.ByteArrayOutputStream()
+        inf.setInput(b, p, b.length - p)
+        val crc = new java.util.zip.CRC32()
         val buf = new Array[Byte](65536)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
-      } catch { case scala.util.control.NonFatal(_) => return None }
-    parse(inflated)
+        var size = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (n == 0 && !inf.finished()) return None // truncated member
+          crc.update(buf, 0, n)
+          out.write(buf, 0, n)
+          size += n
+        }
+        val trailer = p + inf.getBytesRead.toInt
+        if (trailer + 8 > b.length) return None
+        if (u32le(trailer) != crc.getValue) return None
+        if (u32le(trailer + 4) != (size & 0xffffffffL)) return None
+        pos = trailer + 8
+      } finally inf.end()
+    }
+    Some(out.toByteArray)
   }
 
   /** Detect plain vs gzip framing and parse accordingly. */
@@ -135,9 +189,13 @@ object WarcRecords {
       val clen = headers.split("\r\n").find(_.toLowerCase.startsWith("content-length"))
         .get.split(":")(1).trim.toInt
       val recEnd = hEnd + 4 + clen + 4
-      val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(plain, pos, recEnd - pos)
-      gz.finish()
+      // per-member stream closed via try/finally: close() ends the
+      // Deflater's native buffer (finish() alone leaks it until GC)
+      val mem = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(mem)
+      try { gz.write(plain, pos, recEnd - pos); gz.finish() }
+      finally gz.close()
+      mem.writeTo(out)
       pos = recEnd
     }
     out.toByteArray

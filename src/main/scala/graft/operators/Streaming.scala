@@ -461,7 +461,7 @@ object Streaming extends QueryModule {
         val drop = s"/tmp/graft_warc_drop/${new java.io.File(dir).getName}"
         graft.streaming.MediaIntake.materializeWarcDir(
           graft.operators.TextAnalysis.warcBlobs(Tables(s, dir).documents,
-            gz = true), drop)
+            gz = true), drop, graft.ScaleDemo.baseFingerprint(dir))
         val name = s"st_warc_${System.nanoTime()}"
         val q = graft.streaming.MediaIntake.warcStream(s, drop)
           .writeStream.format("memory").queryName(name)

@@ -387,10 +387,12 @@ object TextAnalysis extends QueryModule {
           "zh" -> Seq("zh0", "zh1", "zh2"),
         )
         val scored = profiles.foldLeft(d.select(col("doc_id"), col("lang"),
-            expr("split(text, ' ')").as("ws"))) { case (df, (l, words)) =>
-          val inList = words.map(w => s"'$w'").mkString("(", ",", ")")
+            split(col("text"), " ").as("ws"))) { case (df, (l, words)) =>
+          // typed literals via isInCollection — no string splicing into
+          // SQL text, so profile words can never be injection-shaped
           df.withColumn(s"score_$l",
-            expr(s"CAST(size(filter(ws, w -> w IN $inList)) AS DOUBLE) / size(ws)"))
+            size(filter(col("ws"), w => w.isInCollection(words)))
+              .cast("double") / size(col("ws")))
         }
         val best = profiles.keys.toSeq.sorted
           .map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))

@@ -53,7 +53,10 @@ object MediaIntake {
           val f = new java.io.File(dir, s"doc_${r.getLong(0)}.jpg")
           val tmp = new java.io.File(dir, s".doc_${r.getLong(0)}.jpg.tmp")
           java.nio.file.Files.write(tmp.toPath, r.getAs[Array[Byte]](1))
-          tmp.renameTo(f) // atomic publish: the stream never sees a torn file
+          // atomic publish (THROWS on failure — File.renameTo returns a
+          // silently-ignorable boolean): the stream never sees a torn file
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
     }
     marker.createNewFile()
@@ -75,13 +78,23 @@ object MediaIntake {
                             title: String, n_words: Int)
 
   /** Materialize (bucket, warcBlob) rows as one `.warc` file per
-    * bucket — executor-side, marker-guarded like the media dir.
+    * bucket — executor-side, marker-guarded like the media dir, BUT
+    * keyed on a caller-supplied CONTENT fingerprint of the source
+    * corpus, not row count alone: WARC blob bytes depend on document
+    * TEXT (unlike the EXIF drop dir, whose payloads are a closed-form
+    * function of doc_id), so a regenerated corpus with identical
+    * counts but different text must invalidate the cache.
     */
   def materializeWarcDir(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
-                         dir: String): Unit = {
+                         dir: String, contentFingerprint: String): Unit = {
     val n = blobs.count()
+    val fp = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(contentFingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.take(6).map(b => f"${b & 0xff}%02x").mkString
+    }
     val root = new java.io.File(dir)
-    val marker = new java.io.File(root, s"_READY_$n")
+    val marker = new java.io.File(root, s"_READY_${n}_$fp")
     if (marker.exists()) return
     root.mkdirs()
     root.listFiles().foreach { f =>
@@ -93,7 +106,8 @@ object MediaIntake {
         val f = new java.io.File(dir, s"part_$bucket.warc.gz")
         val tmp = new java.io.File(dir, s".part_$bucket.warc.gz.tmp")
         java.nio.file.Files.write(tmp.toPath, blob)
-        tmp.renameTo(f)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
     marker.createNewFile()

@@ -77,6 +77,26 @@ class ExifMetaSpec extends AnyFunSuite {
     assert(ExifMeta.parse(ExifMeta.spliceApp1(jpeg(), bad)).isEmpty)
   }
 
+  test("a missing Orientation tag defaults to 1 (TIFF 6.0), not a refusal") {
+    // real-world EXIF routinely omits Orientation; retag the fixture's
+    // 0x0112 entry to an unknown id so the walk sees no orientation at
+    // all — the parse must still succeed with the spec default.
+    val app1 = ExifMeta.buildApp1(sample) // "II": tag bytes are LE
+    var i = 0
+    var patched = false
+    while (i + 3 < app1.length && !patched) {
+      if ((app1(i) & 0xff) == 0x12 && (app1(i + 1) & 0xff) == 0x01 &&
+          (app1(i + 2) & 0xff) == 0x03 && (app1(i + 3) & 0xff) == 0x00) {
+        app1(i) = 0xfe.toByte; app1(i + 1) = 0x00 // unknown tag -> skipped
+        patched = true
+      }
+      i += 1
+    }
+    assert(patched, "fixture layout drifted: no II orientation entry found")
+    val got = ExifMeta.parse(ExifMeta.spliceApp1(jpeg(), app1))
+    assert(got.contains(sample.copy(orientation = 1)))
+  }
+
   test("all 8 orientation transforms land every pixel where EXIF says") {
     // 2x3 single-channel raster: a b / c d / e f — hand-derived uprights
     val src = Array[Byte]('a', 'b', 'c', 'd', 'e', 'f')

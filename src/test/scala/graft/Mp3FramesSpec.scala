@@ -87,6 +87,19 @@ class Mp3FramesSpec extends AnyFunSuite {
     }
   }
 
+  test("ID3v2.3 and unknown majors are refused, not misdecoded") {
+    // v2.3 frame sizes are plain 32-bit, NOT syncsafe: walking them
+    // under v2.4 rules desyncs past size-255 frames and can return
+    // WRONG text. The refuse-don't-misdecode contract demands None.
+    val tag = Mp3Frames.syntheticId3(Mp3Frames.Id3Tags("T", "A", "L"))
+    val v23 = tag.clone(); v23(3) = 3
+    assert(Mp3Frames.parseId3Tags(v23).isEmpty)
+    val v22 = tag.clone(); v22(3) = 2
+    assert(Mp3Frames.parseId3Tags(v22).isEmpty)
+    val badRev = tag.clone(); badRev(4) = 0xff.toByte // spec-forbidden
+    assert(Mp3Frames.parseId3Tags(badRev).isEmpty)
+  }
+
   test("ID3 footer and extended-header flags are honored, not desynced") {
     val base = Mp3Frames.syntheticId3(Mp3Frames.Id3Tags("T", "A", "L")) ++
       Mp3Frames.synthetic(2, 9, 0, padded = false, id3Bytes = 0)

@@ -99,6 +99,34 @@ class WarcRecordsSpec extends AnyFunSuite {
     assert(WarcRecords.parseGz("plain".getBytes(UTF_8)).isEmpty)
   }
 
+  test(".warc.gz is all-or-nothing member-by-member: a torn LATER member reds the whole blob") {
+    // GZIPInputStream treats a garbled mid-archive member header as
+    // "trailing garbage" and silently ends the stream — which would
+    // turn a torn .warc.gz into a PARTIAL ingest. The member walk must
+    // refuse instead.
+    val gz = WarcRecords.buildGz(Seq(1L -> "<body>one</body>", 2L -> "<body>two</body>"))
+    // locate the second member's magic (first member after warcinfo)
+    var idx = -1; var count = 0; var i = 1
+    while (idx < 0 && i < gz.length - 1) {
+      if ((gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b) {
+        count += 1; if (count == 1) idx = i
+      }
+      i += 1
+    }
+    assert(idx > 0)
+    val torn = gz.clone(); torn(idx) = 0x00 // garble member 2's magic
+    assert(WarcRecords.parseGz(torn).isEmpty, "partial ingest slipped through")
+    // truncated final trailer: also None
+    assert(WarcRecords.parseGz(java.util.Arrays.copyOf(gz, gz.length - 3)).isEmpty)
+    // trailing garbage after the last member: also None
+    assert(WarcRecords.parseGz(gz ++ Array[Byte](1, 2, 3)).isEmpty)
+    // corrupted CRC in the final trailer: also None
+    val badCrc = gz.clone(); badCrc(gz.length - 8) = (badCrc(gz.length - 8) ^ 0x1).toByte
+    assert(WarcRecords.parseGz(badCrc).isEmpty)
+    // and the untouched blob still parses to all three records' pages
+    assert(WarcRecords.parseGz(gz).get.length == 2)
+  }
+
   test("st_warc_extract: the drop-dir stream lands on the batch rows exactly") {
     val s = SparkSpec.session
     val streamed = SparkEntry.queries("st_warc_extract")(s, "/root/testdata/sf0.001")
