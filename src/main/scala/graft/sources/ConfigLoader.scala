@@ -30,9 +30,13 @@ final case class ImapSettings(enabled: Boolean = false, host: String = "", port:
                               mailbox: String = "INBOX",
                               archiveMailbox: String = "DMARC-Archive",
                               deleteProcessed: Boolean = false, checkIntervalSec: Int = 300) {
-  /** The connection settings the intake client consumes. */
+  /** The connection settings the intake client consumes. `tls: true`
+    * (the reference's default — client.go dials tls.Dial when set)
+    * maps to implicit IMAPS.
+    */
   def toImapConfig: ImapConfig =
-    ImapConfig(host, port, username, password, mailbox, archiveMailbox, deleteProcessed)
+    ImapConfig(host, port, username, password, mailbox, archiveMailbox, deleteProcessed,
+      security = if (tls) ImapSecurity.Imaps else ImapSecurity.Plaintext)
 }
 
 final case class HttpSettings(enabled: Boolean = false, host: String = "0.0.0.0",
@@ -48,7 +52,7 @@ final case class HttpSettings(enabled: Boolean = false, host: String = "0.0.0.0"
     // reject every upload
     HttpConfig(port = port,
       maxBodyBytes = math.min(maxUploadBytes, (Int.MaxValue - 1).toLong).toInt,
-      ratePerMinute = rateLimit, rateBurst = rateBurst)
+      ratePerMinute = rateLimit, rateBurst = rateBurst, tls = tls)
 }
 
 final case class KafkaSettings(enabled: Boolean = false, hosts: Seq[String] = Nil,

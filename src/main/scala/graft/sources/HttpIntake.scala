@@ -9,16 +9,20 @@ import java.time.{Instant, ZoneOffset}
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 
 /** HTTP server settings (reference config.HTTPConfig fields the server
-  * reads: port, body-size cap, per-IP rate limit).
+  * reads: port, body-size cap, per-IP rate limit). `tls` serves the
+  * route surface over HTTPS with the in-process self-signed identity
+  * ([[TlsSupport]]) — the TLS termination the reference deploys in
+  * front of its gin server, folded into the twin.
   */
 final case class HttpConfig(
     port: Int = 0,
     maxBodyBytes: Int = 10 << 20,
     ratePerMinute: Int = 600,
-    rateBurst: Int = 100)
+    rateBurst: Int = 100,
+    tls: Boolean = false)
 
 /** HTTP intake twin of the reference server (internal/http/server.go):
   * the same route surface — POST/PUT /dmarc/report (RFC 7489 upload,
@@ -37,8 +41,10 @@ final case class HttpConfig(
   * reference's report flow re-expressed on Spark's sources.
   *
   * In scope from the reference middleware stack: body-size cap (413),
-  * per-IP token-bucket rate limit (429), request metrics. Out of scope
-  * offline: TLS termination, gin's logging/recovery formatting.
+  * per-IP token-bucket rate limit (429), request metrics, and TLS
+  * termination (`HttpConfig.tls` — HttpsServer over the pinned
+  * self-signed identity). Out of scope offline: gin's
+  * logging/recovery formatting.
   */
 final class HttpIntake(cfg: HttpConfig, dropDir: String,
                        summary: () => String = () => "{}",
@@ -115,7 +121,12 @@ final class HttpIntake(cfg: HttpConfig, dropDir: String,
   private def sha(b: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(b).take(12).map("%02x".format(_)).mkString
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", cfg.port), 16)
+  private val server: HttpServer =
+    if (cfg.tls) {
+      val s = HttpsServer.create(new InetSocketAddress("127.0.0.1", cfg.port), 16)
+      s.setHttpsConfigurator(new HttpsConfigurator(TlsSupport.serverContext))
+      s
+    } else HttpServer.create(new InetSocketAddress("127.0.0.1", cfg.port), 16)
   def port: Int = server.getAddress.getPort
 
   private def respond(x: HttpExchange, status: Int, body: String,

@@ -16,7 +16,8 @@ final case class ImapConfig(
     password: String,
     mailbox: String = "INBOX",
     archiveMailbox: String = "Archive",
-    deleteProcessed: Boolean = false)
+    deleteProcessed: Boolean = false,
+    security: ImapSecurity = ImapSecurity.Plaintext)
 
 /** Live IMAP report intake — the protocol half of the reference's mail
   * pipeline (internal/imap/client.go:1-409: connect, login, select,
@@ -24,12 +25,17 @@ final case class ImapConfig(
   * attachments, mark processed by delete-and-expunge or move-to-archive,
   * poll forever).
   *
-  * The dialogue is a minimal IMAP4rev1 client over a plain socket —
-  * LOGIN / SELECT / FETCH (with RFC 3501 literal parsing) / STORE /
-  * EXPUNGE / MOVE (RFC 6851, what the go client's Move issues) — the
-  * same scope the fake-server SMTP twin (EmailOutput.send) covers for
-  * output. TLS/STARTTLS (client.go:42-66) is a socket-factory concern
-  * deliberately out of scope offline.
+  * The dialogue is a minimal IMAP4rev1 client — LOGIN / SELECT /
+  * FETCH (with RFC 3501 literal parsing) / STORE / EXPUNGE / MOVE
+  * (RFC 6851, what the go client's Move issues) — the same scope the
+  * fake-server SMTP twin (EmailOutput.send) covers for output.
+  * Transport matches the reference's `imap.tls` posture
+  * (client.go:42-66): [[ImapSecurity.Imaps]] dials TLS before the
+  * first protocol byte, [[ImapSecurity.StartTls]] upgrades in place
+  * after the greeting (and refuses to LOGIN if the server doesn't
+  * advertise the capability — no silent downgrade), Plaintext is the
+  * config-gated fallback. Offline, trust is pinned to the in-process
+  * self-signed cert ([[TlsSupport]]).
   *
   * Split of labor at scale: the MAIL FETCH is inherently one network
   * client (same as the reference — one connection, one mailbox); the
@@ -80,17 +86,48 @@ object ImapIntake {
     * `{n}`-literals are consumed byte-exact (never line-split) — the
     * part of RFC 3501 a line-oriented reader gets wrong first.
     */
-  final class ImapClient(host: String, port: Int, timeoutMs: Int = 30000)
+  final class ImapClient(host: String, port: Int, timeoutMs: Int = 30000,
+                         security: ImapSecurity = ImapSecurity.Plaintext,
+                         sslContext: javax.net.ssl.SSLContext = TlsSupport.clientContext)
       extends AutoCloseable {
-    private val socket = new Socket(host, port)
+    private var socket: Socket = security match {
+      case ImapSecurity.Imaps =>
+        // implicit TLS (client.go:42-66's tls.Dial posture): handshake
+        // before the first protocol byte
+        val s = sslContext.getSocketFactory.createSocket(host, port)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        s.startHandshake()
+        s
+      case _ => new Socket(host, port)
+    }
     socket.setSoTimeout(timeoutMs)
-    private val in = new BufferedInputStream(socket.getInputStream)
-    private val out = new BufferedOutputStream(socket.getOutputStream)
+    private var in = new BufferedInputStream(socket.getInputStream)
+    private var out = new BufferedOutputStream(socket.getOutputStream)
     private var tagN = 0
+
+    /** Negotiated transport ("TLSv1.3" once encrypted, else "plaintext"). */
+    def negotiated: String = socket match {
+      case s: javax.net.ssl.SSLSocket => s.getSession.getProtocol
+      case _                          => "plaintext"
+    }
 
     /** Server greeting (consumed on connect). */
     val greeting: String = readLine()
     require(greeting.startsWith("* OK"), s"unexpected IMAP greeting: $greeting")
+
+    // RFC 3501 §6.2.1 upgrade: issue STARTTLS after the greeting, then
+    // wrap the same TCP connection. The greeting's capability list must
+    // advertise it — a server that can't means a config mismatch, which
+    // should fail loudly rather than silently downgrade to plaintext.
+    if (security == ImapSecurity.StartTls) {
+      require(greeting.toUpperCase.contains("STARTTLS"),
+        s"server does not advertise STARTTLS: $greeting")
+      command("STARTTLS")
+      val ssl = TlsSupport.upgrade(socket, sslContext, clientMode = true, host)
+      socket = ssl
+      in = new BufferedInputStream(ssl.getInputStream)
+      out = new BufferedOutputStream(ssl.getOutputStream)
+    }
 
     private def readLine(): String = {
       val buf = new ByteArrayOutputStream()
@@ -207,7 +244,7 @@ object ImapIntake {
     * move-to-archive per config — in descending sequence order.
     */
   def pullMessages(cfg: ImapConfig): Seq[FetchedMessage] = {
-    val client = new ImapClient(cfg.host, cfg.port)
+    val client = new ImapClient(cfg.host, cfg.port, security = cfg.security)
     try {
       client.login(cfg.username, cfg.password)
       val n = client.select(cfg.mailbox)

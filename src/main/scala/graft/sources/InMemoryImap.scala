@@ -6,6 +6,23 @@ import java.nio.charset.StandardCharsets.US_ASCII
 
 import scala.collection.mutable
 
+/** How an IMAP endpoint speaks TLS — mirrors the reference's
+  * `imap.tls` config (internal/imap/client.go:42-66 dials a TLS
+  * socket when set).
+  *
+  *  - [[ImapSecurity.Plaintext]]: bare TCP (the config-gated fallback).
+  *  - [[ImapSecurity.Imaps]]: implicit TLS from byte 0 (RFC 8314 —
+  *    what the reference's `tls: true` does, port 993 semantics).
+  *  - [[ImapSecurity.StartTls]]: plaintext greeting, then the
+  *    RFC 3501 §6.2.1 STARTTLS upgrade before LOGIN.
+  */
+sealed trait ImapSecurity
+object ImapSecurity {
+  case object Plaintext extends ImapSecurity
+  case object Imaps extends ImapSecurity
+  case object StartTls extends ImapSecurity
+}
+
 /** In-process IMAP4rev1 server speaking exactly the dialogue the intake
   * client issues — LOGIN, SELECT, FETCH (subject peek + RFC822 with
   * literals), STORE \Deleted, EXPUNGE, MOVE, LOGOUT — so the protocol
@@ -15,10 +32,19 @@ import scala.collection.mutable
   * registry entry demonstrates the whole mail pipeline self-contained:
   * seed mailbox → protocol fetch → Spark parse — no network egress.
   *
+  * `security` selects the transport: IMAPS accepts TLS from byte 0,
+  * StartTls advertises the capability and upgrades in place on the
+  * STARTTLS command (refusing LOGIN until the socket is encrypted —
+  * RFC 3501's "a server MAY refuse LOGIN until STARTTLS" hardened to
+  * MUST, since the whole point of the mode is never shipping the
+  * password in the clear).
+  *
   * Single-connection-at-a-time, loopback-only, ephemeral port.
   */
 final class InMemoryImap(username: String, password: String,
-                         seed: Seq[Array[Byte]]) extends AutoCloseable {
+                         seed: Seq[Array[Byte]],
+                         security: ImapSecurity = ImapSecurity.Plaintext)
+    extends AutoCloseable {
 
   private final class Msg(val bytes: Array[Byte], var deleted: Boolean = false)
 
@@ -26,8 +52,16 @@ final class InMemoryImap(username: String, password: String,
   private val archived = mutable.ArrayBuffer[Array[Byte]]()
   @volatile private var closed = false
 
-  private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+  private val server: ServerSocket = security match {
+    case ImapSecurity.Imaps => TlsSupport.serverSocket()
+    case _                  => new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+  }
   def port: Int = server.getLocalPort
+
+  /** Protocol of the last completed handshake ("TLSv1.3" / "plaintext")
+    * — lets specs assert encryption actually happened on the wire.
+    */
+  @volatile var lastNegotiated: String = "none"
 
   /** Snapshot accessors for assertions. */
   def inboxSize: Int = inbox.synchronized(inbox.size)
@@ -59,10 +93,11 @@ final class InMemoryImap(username: String, password: String,
     }.getOrElse("")
   }
 
-  private def handle(socket: Socket): Unit = {
+  private def handle(socket0: Socket): Unit = {
+    var socket = socket0
     socket.setSoTimeout(30000)
-    val in = new BufferedInputStream(socket.getInputStream)
-    val out = new BufferedOutputStream(socket.getOutputStream)
+    var in = new BufferedInputStream(socket.getInputStream)
+    var out = new BufferedOutputStream(socket.getOutputStream)
     def w(s: String): Unit = out.write((s + "\r\n").getBytes(US_ASCII))
     def literal(prefix: String, payload: Array[Byte], suffix: String): Unit = {
       out.write((prefix + "{" + payload.length + "}\r\n").getBytes(US_ASCII))
@@ -79,8 +114,18 @@ final class InMemoryImap(username: String, password: String,
       new String(b, 0, math.max(0, b.length - 1), US_ASCII)
     }
 
-    w("* OK [CAPABILITY IMAP4rev1 MOVE] in-memory IMAP ready")
+    socket match {
+      case ssl: javax.net.ssl.SSLSocket => // IMAPS: handshake precedes byte 0
+        lastNegotiated = ssl.getSession.getProtocol
+      case _ => lastNegotiated = "plaintext"
+    }
+    val cap =
+      if (security == ImapSecurity.StartTls && !socket.isInstanceOf[javax.net.ssl.SSLSocket])
+        "IMAP4rev1 STARTTLS MOVE"
+      else "IMAP4rev1 MOVE"
+    w(s"* OK [CAPABILITY $cap] in-memory IMAP ready")
     out.flush()
+    var upgraded = socket.isInstanceOf[javax.net.ssl.SSLSocket]
     var loggedIn = false
     var selected = false
     var line = readLine()
@@ -99,6 +144,21 @@ final class InMemoryImap(username: String, password: String,
           else s
 
         cmd match {
+          case "STARTTLS" if security == ImapSecurity.StartTls && !upgraded =>
+            // RFC 3501 §6.2.1: OK first, THEN the handshake begins —
+            // the client must not start TLS until the tagged response
+            w(s"$tag OK Begin TLS negotiation now")
+            out.flush()
+            val ssl = TlsSupport.upgrade(socket, TlsSupport.serverContext, clientMode = false)
+            socket = ssl
+            in = new BufferedInputStream(ssl.getInputStream)
+            out = new BufferedOutputStream(ssl.getOutputStream)
+            upgraded = true
+            lastNegotiated = ssl.getSession.getProtocol
+          case "LOGIN" if security == ImapSecurity.StartTls && !upgraded =>
+            // never accept a password in the clear when the endpoint
+            // was configured for STARTTLS
+            w(s"$tag NO [PRIVACYREQUIRED] STARTTLS required before LOGIN")
           case "LOGIN" =>
             // two quoted or atom args; split on the quote boundary
             val parts = """"((?:[^"\\]|\\.)*)"|(\S+)""".r

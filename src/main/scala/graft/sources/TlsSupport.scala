@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.math.BigInteger
+import java.security.cert.{CertificateFactory, X509Certificate}
+import java.security.{KeyPair, KeyPairGenerator, KeyStore, SecureRandom, Signature}
+
+import javax.net.ssl.{KeyManagerFactory, SSLContext, SSLServerSocket, SSLSocket, TrustManagerFactory}
+
+/** Transport encryption for the protocol twins — the last fidelity
+  * delta vs the reference, whose IMAP client dials TLS
+  * (internal/imap/client.go:42-66, config `imap.tls`) and whose HTTP
+  * server runs behind TLS termination in deployment.
+  *
+  * Offline posture: a self-signed certificate is generated in-process
+  * and trust is PINNED — the client context trusts exactly the one
+  * generated cert (never trust-all, which would test nothing). The
+  * certificate itself is hand-encoded X.509 v3 DER (RFC 5280 §4.1):
+  * version, serial, sha256WithRSAEncryption AlgorithmIdentifier,
+  * CN=localhost issuer/subject, UTCTime validity, the keypair's SPKI,
+  * and a SubjectAltName extension carrying DNS:localhost +
+  * IP:127.0.0.1 so JDK hostname verification passes against loopback
+  * without a custom verifier. The DER is then round-tripped through
+  * the JDK's CertificateFactory and signature-verified against its
+  * own public key — a malformed encoding fails loudly at class init,
+  * not mid-handshake.
+  */
+object TlsSupport {
+
+  // ---- minimal DER writer (RFC 5280 uses a small, fixed subset) ----
+
+  private def derLen(n: Int): Array[Byte] =
+    if (n < 0x80) Array(n.toByte)
+    else {
+      val raw = BigInteger.valueOf(n.toLong).toByteArray.dropWhile(_ == 0)
+      (0x80 | raw.length).toByte +: raw
+    }
+
+  private def tlv(tag: Int, content: Array[Byte]): Array[Byte] =
+    tag.toByte +: (derLen(content.length) ++ content)
+
+  private def seq(parts: Array[Byte]*): Array[Byte] = tlv(0x30, parts.flatten.toArray)
+  private def derSet(parts: Array[Byte]*): Array[Byte] = tlv(0x31, parts.flatten.toArray)
+  private def derInt(v: BigInteger): Array[Byte] = tlv(0x02, v.toByteArray)
+  private def utf8Str(s: String): Array[Byte] = tlv(0x0c, s.getBytes("UTF-8"))
+  private def utcTime(s: String): Array[Byte] = tlv(0x17, s.getBytes("US-ASCII"))
+  private def octetString(b: Array[Byte]): Array[Byte] = tlv(0x04, b)
+  private def bitString(b: Array[Byte]): Array[Byte] = tlv(0x03, 0.toByte +: b)
+  private def ctxCons(n: Int, content: Array[Byte]): Array[Byte] = tlv(0xa0 | n, content)
+  private def ctxPrim(n: Int, content: Array[Byte]): Array[Byte] = tlv(0x80 | n, content)
+
+  private def oid(dotted: String): Array[Byte] = {
+    val arcs = dotted.split('.').map(_.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    def base128(v: Long): Unit = {
+      val bytes = Iterator.iterate(v)(_ >>> 7).takeWhile(_ != 0).map(x => (x & 0x7f).toInt)
+        .toSeq.reverse match { case Seq() => Seq(0) case s => s }
+      bytes.init.foreach(b => out.write(b | 0x80))
+      out.write(bytes.last)
+    }
+    base128(arcs(0) * 40 + arcs(1))
+    arcs.drop(2).foreach(base128)
+    tlv(0x06, out.toByteArray)
+  }
+
+  private val Sha256WithRsa = seq(oid("1.2.840.113549.1.1.11"), tlv(0x05, Array.empty)) // + NULL params
+  private val CnLocalhost =
+    seq(derSet(seq(oid("2.5.4.3"), utf8Str("localhost")))) // RDNSequence: CN=localhost
+
+  /** Self-signed CN=localhost certificate DER for `pair`, valid
+    * 2024-2049 (the UTCTime range), SAN = DNS:localhost + IP:127.0.0.1.
+    */
+  private[sources] def selfSignedDer(pair: KeyPair): Array[Byte] = {
+    val serial = new BigInteger(63, new SecureRandom())
+    val san = seq(
+      oid("2.5.29.17"), // subjectAltName, non-critical (DEFAULT FALSE omitted)
+      octetString(seq(
+        ctxPrim(2, "localhost".getBytes("US-ASCII")), // dNSName (IA5)
+        ctxPrim(7, Array[Byte](127, 0, 0, 1)))))      // iPAddress
+    val tbs = seq(
+      ctxCons(0, derInt(BigInteger.valueOf(2))), // version v3
+      derInt(serial),
+      Sha256WithRsa,
+      CnLocalhost, // issuer = subject: self-signed
+      seq(utcTime("240101000000Z"), utcTime("490101000000Z")),
+      CnLocalhost,
+      pair.getPublic.getEncoded, // SubjectPublicKeyInfo is already DER
+      ctxCons(3, seq(san)))
+    val sig = Signature.getInstance("SHA256withRSA")
+    sig.initSign(pair.getPrivate)
+    sig.update(tbs)
+    seq(tbs, Sha256WithRsa, bitString(sig.sign()))
+  }
+
+  /** One keypair + certificate per JVM: generation costs ~0.2 s and the
+    * twins only need a stable identity to pin.
+    */
+  lazy val (keyPair: KeyPair, certificate: X509Certificate) = {
+    val kpg = KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val pair = kpg.generateKeyPair()
+    val der = selfSignedDer(pair)
+    val cert = CertificateFactory.getInstance("X.509")
+      .generateCertificate(new java.io.ByteArrayInputStream(der))
+      .asInstanceOf[X509Certificate]
+    cert.verify(pair.getPublic) // throws if the hand-built DER lies
+    cert.checkValidity()
+    (pair, cert)
+  }
+
+  /** Server-side context: holds the private key, offers the cert. */
+  lazy val serverContext: SSLContext = {
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("graft", keyPair.getPrivate, Array.empty[Char], Array(certificate))
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.empty[Char])
+    val ctx = SSLContext.getInstance("TLSv1.3")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** Client-side context: trusts EXACTLY the generated cert (pinned). */
+  lazy val clientContext: SSLContext = {
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setCertificateEntry("graft", certificate)
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = SSLContext.getInstance("TLSv1.3")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** TLS server socket on an ephemeral loopback port. */
+  def serverSocket(ctx: SSLContext = serverContext): SSLServerSocket = {
+    val s = ctx.getServerSocketFactory
+      .createServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+      .asInstanceOf[SSLServerSocket]
+    s
+  }
+
+  /** Upgrade an established plaintext socket to TLS — the STARTTLS
+    * flip, on whichever side `clientMode` says.
+    */
+  def upgrade(socket: java.net.Socket, ctx: SSLContext, clientMode: Boolean,
+              host: String = "localhost"): SSLSocket = {
+    val ssl = ctx.getSocketFactory
+      .createSocket(socket, host, socket.getPort, true)
+      .asInstanceOf[SSLSocket]
+    ssl.setUseClientMode(clientMode)
+    ssl.startHandshake()
+    ssl
+  }
+}
