@@ -93,9 +93,12 @@ object ImapIntake {
     private var socket: Socket = security match {
       case ImapSecurity.Imaps =>
         // implicit TLS (client.go:42-66's tls.Dial posture): handshake
-        // before the first protocol byte
+        // before the first protocol byte. The read timeout must be in
+        // force BEFORE startHandshake() — a stalled handshake otherwise
+        // blocks forever with no timeout at all.
         val s = sslContext.getSocketFactory.createSocket(host, port)
           .asInstanceOf[javax.net.ssl.SSLSocket]
+        s.setSoTimeout(timeoutMs)
         s.startHandshake()
         s
       case _ => new Socket(host, port)
@@ -104,6 +107,11 @@ object ImapIntake {
     private var in = new BufferedInputStream(socket.getInputStream)
     private var out = new BufferedOutputStream(socket.getOutputStream)
     private var tagN = 0
+
+    // Scala initializes vals in declaration order; everything command()
+    // touches must be initialized BEFORE the constructor-time greeting /
+    // STARTTLS block below, or the upgrade dialogue NPEs in <init>.
+    private val LiteralAnnounce = """^(.*)\{(\d+)\}$""".r
 
     /** Negotiated transport ("TLSv1.3" once encrypted, else "plaintext"). */
     def negotiated: String = socket match {
@@ -153,8 +161,6 @@ object ImapIntake {
       }
       b
     }
-
-    private val LiteralAnnounce = """^(.*)\{(\d+)\}$""".r
 
     /** Send one command; return the untagged lines (literals attached);
       * require an OK completion.

@@ -1,0 +1,115 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.sources.{HttpConfig, HttpIntake, ImapConfig, ImapIntake, ImapSecurity, InMemoryImap, TlsSupport}
+
+/** Transport-encryption coverage for the protocol twins — the posture
+  * the reference configures with `imap.tls` (internal/imap/client.go:
+  * 42-66 dials TLS) and deploys in front of its HTTP server. Every
+  * test asserts what actually happened ON THE WIRE via the server's
+  * `lastNegotiated` / the client's SSLSession — never just "no
+  * exception".
+  */
+class TlsTransportSpec extends SparkSpec {
+
+  private def reportEmail(n: Int): Array[Byte] =
+    ImapIntake.wrapReportEmail(s"report$n.xml",
+      s"""<?xml version="1.0"?><feedback><report_metadata><report_id>r$n</report_id></report_metadata></feedback>"""
+        .getBytes("US-ASCII"))
+
+  private val Seed = Seq(reportEmail(1), reportEmail(2))
+
+  test("IMAPS: implicit TLS from byte 0, fetched bytes intact, session encrypted") {
+    val server = new InMemoryImap("user", "pw", Seed, ImapSecurity.Imaps)
+    try {
+      val msgs = ImapIntake.pullMessages(
+        ImapConfig("127.0.0.1", server.port, "user", "pw", archiveMailbox = "",
+          security = ImapSecurity.Imaps))
+      assert(msgs.size == 2)
+      msgs.zip(Seed).foreach { case (m, s) =>
+        assert(java.util.Arrays.equals(m.rfc822, s), s"message ${m.seq} bytes differ over TLS")
+      }
+      assert(server.lastNegotiated.startsWith("TLS"),
+        s"server saw '${server.lastNegotiated}', expected a TLS protocol")
+    } finally server.close()
+  }
+
+  test("STARTTLS: upgrade after the greeting, then the full mail flow encrypted") {
+    // regression for the <init> NPE: command() runs during construction
+    // for the STARTTLS upgrade, so every field it touches must be
+    // initialized before the greeting block
+    val server = new InMemoryImap("user", "pw", Seed, ImapSecurity.StartTls)
+    try {
+      val msgs = ImapIntake.pullMessages(
+        ImapConfig("127.0.0.1", server.port, "user", "pw", archiveMailbox = "Archive",
+          security = ImapSecurity.StartTls))
+      assert(msgs.size == 2)
+      assert(server.lastNegotiated.startsWith("TLS"),
+        s"server saw '${server.lastNegotiated}', expected a TLS protocol post-upgrade")
+      assert(server.inboxSize == 0)
+      assert(server.archivedCount == 2)
+    } finally server.close()
+  }
+
+  test("STARTTLS server refuses plaintext LOGIN (no silent password leak)") {
+    val server = new InMemoryImap("user", "pw", Seed, ImapSecurity.StartTls)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ImapIntake.pullMessages(
+          ImapConfig("127.0.0.1", server.port, "user", "pw",
+            security = ImapSecurity.Plaintext))
+      }
+      assert(e.getMessage.contains("LOGIN"), e.getMessage)
+    } finally server.close()
+  }
+
+  test("STARTTLS client refuses a server that does not advertise the capability") {
+    // config says encrypt, server can't: fail loudly, never downgrade
+    val server = new InMemoryImap("user", "pw", Seed, ImapSecurity.Plaintext)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ImapIntake.pullMessages(
+          ImapConfig("127.0.0.1", server.port, "user", "pw",
+            security = ImapSecurity.StartTls))
+      }
+      assert(e.getMessage.contains("STARTTLS"), e.getMessage)
+    } finally server.close()
+  }
+
+  test("HTTPS: health + service document served over the pinned TLS identity") {
+    val drop = java.nio.file.Files.createTempDirectory("graft-https-drop").toString
+    val server = new HttpIntake(HttpConfig(tls = true), drop,
+      summary = () => """{"doc":"summary"}""", extraMetrics = () => Nil)
+    try {
+      val client = HttpClient.newBuilder().sslContext(TlsSupport.clientContext).build()
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:${server.port}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200)
+      assert(health.body().contains("\"status\":\"healthy\""))
+      // the response really came over TLS (SSLSession present), under
+      // hostname verification against the cert's IP SAN
+      assert(health.sslSession().isPresent)
+      assert(health.sslSession().get.getProtocol.startsWith("TLS"))
+    } finally server.close()
+  }
+
+  test("client trust is pinned, not trust-all: a default-trust client is rejected") {
+    val drop = java.nio.file.Files.createTempDirectory("graft-https-drop2").toString
+    val server = new HttpIntake(HttpConfig(tls = true), drop,
+      summary = () => "{}", extraMetrics = () => Nil)
+    try {
+      // the JDK default trust store does not contain the in-process
+      // self-signed cert, so the handshake must fail — proving the
+      // server presents OUR identity, not an anonymous/accepted-anything one
+      val strangers = HttpClient.newHttpClient()
+      intercept[java.io.IOException] {
+        strangers.send(
+          HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:${server.port}/health")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+    } finally server.close()
+  }
+}
