@@ -167,6 +167,52 @@ object ImageHeaders {
     * filled with one solid color — a REAL decodable image, not a header
     * fragment.
     */
+  /** Textured 24bpp BMP for perceptual-hash fixtures: each 4×4 pixel
+    * block's channels come from a deterministic integer mix of
+    * (seed, block coords), base range [16, 215]; `brightness` adds a
+    * constant to every channel and `tileDelta` adds to the single tile
+    * `tileIdx` of a 3×2 tile grid. 215+28+10 < 254, so no value ever
+    * clamps — which keeps a pure-brightness variant EXACTLY a DC shift
+    * of its sibling (the invariance PerceptualHash relies on).
+    */
+  def patternBmp(w: Int, h: Int, seed: Long, brightness: Int = 0,
+                 tileDelta: Int = 0, tileIdx: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && brightness >= 0 && brightness <= 28 &&
+      tileDelta >= 0 && tileDelta <= 10)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def w16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
+    def w32(i: Int, v: Int): Unit = (0 until 4).foreach(j => out(i + j) = ((v >> (8 * j)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, size); w32(10, 54)
+    w32(14, 40)
+    w32(18, w); w32(22, h)
+    w16(26, 1); w16(28, 24)
+    w32(30, 0)
+    def mix(a: Long, b: Long, c: Long): Int = {
+      var x = a * 0x9e3779b97f4a7c15L + b * 0xbf58476d1ce4e5b9L + c * 0x94d049bb133111ebL
+      x ^= x >>> 31; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+      (x & 0x7fffffff).toInt
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val row = 54 + y * rowBytes
+      while (x < w) {
+        val tile = (y * 2 / h) * 3 + (x * 3 / w)
+        val extra = brightness + (if (tile == tileIdx) tileDelta else 0)
+        val i = row + x * 3
+        out(i) = (mix(seed, x / 4, y / 4 * 3L) % 200 + 16 + extra).toByte
+        out(i + 1) = (mix(seed, x / 4, y / 4 * 3L + 1) % 200 + 16 + extra).toByte
+        out(i + 2) = (mix(seed, x / 4, y / 4 * 3L + 2) % 200 + 16 + extra).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def syntheticBmp(w: Int, h: Int, r: Int, g: Int, bl: Int): Array[Byte] = {
     require(w > 0 && h > 0)
     val rowBytes = (w * 3 + 3) / 4 * 4

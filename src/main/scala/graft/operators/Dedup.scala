@@ -213,7 +213,6 @@ object Dedup extends QueryModule {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= JaccardTau)
-      .orderBy("doc_a", "doc_b")
 
   /** Full MinHash-LSH near-dup pipeline over a (doc_id, text) frame:
     * candidates (capped buckets) → exact Jaccard ≥ τ on shingle sets.
@@ -272,7 +271,6 @@ object Dedup extends QueryModule {
               expr("bit_count(a.h ^ b.h)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** At-scale simhash dedup pipeline over a (doc_id, text) frame;
@@ -304,7 +302,6 @@ object Dedup extends QueryModule {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), containment.as("containment"))
       .filter(col("containment") >= tau)
-      .orderBy("doc_a", "doc_b")
     materialized(out, bands, sh)
   }
 
@@ -347,7 +344,6 @@ object Dedup extends QueryModule {
           transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
             x => x.getField("chunk")), " ").as("text"),
         count(lit(1)).as("n_chunks"))
-      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination: count, per training doc, the 3-token
@@ -369,7 +365,6 @@ object Dedup extends QueryModule {
     corpusGrams.join(broadcast(evalGrams), "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB twin of lshCandidates: CTE chain ending in `cand`, with the
@@ -471,7 +466,7 @@ object Dedup extends QueryModule {
     ),
     QueryDef(
       "d_minhash_lsh",
-      (s, dir) => minhashLsh(Tables(s, dir).documents),
+      (s, dir) => minhashLsh(Tables(s, dir).documents).orderBy("doc_a", "doc_b"),
       Some {
         s"""WITH ${candSql(MaxBucket)}
            |SELECT doc_a, doc_b,
@@ -488,7 +483,7 @@ object Dedup extends QueryModule {
     // the oracled md5 path
     QueryDef(
       "d_minhash_lsh_fast",
-      (s, dir) => minhashLsh64(Tables(s, dir).documents),
+      (s, dir) => minhashLsh64(Tables(s, dir).documents).orderBy("doc_a", "doc_b"),
       Some(graft.api.ParseSnapshots.sfPinnedSql("d_minhash_lsh_fast")),
     ),
     // near-dup pairs → duplicate CLUSTERS: min-label propagation over
@@ -619,7 +614,7 @@ object Dedup extends QueryModule {
     // (murmur3 has no DuckDB twin; Simhash64Spec + DedupSimhash64Spec)
     QueryDef(
       "d_simhash64",
-      (s, dir) => simhash64Pairs(Tables(s, dir).documents),
+      (s, dir) => simhash64Pairs(Tables(s, dir).documents).orderBy("doc_a", "doc_b"),
       Some(graft.api.ParseSnapshots.sfPinnedSql("d_simhash64")),
     ),
     // char-4-gram Jaccard verification on the LSH candidate pairs over
@@ -695,7 +690,7 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val d = Tables(s, dir).documents
         decontaminate(d.filter(col("doc_id") % 97 =!= 0),
-                      d.filter(col("doc_id") % 97 === 0))
+                      d.filter(col("doc_id") % 97 === 0)).orderBy("doc_id")
       },
       Some(s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
              |g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -712,7 +707,7 @@ object Dedup extends QueryModule {
     // use it to drop quote/excerpt duplicates.
     QueryDef(
       "d_containment",
-      (s, dir) => containmentPairs(Tables(s, dir).documents),
+      (s, dir) => containmentPairs(Tables(s, dir).documents).orderBy("doc_a", "doc_b"),
       Some(s"""WITH ${candSql(MaxBucket)}
              |SELECT doc_a, doc_b,
              |ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -762,7 +757,7 @@ object Dedup extends QueryModule {
     // dedup it generalizes.
     QueryDef(
       "d_line_dedup",
-      (s, dir) => lineDedup(Tables(s, dir).documents, chunkTokens = 10),
+      (s, dir) => lineDedup(Tables(s, dir).documents, chunkTokens = 10).orderBy("doc_id"),
       Some("""WITH c AS (
              |  SELECT doc_id, i AS idx,
              |    array_to_string(list_slice(string_split(text, ' '), i*10+1, i*10+10), ' ') AS chunk

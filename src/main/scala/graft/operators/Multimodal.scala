@@ -1426,5 +1426,59 @@ object Multimodal extends QueryModule {
         decodeMjpegFrames(mjpegTable(Tables(s, dir))).orderBy("doc_id"),
       Some(graft.api.ParseSnapshots.sfPinnedSql("m_mjpeg_frames")),
     ),
+    // IMAGE near-dup by perceptual hash: real pixel decode → DCT pHash
+    // → the same banded 64-bit Hamming join simhash uses for text
+    // (shared cap, shared verification shape). Scene siblings are
+    // brightness/tile variants of one texture — pHash's DC exclusion
+    // makes brightness invariance exact, so the pairs are the in-scene
+    // cliques. DCT floats have no DuckDB twin → SF-pinned snapshot;
+    // PerceptualHashSpec carries the independent invariance checks.
+    QueryDef(
+      "m_phash_neardup",
+      (s, dir) => phashPairs(phashImageTable(Tables(s, dir))).orderBy("doc_a", "doc_b"),
+      Some(graft.api.ParseSnapshots.sfPinnedSql("m_phash_neardup")),
+    ),
   )
+
+  /** Image table for perceptual near-dup: one 64×48 texture per SCENE
+    * (doc_id % 50), each doc a mild variant — brightness shift
+    * (DC-only under pHash) plus a small single-tile delta. Real BMP
+    * bytes; the decode in phashPairs parses them, no side channel.
+    */
+  def phashImageTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val rdd = t.documents.select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val variant = (id / 50).toInt
+      Row(id, graft.functions.ImageHeaders.patternBmp(64, 48, seed = id % 50,
+        brightness = (variant % 8) * 4, tileDelta = (variant % 3) * 5,
+        tileIdx = variant % 6))
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** Near-dup image pairs (Hamming ≤ 6 on the 64-bit pHash) over a
+    * (doc_id, payload) media frame. The hash is a per-row decode
+    * (embarrassingly parallel); pairing REUSES Dedup.simhash64PairsFrom
+    * — 4×16-bit band equi-join with the shared oversized-bucket cap —
+    * so the scale argument is the one already made for text simhash:
+    * banded hash join, never all-pairs, hot buckets dropped by
+    * broadcast anti-join.
+    */
+  def phashPairs(media: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val spark = media.sparkSession
+    val hashed = spark.createDataFrame(
+      media.select(col("doc_id"), col("payload")).rdd.flatMap { r =>
+        graft.functions.PerceptualHash.phash64(r.getAs[Array[Byte]](1))
+          .map(h => Row(r.getLong(0), h))
+      },
+      StructType(Seq(StructField("doc_id", LongType), StructField("h", LongType))))
+    val banded = hashed
+      .select(col("doc_id"), col("h"),
+        posexplode(expr("transform(sequence(0, 3), i -> (h >> (i * 16)) & 65535)"))
+          .as(Seq("band_i", "band_v")))
+      .persist()
+    Materialize(Dedup.simhash64PairsFrom(banded, maxBucket), banded)
+  }
 }

@@ -193,9 +193,15 @@ final class HttpIntake(cfg: HttpConfig, dropDir: String,
       "Total number of DMARC reports processed successfully", "counter")
     family("parsedmarc_reports_failed_total",
       "Total number of DMARC reports that failed processing", "counter")
-    // batch-computed ingest gauges (IngestMetrics rows), scraped live
+    // batch-computed ingest gauges (IngestMetrics rows) and streaming
+    // progress gauges (StreamingObservability), scraped live. TYPE
+    // lines carry the FAMILY name (labels stripped), once per family —
+    // the exposition format rejects a labeled name after # TYPE.
+    val seenFamily = scala.collection.mutable.Set[String]()
     extraMetrics().foreach { case (name, value) =>
-      sb.append(s"# TYPE $name gauge\n$name $value\n")
+      val fam = name.takeWhile(_ != '{')
+      if (seenFamily.add(fam)) sb.append(s"# TYPE $fam gauge\n")
+      sb.append(s"$name $value\n")
     }
     sb.toString
   }

@@ -123,6 +123,14 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.imap.host == "mail.example.com")
   }
 
+  test("imap.tls maps to implicit IMAPS (the reference's tls.Dial posture); false to plaintext") {
+    import graft.sources.{HttpSettings, ImapSecurity, ImapSettings}
+    assert(ImapSettings(tls = true).toImapConfig.security == ImapSecurity.Imaps)
+    assert(ImapSettings(tls = false).toImapConfig.security == ImapSecurity.Plaintext)
+    assert(HttpSettings(tls = true).toHttpConfig.tls)
+    assert(!HttpSettings().toHttpConfig.tls)
+  }
+
   test("toHttpConfig: explicit ports bind verbatim; giant upload caps clamp positive") {
     assert(graft.sources.HttpSettings(port = 8080).toHttpConfig.port == 8080)
     assert(graft.sources.HttpSettings(port = 0).toHttpConfig.port == 0)

@@ -22,7 +22,7 @@ class DecontaminateSpec extends SparkSpec {
       3L -> "p q r s",   // disjoint → clean
     ))
     val got = Dedup.decontaminate(train, eval).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     assert(got.toSeq === Seq(1L -> 1L, 2L -> 2L))
   }
 
@@ -30,7 +30,7 @@ class DecontaminateSpec extends SparkSpec {
     val eval = docs(Seq(100L -> "hi there"))
     val train = docs(Seq(1L -> "hi there", 2L -> "bye now"))
     val got = Dedup.decontaminate(train, eval).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     assert(got.toSeq === Seq(1L -> 1L))
   }
 

@@ -246,6 +246,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("production dedup paths carry no global sort (the gate orderBy lives in the registry only)") {
+    // The driver gate sorts outputs for hash determinism, but a
+    // production caller of the api/operator functions must not pay a
+    // corpus-wide Sort+Exchange(range) on a 53M-row pair relation —
+    // that was the dominant cost in d_winnow_dedup's 100× cell. Sweep
+    // the big-output public entry points: global=true SortExec is the
+    // defect; partition-local sorts (window/SMJ internals) are fine.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir).documents.limit(200)
+      .select(col("doc_id"), col("text")).cache()
+    docs.count()
+    try graft.operators.Materialize.lazily {
+      import graft.operators.Dedup
+      val paths: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "minhashLsh" -> Dedup.minhashLsh(docs),
+        "minhashLsh64" -> Dedup.minhashLsh64(docs),
+        "simhash64Pairs" -> Dedup.simhash64Pairs(docs),
+        "containmentPairs" -> Dedup.containmentPairs(docs),
+        "lineDedup" -> Dedup.lineDedup(docs),
+        "decontaminate" -> Dedup.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0)),
+      )
+      paths.foreach { case (name, df) =>
+        val globalSorts = df.queryExecution.executedPlan.collect {
+          case s: SortExec if s.global => s
+        }
+        assert(globalSorts.isEmpty,
+          s"$name: production path contains a global sort:\n${globalSorts.mkString("\n")}")
+      }
+    } finally { docs.unpersist(); () }
+  }
+
   test("salted join actually takes the salted shuffle path, keyed on (key, salt)") {
     val p = plan("q_skew_join_salted")
     // the pattern exists for dims too big to broadcast — the hint must
