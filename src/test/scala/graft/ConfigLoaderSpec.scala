@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.sources.{ConfigLoader, GraftConfig, ImapConfig, ImapIntake, InMemoryImap}
+import graft.sources.{ConfigLoader, GraftConfig, ImapConfig, ImapIntake, ImapSecurity, InMemoryImap}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** YAML config loading (reference internal/config/config.go Load +
@@ -83,7 +83,10 @@ class ConfigLoaderSpec extends AnyFunSuite {
     val seed = ImapIntake.wrapReportEmail("r.xml",
       Files.readAllBytes(java.nio.file.Paths.get(
         "/root/reference/samples/aggregate/example.net!example.com!1529366400!1529452799.xml")))
-    val server = new InMemoryImap("cfg-user", "cfg-pw", Seq(seed))
+    // `tls` defaults true (the reference's client.go tls.Dial posture), so the
+    // loaded config dials IMAPS — the server must speak TLS from byte 0.
+    val server = new InMemoryImap("cfg-user", "cfg-pw", Seq(seed),
+      security = ImapSecurity.Imaps)
     try {
       val cfg = ConfigLoader.fromYaml(
         s"""imap:
@@ -96,10 +99,34 @@ class ConfigLoaderSpec extends AnyFunSuite {
            |""".stripMargin)
       val imapCfg: ImapConfig = cfg.imap.toImapConfig
       assert(imapCfg == ImapConfig("127.0.0.1", server.port, "cfg-user", "cfg-pw",
-        "INBOX", "Done", deleteProcessed = false))
+        "INBOX", "Done", deleteProcessed = false, security = ImapSecurity.Imaps))
       val msgs = ImapIntake.pullMessages(imapCfg)
       assert(msgs.size == 1)
       assert(server.archivedCount == 1)
+      assert(server.lastNegotiated.startsWith("TLS"),
+        s"config-driven intake must run encrypted, saw ${server.lastNegotiated}")
+    } finally server.close()
+  }
+
+  test("explicit 'tls: false' opts into the plaintext fallback client") {
+    val seed = ImapIntake.wrapReportEmail("r.xml",
+      Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/samples/aggregate/example.net!example.com!1529366400!1529452799.xml")))
+    val server = new InMemoryImap("cfg-user", "cfg-pw", Seq(seed))
+    try {
+      val cfg = ConfigLoader.fromYaml(
+        s"""imap:
+           |  enabled: true
+           |  host: 127.0.0.1
+           |  port: ${server.port}
+           |  username: cfg-user
+           |  password: cfg-pw
+           |  tls: false
+           |""".stripMargin)
+      val imapCfg = cfg.imap.toImapConfig
+      assert(imapCfg.security == ImapSecurity.Plaintext)
+      assert(ImapIntake.pullMessages(imapCfg).size == 1)
+      assert(server.lastNegotiated == "plaintext")
     } finally server.close()
   }
 

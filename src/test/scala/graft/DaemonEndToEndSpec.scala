@@ -32,7 +32,10 @@ class DaemonEndToEndSpec extends SparkSpec {
       ImapIntake.wrapReportEmail(name,
         Files.readAllBytes(Paths.get(s"$Samples/aggregate/$name")))
     }
-    val imap = new InMemoryImap("dmarc", "secret", seed)
+    // ImapSettings.tls defaults true, so the daemon's poll loop dials IMAPS —
+    // the end-to-end chain exercises the reference's default encrypted posture.
+    val imap = new InMemoryImap("dmarc", "secret", seed,
+      security = ImapSecurity.Imaps)
     val clickhouse = new InMemoryClickHouse()
     val dropDir = Files.createTempDirectory("daemon-e2e").toString
     @volatile var summaryDoc = "{}"
@@ -49,6 +52,8 @@ class DaemonEndToEndSpec extends SparkSpec {
         while (daemon.pollCount < 1 && System.nanoTime() < deadline) Thread.sleep(50)
         assert(Files.list(Paths.get(dropDir)).count() == 2)
         assert(imap.archivedCount == 2)
+        assert(imap.lastNegotiated.startsWith("TLS"),
+          s"daemon poll must run over TLS, saw ${imap.lastNegotiated}")
 
         // 2. parse: the shared executor-side parser over the drop dir
         val reports = DmarcReader.aggregateReports(spark, dropDir)

@@ -210,7 +210,10 @@ class GraftCliSpec extends AnyFunSuite {
       val f = Paths.get(s"$Samples/aggregate/empty_reason.xml")
       Seq(ImapIntake.wrapReportEmail("empty_reason.xml", Files.readAllBytes(f)))
     }
-    val imap = new InMemoryImap("dmarc", "secret", seed)
+    // ImapSettings.tls defaults true, so the daemon dials IMAPS — seed the
+    // server to match (the reference's default deployment posture).
+    val imap = new InMemoryImap("dmarc", "secret", seed,
+      security = graft.sources.ImapSecurity.Imaps)
     val dropDir = Files.createTempDirectory("cli-daemon").toString
     try {
       val cfg = GraftConfig(
