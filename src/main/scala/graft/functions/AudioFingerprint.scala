@@ -54,8 +54,11 @@ object AudioFingerprint {
         dataOff = pos + 8
         dataLen = math.min(len, (b.length - dataOff).toLong)
       }
-      pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
-      if (len > Int.MaxValue - 16) return None
+      // Advance in Long space: a crafted 32-bit length must never wrap
+      // pos negative. A chunk running past the end of the blob ends the
+      // walk (nothing can follow a truncated chunk).
+      val next = pos.toLong + 8L + len + (len & 1L) // chunks are word-aligned
+      pos = if (next > b.length) b.length else next.toInt
     }
     if (!ok || dataOff < 0) return None
     val nFrames = (dataLen / (2L * channels)).toInt

@@ -1438,47 +1438,124 @@ object Multimodal extends QueryModule {
       (s, dir) => phashPairs(phashImageTable(Tables(s, dir))).orderBy("doc_a", "doc_b"),
       Some(graft.api.ParseSnapshots.sfPinnedSql("m_phash_neardup")),
     ),
+    // AUDIO near-dup by 64-bit fingerprint: real WAV decode → 32×32
+    // time×frequency log-energy grid → the SAME DCT-sign hash and the
+    // SAME banded Hamming join as image pHash / text simhash. Scene
+    // siblings are gain/segment variants of one melody — gain
+    // invariance is structural (DC-only shift, spec-proven), so
+    // gain-only variants pair at Hamming 0. Trig-heavy floats have no
+    // DuckDB twin → SF-pinned snapshot; AudioFingerprintSpec carries
+    // the independent invariance checks.
+    QueryDef(
+      "m_audio_neardup",
+      (s, dir) => audioFpPairs(audioFpTable(Tables(s, dir))).orderBy("doc_a", "doc_b"),
+      Some(graft.api.ParseSnapshots.sfPinnedSql("m_audio_neardup")),
+    ),
   )
 
   /** Image table for perceptual near-dup: one 64×48 texture per SCENE
     * (doc_id % 50), each doc a mild variant — brightness shift
     * (DC-only under pHash) plus a small single-tile delta. Real BMP
     * bytes; the decode in phashPairs parses them, no side channel.
+    * Batched like every other fixture synth in this file.
     */
   def phashImageTable(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val rdd = t.documents.select(col("doc_id")).rdd.map { r =>
-      val id = r.getLong(0)
-      val variant = (id / 50).toInt
-      Row(id, graft.functions.ImageHeaders.patternBmp(64, 48, seed = id % 50,
-        brightness = (variant % 8) * 4, tileDelta = (variant % 3) * 5,
-        tileIdx = variant % 6))
-    }
+    val rdd = t.documents.select(col("doc_id")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val id = r.getLong(0)
+        val variant = (id / 50).toInt
+        Row(id, graft.functions.ImageHeaders.patternBmp(64, 48, seed = id % 50,
+          brightness = (variant % 8) * 4, tileDelta = (variant % 3) * 5,
+          tileIdx = variant % 6))
+      }))
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
-  /** Near-dup image pairs (Hamming ≤ 6 on the 64-bit pHash) over a
-    * (doc_id, payload) media frame. The hash is a per-row decode
-    * (embarrassingly parallel); pairing REUSES Dedup.simhash64PairsFrom
-    * — 4×16-bit band equi-join with the shared oversized-bucket cap —
-    * so the scale argument is the one already made for text simhash:
-    * banded hash join, never all-pairs, hot buckets dropped by
-    * broadcast anti-join.
+  private val hash64Schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("h", LongType)))
+
+  /** Banded Hamming-≤6 pairing over a (doc_id, h) 64-bit hash frame —
+    * the 4×16-bit band equi-join with the shared oversized-bucket cap
+    * from Dedup.simhash64PairsFrom, so every 64-bit perceptual hash
+    * (text simhash, image pHash, audio fingerprint) rides one scale
+    * argument: banded hash join, never all-pairs, hot buckets dropped
+    * by broadcast anti-join.
     */
-  def phashPairs(media: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
-    val spark = media.sparkSession
-    val hashed = spark.createDataFrame(
-      media.select(col("doc_id"), col("payload")).rdd.flatMap { r =>
-        graft.functions.PerceptualHash.phash64(r.getAs[Array[Byte]](1))
-          .map(h => Row(r.getLong(0), h))
-      },
-      StructType(Seq(StructField("doc_id", LongType), StructField("h", LongType))))
+  private def hamming64Pairs(hashed: DataFrame, maxBucket: Int): DataFrame = {
     val banded = hashed
       .select(col("doc_id"), col("h"),
         posexplode(expr("transform(sequence(0, 3), i -> (h >> (i * 16)) & 65535)"))
           .as(Seq("band_i", "band_v")))
       .persist()
     Materialize(Dedup.simhash64PairsFrom(banded, maxBucket), banded)
+  }
+
+  /** Near-dup image pairs (Hamming ≤ 6 on the 64-bit pHash) over a
+    * (doc_id, payload) media frame. The hash is a per-row decode in the
+    * file's batched-extractor shape (embarrassingly parallel); pairing
+    * is the shared [[hamming64Pairs]] banded join.
+    */
+  def phashPairs(media: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val spark = media.sparkSession
+    val hashed = spark.createDataFrame(
+      media.select(col("doc_id"), col("payload")).rdd
+        .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { r =>
+          graft.functions.PerceptualHash.phash64(r.getAs[Array[Byte]](1))
+            .map(h => Row(r.getLong(0), h))
+        })),
+      hash64Schema)
+    hamming64Pairs(hashed, maxBucket)
+  }
+
+  /** Audio table for fingerprint near-dup: one 32-segment melody per
+    * SCENE (doc_id % 50), each doc a variant — a pure gain change
+    * (DC-only under the log-energy DCT, so fingerprint-invariant by
+    * construction) plus, for two of every three variants, a single
+    * segment's tone substituted. Real PCM16 WAV bytes; audioFpPairs
+    * decodes them — no side channel.
+    */
+  def audioFpTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val rdd = t.documents.select(col("doc_id")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val id = r.getLong(0)
+        val scene = (id % 50).toInt
+        val variant = (id / 50).toInt
+        // 13 is coprime with 50, so all 50 scene melodies are distinct
+        // (scenes a, b share a melody only when (a-b)*13 ≡ 0 mod 50);
+        // tones stay in [300, 3436] Hz, inside the fingerprint's band
+        // range and under the 4 kHz Nyquist of the 8 kHz fixture rate.
+        val base = Array.tabulate(32)(s => 300.0 + 64.0 * ((scene * 13 + s * 7) % 50))
+        val tones =
+          if (variant % 3 == 0) base
+          else base.updated(variant % 6, base(variant % 6) + 150.0 * (variant % 3))
+        Row(id, graft.functions.AudioFingerprint.syntheticToneWav(
+          8000, amp = 2000.0 * (1 + variant % 5), toneHz = tones.toSeq,
+          nSamples = 2048))
+      }))
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** Near-dup audio pairs (Hamming ≤ 6 on the 64-bit Haitsma–Kalker
+    * style fingerprint, [[graft.functions.AudioFingerprint]]) over a
+    * (doc_id, payload) WAV frame — the audio twin of [[phashPairs]]:
+    * per-row decode in the batched-extractor shape, then the shared
+    * [[hamming64Pairs]] banded join. Volume-changed re-encodes of a
+    * recording hash identically (the invariance AudioFingerprintSpec
+    * pins), so gain-only variants pair at Hamming 0.
+    */
+  def audioFpPairs(media: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val spark = media.sparkSession
+    val hashed = spark.createDataFrame(
+      media.select(col("doc_id"), col("payload")).rdd
+        .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { r =>
+          graft.functions.AudioFingerprint.fingerprint64(r.getAs[Array[Byte]](1))
+            .map(h => Row(r.getLong(0), h))
+        })),
+      hash64Schema)
+    hamming64Pairs(hashed, maxBucket)
   }
 }
