@@ -79,9 +79,14 @@ object AudioFingerprint {
     Some((sampleRate, mono))
   }
 
-  /** log-spaced band center frequencies in [FMin, FMax]. */
+  /** log-spaced band center frequencies in [FMin, FMax]. All trig/log
+    * below is StrictMath (fdlibm, bit-identical on every JVM/CPU):
+    * java.lang.Math is allowed 1-2.5 ulp platform variation, and the
+    * m_audio_neardup oracle pins exact outputs — a sign-vs-median DCT
+    * bit near threshold must not flip across platforms.
+    */
   private[functions] def bandHz(i: Int): Double =
-    FMin * math.pow(FMax / FMin, i.toDouble / (Grid - 1))
+    FMin * StrictMath.pow(FMax / FMin, i.toDouble / (Grid - 1))
 
   /** Grid×Grid log-energy spectrogram: frame t covers the samples
     * [t·n/Grid, (t+1)·n/Grid); band energy is the squared correlation
@@ -103,11 +108,11 @@ object AudioFingerprint {
         var im = 0.0
         var i = s0
         while (i < s1) {
-          re += mono(i) * math.cos(w * i)
-          im += mono(i) * math.sin(w * i)
+          re += mono(i) * StrictMath.cos(w * i)
+          im += mono(i) * StrictMath.sin(w * i)
           i += 1
         }
-        out(t * Grid + bnd) = math.log((re * re + im * im) / (s1 - s0) + 1e-9)
+        out(t * Grid + bnd) = StrictMath.log((re * re + im * im) / (s1 - s0) + 1e-9)
         bnd += 1
       }
       t += 1
@@ -126,7 +131,10 @@ object AudioFingerprint {
     */
   def syntheticToneWav(sampleRate: Int, amp: Double, toneHz: Seq[Double],
                        nSamples: Int): Array[Byte] = {
-    require(toneHz.nonEmpty && nSamples > 0 && amp > 0 && amp <= 32767)
+    // toneHz.length <= nSamples keeps seg >= 1: more tones than samples
+    // would make `i / seg` divide by zero
+    require(toneHz.nonEmpty && nSamples > 0 && amp > 0 && amp <= 32767 &&
+      toneHz.length <= nSamples)
     val header = AudioHeaders.syntheticHeader(1, sampleRate, bits = 16,
       nSamples = nSamples.toLong)
     val out = new java.io.ByteArrayOutputStream(header.length + nSamples * 2)
@@ -135,7 +143,7 @@ object AudioFingerprint {
     var i = 0
     while (i < nSamples) {
       val hz = toneHz(math.min(i / seg, toneHz.length - 1))
-      val v = (amp * math.sin(2.0 * math.Pi * hz * i / sampleRate)).toInt
+      val v = (amp * StrictMath.sin(2.0 * math.Pi * hz * i / sampleRate)).toInt
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
       i += 1
     }

