@@ -76,11 +76,24 @@ final class StreamingObservability extends StreamingQueryListener {
   /** Gauge snapshot in HttpIntake `extraMetrics` shape: labeled metric
     * name → value. Sorted for a stable exposition order.
     */
+  /** Prometheus exposition-format label escaping: inside a label value,
+    * backslash, double-quote, and newline must be written as \\, \",
+    * and \n — a stream named with any of them would otherwise corrupt
+    * the whole /metrics page for every scraper.
+    */
+  private def escapeLabel(v: String): String =
+    v.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case c    => c.toString
+    }
+
   def gauges: Seq[(String, Double)] = {
     val out = Seq.newBuilder[(String, Double)]
     stats.forEach { (name, s) =>
       def g(metric: String, v: Double): Unit =
-        out += (s"""parsedmarc_stream_$metric{query="$name"}""" -> v)
+        out += (s"""parsedmarc_stream_$metric{query="${escapeLabel(name)}"}""" -> v)
       g("batches_total", s.batches.get().toDouble)
       g("input_rows_total", s.inputRows.sum())
       g("input_rows_per_second", s.inputRowsPerSecond)

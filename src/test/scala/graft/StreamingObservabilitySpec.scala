@@ -87,4 +87,52 @@ class StreamingObservabilitySpec extends SparkSpec {
       } finally q.stop()
     } finally spark.streams.removeListener(obs)
   }
+
+  test("a hostile query name (quote, backslash, newline) keeps /metrics parseable") {
+    val obs = new StreamingObservability
+    spark.streams.addListener(obs)
+    val src = Files.createTempDirectory("graft-obs-hostile-src").toString
+    val ckpt = Files.createTempDirectory("graft-obs-hostile-ckpt").toString
+    // every character the exposition format escapes inside label values
+    val hostile = "obs\"quoted\\back\nline"
+    try {
+      Files.write(java.nio.file.Paths.get(src, "a.txt"),
+        "one\ntwo\nthree".getBytes("UTF-8"))
+      val q = spark.readStream.format("text").load(src)
+        .writeStream.format("noop").queryName(hostile)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (obs.batchesFor(hostile) < 1 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(obs.batchesFor(hostile) >= 1)
+
+        val drop = Files.createTempDirectory("graft-obs-hostile-drop").toString
+        val server = new HttpIntake(HttpConfig(), drop,
+          summary = () => "{}", extraMetrics = () => obs.gauges)
+        try {
+          val resp = HttpClient.newHttpClient().send(
+            HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${server.port}/metrics")).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          assert(resp.statusCode() == 200)
+          val body = resp.body()
+          // every series line for the stream gauges must match the
+          // exposition grammar — one physical line, label value with
+          // only escaped specials inside the quotes
+          val series = "^parsedmarc_stream_[a-zA-Z0-9_]*\\{query=\"((?:[^\"\\\\\\n]|\\\\.)*)\"\\} [-+0-9.eE]+$".r
+          val lines = body.split("\n", -1).filter(l =>
+            l.startsWith("parsedmarc_stream_") && l.contains(hostile.takeWhile(_ != '"')))
+          assert(lines.nonEmpty, s"no series lines for the hostile stream in:\n$body")
+          lines.foreach { l =>
+            assert(series.findFirstMatchIn(l).isDefined, s"unparseable exposition line: $l")
+          }
+          assert(body.contains(
+            """query="obs\"quoted\\back\nline""""), "expected escaped label value")
+        } finally server.close()
+      } finally q.stop()
+    } finally spark.streams.removeListener(obs)
+  }
 }
