@@ -52,7 +52,8 @@ final case class HttpSettings(enabled: Boolean = false, host: String = "0.0.0.0"
     // reject every upload
     HttpConfig(port = port,
       maxBodyBytes = math.min(maxUploadBytes, (Int.MaxValue - 1).toLong).toInt,
-      ratePerMinute = rateLimit, rateBurst = rateBurst, tls = tls)
+      ratePerMinute = rateLimit, rateBurst = rateBurst, tls = tls,
+      certFile = certFile, keyFile = keyFile)
 }
 
 final case class KafkaSettings(enabled: Boolean = false, hosts: Seq[String] = Nil,

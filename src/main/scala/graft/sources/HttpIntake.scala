@@ -22,7 +22,9 @@ final case class HttpConfig(
     maxBodyBytes: Int = 10 << 20,
     ratePerMinute: Int = 600,
     rateBurst: Int = 100,
-    tls: Boolean = false)
+    tls: Boolean = false,
+    certFile: String = "",
+    keyFile: String = "")
 
 /** HTTP intake twin of the reference server (internal/http/server.go):
   * the same route surface — POST/PUT /dmarc/report (RFC 7489 upload,
@@ -123,8 +125,16 @@ final class HttpIntake(cfg: HttpConfig, dropDir: String,
 
   private val server: HttpServer =
     if (cfg.tls) {
+      // cert_file/key_file configured -> serve the PEM identity (the
+      // reference's deployment shape); both-or-neither, misconfiguring
+      // one alone fails at startup
+      require(cfg.certFile.isEmpty == cfg.keyFile.isEmpty,
+        "http.cert_file and http.key_file must be set together")
+      val ctx =
+        if (cfg.certFile.nonEmpty) TlsSupport.serverContextFromPem(cfg.certFile, cfg.keyFile)
+        else TlsSupport.serverContext
       val s = HttpsServer.create(new InetSocketAddress("127.0.0.1", cfg.port), 16)
-      s.setHttpsConfigurator(new HttpsConfigurator(TlsSupport.serverContext))
+      s.setHttpsConfigurator(new HttpsConfigurator(ctx))
       s
     } else HttpServer.create(new InetSocketAddress("127.0.0.1", cfg.port), 16)
   def port: Int = server.getAddress.getPort

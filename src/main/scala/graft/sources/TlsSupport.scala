@@ -91,10 +91,12 @@ object TlsSupport {
     seq(tbs, Sha256WithRsa, bitString(sig.sign()))
   }
 
-  /** One keypair + certificate per JVM: generation costs ~0.2 s and the
-    * twins only need a stable identity to pin.
+  /** A fresh self-signed CN=localhost identity (keypair + verified
+    * cert). The per-JVM [[keyPair]]/[[certificate]] is one of these;
+    * the config-driven PEM specs mint ANOTHER and serve it, proving
+    * the configured files — not the fallback — decide the identity.
     */
-  lazy val (keyPair: KeyPair, certificate: X509Certificate) = {
+  def freshIdentity(): (KeyPair, X509Certificate) = {
     val kpg = KeyPairGenerator.getInstance("RSA")
     kpg.initialize(2048)
     val pair = kpg.generateKeyPair()
@@ -106,6 +108,11 @@ object TlsSupport {
     cert.checkValidity()
     (pair, cert)
   }
+
+  /** One keypair + certificate per JVM: generation costs ~0.2 s and the
+    * twins only need a stable identity to pin.
+    */
+  lazy val (keyPair: KeyPair, certificate: X509Certificate) = freshIdentity()
 
   /** Server-side context: holds the private key, offers the cert. */
   lazy val serverContext: SSLContext = {
@@ -128,6 +135,61 @@ object TlsSupport {
     tmf.init(ks)
     val ctx = SSLContext.getInstance("TLSv1.3")
     ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  // ---- config-driven PEM identity (http.cert_file / http.key_file) ----
+
+  private def pemBlock(pem: String, label: String): Array[Byte] = {
+    val begin = s"-----BEGIN $label-----"
+    val end = s"-----END $label-----"
+    val i = pem.indexOf(begin)
+    val j = pem.indexOf(end)
+    require(i >= 0 && j > i, s"no '$label' PEM block found")
+    java.util.Base64.getMimeDecoder.decode(pem.substring(i + begin.length, j).trim)
+  }
+
+  /** First CERTIFICATE block of a PEM file as an X.509 certificate. */
+  def certificateFromPem(path: String): X509Certificate = {
+    val pem = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "US-ASCII")
+    CertificateFactory.getInstance("X.509")
+      .generateCertificate(new java.io.ByteArrayInputStream(
+        pemBlock(pem, "CERTIFICATE")))
+      .asInstanceOf[X509Certificate]
+  }
+
+  /** PRIVATE KEY (PKCS#8) block of a PEM file; RSA first, then EC —
+    * the two key types the JDK's TLS stack serves.
+    */
+  def privateKeyFromPem(path: String): java.security.PrivateKey = {
+    val pem = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "US-ASCII")
+    val der = pemBlock(pem, "PRIVATE KEY")
+    val spec = new java.security.spec.PKCS8EncodedKeySpec(der)
+    try java.security.KeyFactory.getInstance("RSA").generatePrivate(spec)
+    catch {
+      case _: java.security.spec.InvalidKeySpecException =>
+        java.security.KeyFactory.getInstance("EC").generatePrivate(spec)
+    }
+  }
+
+  /** Server context from configured PEM files — what `http.tls` with
+    * `cert_file`/`key_file` set serves instead of the generated
+    * identity. The key must match the cert's public key: a config
+    * pointing at a mismatched pair fails here at startup, not at the
+    * first handshake.
+    */
+  def serverContextFromPem(certPath: String, keyPath: String): SSLContext = {
+    val cert = certificateFromPem(certPath)
+    val key = privateKeyFromPem(keyPath)
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("graft", key, Array.empty[Char], Array(cert))
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.empty[Char])
+    val ctx = SSLContext.getInstance("TLSv1.3")
+    ctx.init(kmf.getKeyManagers, null, null)
     ctx
   }
 

@@ -96,6 +96,81 @@ class TlsTransportSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("config-driven PEM cert/key: the server serves the FILE identity, not the generated fallback") {
+    import java.security.cert.X509Certificate
+    def pem(label: String, der: Array[Byte]): String =
+      s"-----BEGIN $label-----\n" +
+        java.util.Base64.getMimeEncoder(64, "\n".getBytes).encodeToString(der) +
+        s"\n-----END $label-----\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-pem")
+    val (kp, cert) = TlsSupport.freshIdentity() // distinct from the per-JVM one
+    val certPath = dir.resolve("server.crt")
+    val keyPath = dir.resolve("server.key")
+    // X.509 cert + PKCS#8 key, the PEM shapes the reference's
+    // cert_file/key_file point at
+    java.nio.file.Files.write(certPath, pem("CERTIFICATE", cert.getEncoded).getBytes("US-ASCII"))
+    java.nio.file.Files.write(keyPath, pem("PRIVATE KEY", kp.getPrivate.getEncoded).getBytes("US-ASCII"))
+    // through the YAML config surface, as a deployment would set it
+    val yaml = dir.resolve("config.yaml")
+    java.nio.file.Files.write(yaml,
+      s"""http:
+         |  enabled: true
+         |  port: 0
+         |  tls: true
+         |  cert_file: $certPath
+         |  key_file: $keyPath
+         |""".stripMargin.getBytes("UTF-8"))
+    val cfg = graft.sources.ConfigLoader.load(yaml.toString).http.toHttpConfig
+    assert(cfg.tls && cfg.certFile == certPath.toString && cfg.keyFile == keyPath.toString)
+    val drop = java.nio.file.Files.createTempDirectory("graft-pem-drop").toString
+    val server = new HttpIntake(cfg, drop, summary = () => "{}", extraMetrics = () => Nil)
+    try {
+      // pin trust to the PEM cert alone; capture what the server presents
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      ks.load(null, null)
+      ks.setCertificateEntry("pem", cert)
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLSv1.3")
+      ctx.init(null, tmf.getTrustManagers, null)
+      val client = HttpClient.newBuilder().sslContext(ctx).build()
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:${server.port}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200)
+      val served = health.sslSession().get.getPeerCertificates.head.asInstanceOf[X509Certificate]
+      assert(served == cert, "server did not present the configured PEM identity")
+      assert(served != TlsSupport.certificate, "served the generated fallback, not the files")
+      // and a client pinned to the FALLBACK identity must now be rejected
+      val fallbackClient = HttpClient.newBuilder().sslContext(TlsSupport.clientContext).build()
+      intercept[java.io.IOException] {
+        fallbackClient.send(
+          HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:${server.port}/health")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+    } finally server.close()
+    // misconfigurations fail at STARTUP, not at the first handshake:
+    // half-configured pair, and a key that does not match the cert
+    intercept[IllegalArgumentException] {
+      new HttpIntake(cfg.copy(keyFile = ""), drop, () => "{}", () => Nil)
+    }
+    val (otherKp, _) = TlsSupport.freshIdentity()
+    val wrongKey = dir.resolve("wrong.key")
+    java.nio.file.Files.write(wrongKey,
+      pem("PRIVATE KEY", otherKp.getPrivate.getEncoded).getBytes("US-ASCII"))
+    intercept[Exception] {
+      val s = new HttpIntake(cfg.copy(keyFile = wrongKey.toString), drop, () => "{}", () => Nil)
+      try {
+        // if context construction tolerated the mismatch, the handshake must not
+        val c = HttpClient.newBuilder().sslContext(TlsSupport.clientContext).build()
+        c.send(HttpRequest.newBuilder(
+          URI.create(s"https://127.0.0.1:${s.port}/health")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      } finally s.close()
+    }
+  }
+
   test("client trust is pinned, not trust-all: a default-trust client is rejected") {
     val drop = java.nio.file.Files.createTempDirectory("graft-https-drop2").toString
     val server = new HttpIntake(HttpConfig(tls = true), drop,
