@@ -41,6 +41,104 @@ class WarcRecordsSpec extends AnyFunSuite {
     assert(httpClen == "<body>x</body>".getBytes(UTF_8).length)
   }
 
+  test("hand-authored Common-Crawl-shaped file: bytes the repo's writer never produced") {
+    // Framed here BY HAND per ISO 28500 with the full header set a real
+    // Common Crawl segment carries (warcinfo + request + response +
+    // metadata records, urn:uuid record ids, digests, truncation of the
+    // writer's minimal-header shape is deliberate) — an offline
+    // stand-in for vendoring a crawl record verbatim (zero egress).
+    // WarcRecords.build emits none of these headers and no
+    // request/metadata records, so agreement here is parser-vs-spec,
+    // not writer-vs-reader.
+    def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+      val h = new StringBuilder("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => h.append(s"$k: $v\r\n") }
+      h.append(s"Content-Length: ${payload.length}\r\n\r\n")
+      h.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val body = "<!DOCTYPE html>\n<html><head><title>Example Domain</title></head>\n" +
+      "<body><h1>Example Domain</h1><p>This domain is for use in examples.</p></body></html>"
+    val httpResp = ("HTTP/1.1 200 OK\r\n" +
+      "Date: Thu, 14 Mar 2024 09:26:32 GMT\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      s"Content-Length: ${body.getBytes(UTF_8).length}\r\n" +
+      "X-Crawler-Transfer-Encoding: chunked\r\n\r\n" + body).getBytes(UTF_8)
+    val blob =
+      record(Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2024-03-14T09:26:32Z",
+        "WARC-Filename" -> "CC-MAIN-20240314092632-20240314122632-00000.warc.gz",
+        "WARC-Record-ID" -> "<urn:uuid:6f9482d0-8b3b-4f0a-93a1-0b16b6f2a001>",
+        "Content-Type" -> "application/warc-fields"),
+        ("software: Nutch 1.19 (modified)\r\nisPartOf: CC-MAIN-2024-10\r\n" +
+          "operator: Common Crawl Admin (info@commoncrawl.org)\r\n" +
+          "format: WARC File Format 1.1\r\n").getBytes(UTF_8)) ++
+      record(Seq(
+        "WARC-Type" -> "request",
+        "WARC-Date" -> "2024-03-14T09:26:32Z",
+        "WARC-Record-ID" -> "<urn:uuid:6f9482d0-8b3b-4f0a-93a1-0b16b6f2a002>",
+        "WARC-Target-URI" -> "https://example.com/",
+        "WARC-Warcinfo-ID" -> "<urn:uuid:6f9482d0-8b3b-4f0a-93a1-0b16b6f2a001>",
+        "Content-Type" -> "application/http; msgtype=request"),
+        ("GET / HTTP/1.1\r\nHost: example.com\r\nUser-Agent: CCBot/2.0\r\n" +
+          "Accept: text/html\r\n\r\n").getBytes(UTF_8)) ++
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Date" -> "2024-03-14T09:26:32Z",
+        "WARC-Record-ID" -> "<urn:uuid:6f9482d0-8b3b-4f0a-93a1-0b16b6f2a003>",
+        "WARC-Concurrent-To" -> "<urn:uuid:6f9482d0-8b3b-4f0a-93a1-0b16b6f2a002>",
+        "WARC-Target-URI" -> "https://example.com/",
+        "WARC-Warcinfo-ID" -> "<urn:uuid:6f9482d0-8b3b-4f0a-93a1-0b16b6f2a001>",
+        "WARC-IP-Address" -> "93.184.216.34",
+        "WARC-Payload-Digest" -> "sha1:UZY6ND6CCHXETFVJD2MSS7ZENMWF7KQ2",
+        "WARC-Block-Digest" -> "sha1:YQ5R7BPLGP3RMQUEHPXLNPBBSJW2ZMPQ",
+        "WARC-Identified-Payload-Type" -> "text/html",
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpResp) ++
+      record(Seq(
+        "WARC-Type" -> "metadata",
+        "WARC-Date" -> "2024-03-14T09:26:32Z",
+        "WARC-Record-ID" -> "<urn:uuid:6f9482d0-8b3b-4f0a-93a1-0b16b6f2a004>",
+        "WARC-Concurrent-To" -> "<urn:uuid:6f9482d0-8b3b-4f0a-93a1-0b16b6f2a003>",
+        "WARC-Target-URI" -> "https://example.com/",
+        "Content-Type" -> "application/warc-fields"),
+        "fetchTimeMs: 227\r\ncharset-detected: UTF-8\r\n".getBytes(UTF_8))
+
+    val rs = WarcRecords.parse(blob).get
+    assert(rs.length == 1, "exactly the response record survives")
+    val r = rs.head
+    assert(r.uri == "https://example.com/")
+    assert(r.status == 200)
+    assert(r.httpHeaders.contains("Content-Type: text/html; charset=UTF-8"))
+    assert(new String(r.body, UTF_8) == body)
+    // and the gz framing composes with the same hand bytes: wrap each
+    // record as its own gzip member, Common Crawl's actual layout
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close()
+      bos.toByteArray
+    }
+    // re-split the blob into its four records by walking lengths by hand
+    val lens = {
+      var pos = 0; val cuts = Seq.newBuilder[Int]
+      while (pos < blob.length) {
+        val hEnd = new String(blob, pos, blob.length - pos, UTF_8).indexOf("\r\n\r\n") + pos
+        val clen = new String(blob, pos, hEnd - pos, UTF_8).split("\r\n")
+          .find(_.startsWith("Content-Length:")).get.split(":")(1).trim.toInt
+        pos = hEnd + 4 + clen + 4
+        cuts += pos
+      }
+      cuts.result()
+    }
+    val members = (0 +: lens).sliding(2).map { case Seq(a, b) =>
+      gzMember(java.util.Arrays.copyOfRange(blob, a, b))
+    }.reduce(_ ++ _)
+    val gzRs = WarcRecords.parseGz(members).get
+    assert(gzRs.length == 1 && gzRs.head.uri == "https://example.com/")
+    assert(new String(gzRs.head.body, UTF_8) == body)
+  }
+
   test("record advance is length-driven: payloads containing the magic don't resync") {
     val tricky = "<body>WARC/1.0 fake\r\n\r\nrecord inside text</body>"
     val rs = WarcRecords.parse(WarcRecords.build(Seq(9L -> tricky))).get
