@@ -787,7 +787,7 @@ object TextAnalysis extends QueryModule {
     // looks normal. Pure map over the corpus (one Deflater per batch,
     // explicitly released — no shuffle, no state), BEST_SPEED because
     // the signal is the ratio's magnitude, not the exact byte count.
-    // Rows-only: zlib lives JVM-side; CompressRatioSpec pins the
+    // Rows-only: zlib lives JVM-side; TextSignalsSpec pins the
     // repetitive≪random separation, determinism across runs, and the
     // ratio arithmetic.
     QueryDef(
