@@ -639,6 +639,68 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, mp3Schema)
   }
 
+  val flacSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("min_block", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("total_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("n_blocks", IntegerType),
+    StructField("vendor", StringType),
+    StructField("md5_hex", StringType),
+    StructField("header_ok", BooleanType),
+  ))
+
+  /** Valid FLAC metadata chains closed-form from doc_id — block sizes,
+    * the packed rate/channels/bits/samples word, the 16-byte MD5 tail,
+    * a VORBIS_COMMENT block on every third stream (little-endian body)
+    * and a PADDING block on every fifth, so the gate exercises the
+    * chain walk, the last-block flag, and both endiannesses.
+    */
+  def flacTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val rdd = t.documents.select(col("doc_id")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val d = r.getLong(0)
+        Row(d, graft.functions.FlacHeaders.synthetic(
+          minBlock = Seq(576, 1024, 4096)((d % 3).toInt),
+          maxBlock = 4096,
+          sampleRate = Seq(8000, 22050, 44100, 48000)((d % 4).toInt),
+          channels = (d % 8).toInt + 1,
+          bits = Seq(8, 16, 24)((d % 3).toInt),
+          totalSamples = d * 100 + 4096,
+          md5 = Array.fill[Byte](16)((d % 251).toByte),
+          vendor = if (d % 3 == 0) Some(s"graft${d % 7}") else None,
+          paddingBytes = if (d % 5 == 0) 16 else 0))
+      }))
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** REAL FLAC metadata walk (graft.functions.FlacHeaders): STREAMINFO
+    * fields, block count, VORBIS_COMMENT vendor, and the MD5 tail
+    * without decoding audio — the lossless-audio triage twin of
+    * [[decodeMp3Headers]]. Hash-gated field-for-field against the
+    * closed-form oracle; a walk that mis-sizes a block or misreads the
+    * big-endian packed word desyncs and reds out.
+    */
+  def decodeFlacHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        graft.functions.FlacHeaders.parse(r.getAs[Array[Byte]](1)) match {
+          case Some(f) =>
+            Row(r.getLong(0), f.minBlock, f.sampleRate, f.channels, f.bits,
+                f.totalSamples, f.totalSamples * 1000 / f.sampleRate,
+                f.nBlocks, f.vendor, f.md5Hex, true)
+          case None => Row(r.getLong(0), 0, 0, 0, 0, 0L, 0L, 0, "", "", false)
+        }
+      }))
+    spark.createDataFrame(rdd, flacSchema)
+  }
+
   val orientedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("orientation", IntegerType),
@@ -1161,6 +1223,28 @@ object Multimodal extends QueryModule {
         | TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin
 
+    /** Closed-form recomputation of every FLAC STREAMINFO field the
+      * fixtures derive from doc_id — the metadata walk must land on
+      * these exactly (block count proves the chain walk, vendor the
+      * little-endian VORBIS_COMMENT framing, md5_hex the raw tail).
+      */
+    val FlacHeaders: String =
+      """SELECT doc_id,
+        | CAST([576,1024,4096][CAST(doc_id % 3 AS INT) + 1] AS INT) AS min_block,
+        | CAST([8000,22050,44100,48000][CAST(doc_id % 4 AS INT) + 1] AS INT) AS sample_rate,
+        | CAST(doc_id % 8 + 1 AS INT) AS channels,
+        | CAST([8,16,24][CAST(doc_id % 3 AS INT) + 1] AS INT) AS bits,
+        | CAST(doc_id * 100 + 4096 AS BIGINT) AS total_samples,
+        | CAST((doc_id * 100 + 4096) * 1000
+        |   // ([8000,22050,44100,48000][CAST(doc_id % 4 AS INT) + 1]) AS BIGINT) AS duration_ms,
+        | CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |        + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_blocks,
+        | CASE WHEN doc_id % 3 = 0 THEN 'graft' || CAST(doc_id % 7 AS VARCHAR)
+        |      ELSE '' END AS vendor,
+        | repeat(lpad(lower(hex(doc_id % 251)), 2, '0'), 16) AS md5_hex,
+        | TRUE AS header_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+
     val VideoHeaders: String =
       """SELECT doc_id,
         | ['isom','mp42'][CAST(doc_id % 2 AS INT) + 1] AS brand,
@@ -1298,6 +1382,14 @@ object Multimodal extends QueryModule {
       (s, dir) =>
         decodeMp3Headers(mp3Table(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.Mp3Headers),
+    ),
+    // real FLAC metadata-chain walk (STREAMINFO + VORBIS_COMMENT +
+    // PADDING), closed-form-oracled — the lossless-audio triage stage
+    QueryDef(
+      "m_flac_headers",
+      (s, dir) =>
+        decodeFlacHeaders(flacTable(Tables(s, dir))).orderBy("doc_id"),
+      Some(Oracle.FlacHeaders),
     ),
     // real ID3v2.4 text-frame extraction composed with the frame walk,
     // closed-form-oracled

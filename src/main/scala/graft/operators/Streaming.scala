@@ -402,6 +402,26 @@ object Streaming extends QueryModule {
       },
       Some(s"${graft.operators.TextAnalysis.DsirWeightSqlCore}\nORDER BY doc_id"),
     ),
+    // streaming Gopher quality rules: arriving documents score as a
+    // stateless per-row map (the literal batch t_gopher_rules
+    // projection — shared code, no state store, no watermark),
+    // carrying the batch entry's own DuckDB oracle so the STREAM
+    // output is itself hash-gated row-for-row.
+    QueryDef(
+      "st_gopher_rules",
+      (s, dir) => {
+        val name = s"st_gopher_${System.nanoTime()}"
+        val q = graft.operators.TextAnalysis
+          .gopherRules(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_gopher_rules timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"${graft.operators.TextAnalysis.GopherRulesSql}\nORDER BY doc_id"),
+    ),
     // streaming radius retrieval: arriving vectors score against the
     // broadcast query batch with the threshold applied BEFORE the sink
     // — a stateless stream-static broadcast join (no state store, no

@@ -37,6 +37,101 @@ object TextAnalysis extends QueryModule {
        |       / length(text))*0.3, 4) AS quality
        |  FROM documents)""".stripMargin
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * ... Gopher", Appendix A1.1 — the published MassiveText document
+    * filter, since reused by FineWeb/Dolma-class pipelines): word-count
+    * bounds, mean word length, symbol-to-word ratio (# and ellipsis),
+    * bullet-start and ellipsis-end line ratios, alphabetic-word share,
+    * and a required-stopword floor. Emitted per document as the raw
+    * metrics PLUS one boolean per rule and the conjunctive `pass`, so a
+    * pipeline can either filter on `pass` or re-threshold the metrics.
+    * Pure `functions`/higher-order-array expressions — stateless
+    * per-row, no shuffle before the sink, shared verbatim by the
+    * streaming twin (st_gopher_rules). Tokenization is the corpus
+    * convention (single-space split) used by every t_* entry.
+    */
+  private[graft] def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val gopherStop = "('the','be','to','of','and','that','have','with')"
+    docs.select(col("doc_id"), col("text"))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+        // sum of token lengths == chars minus separators (empty tokens
+        // contribute 0 either way)
+        expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("word_chars"),
+        expr("CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)").as("n_hash"),
+        expr("CAST((length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)")
+          .as("n_ellipsis"),
+        expr("CAST(size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]')) AS BIGINT)")
+          .as("n_alpha_words"),
+        expr(s"CAST(size(filter(array$gopherStop, sw -> array_contains(split(text, ' '), sw))) AS BIGINT)")
+          .as("stop_hits"),
+        expr("CAST(size(split(text, '\\n')) AS BIGINT)").as("n_lines"),
+        expr("CAST(size(filter(split(text, '\\n'), l -> startswith(l, '- ') OR startswith(l, '* ') OR startswith(l, '• '))) AS BIGINT)")
+          .as("n_bullet"),
+        expr("CAST(size(filter(split(text, '\\n'), l -> endswith(l, '...'))) AS BIGINT)")
+          .as("n_ell_end"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("word_chars").cast("double") / col("n_words"), 4).as("mean_word_len"),
+        round((col("n_hash") + col("n_ellipsis")).cast("double") / col("n_words"), 4)
+          .as("symbol_ratio"),
+        round(col("n_bullet").cast("double") / col("n_lines"), 4).as("bullet_ratio"),
+        round(col("n_ell_end").cast("double") / col("n_lines"), 4).as("ellipsis_ratio"),
+        round(col("n_alpha_words").cast("double") / col("n_words"), 4).as("alpha_word_ratio"),
+        col("stop_hits"),
+        col("n_words").between(50L, 100000L).as("pass_words"),
+        (col("word_chars").cast("double") / col("n_words"))
+          .between(3.0, 10.0).as("pass_mean_len"),
+        ((col("n_hash") + col("n_ellipsis")).cast("double") / col("n_words") <= 0.1)
+          .as("pass_symbol"),
+        (col("n_bullet").cast("double") / col("n_lines") <= 0.9).as("pass_bullet"),
+        (col("n_ell_end").cast("double") / col("n_lines") <= 0.3).as("pass_ellipsis"),
+        (col("n_alpha_words").cast("double") / col("n_words") >= 0.8).as("pass_alpha"),
+        (col("stop_hits") >= 2L).as("pass_stop"))
+      .withColumn("pass",
+        col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
+          col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+          col("pass_stop"))
+  }
+
+  private[graft] val GopherRulesSql: String =
+    """WITH m AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+      |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+      |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+      |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |    sw -> list_contains(string_split(text, ' '), sw))) AS BIGINT) AS stop_hits,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, chr(8226) || ' '))) AS BIGINT) AS n_bullet,
+      |  CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |ROUND(CAST(word_chars AS DOUBLE) / n_words, 4) AS mean_word_len,
+      |ROUND(CAST(n_hash + n_ellipsis AS DOUBLE) / n_words, 4) AS symbol_ratio,
+      |ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 4) AS bullet_ratio,
+      |ROUND(CAST(n_ell_end AS DOUBLE) / n_lines, 4) AS ellipsis_ratio,
+      |ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 4) AS alpha_word_ratio,
+      |stop_hits,
+      |n_words BETWEEN 50 AND 100000 AS pass_words,
+      |CAST(word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0 AS pass_mean_len,
+      |CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1 AS pass_symbol,
+      |CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 AS pass_bullet,
+      |CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3 AS pass_ellipsis,
+      |CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8 AS pass_alpha,
+      |stop_hits >= 2 AS pass_stop,
+      |(n_words BETWEEN 50 AND 100000)
+      |  AND (CAST(word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+      |  AND (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1)
+      |  AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+      |  AND (CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3)
+      |  AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+      |  AND (stop_hits >= 2) AS pass
+      |FROM m""".stripMargin
+
   /** Sliding-window chunk projection shared by batch (t_chunk_overlap)
     * and streaming (st_chunk_overlap): 256-char windows at 192-char
     * stride, md5-content-addressed. STATELESS sequence+explode+substring
@@ -120,6 +215,13 @@ object TextAnalysis extends QueryModule {
               |  + (CAST(n_stop AS DOUBLE)/n_tokens)*0.2
               |  + (CAST(n_alpha AS DOUBLE)/n_len)*0.3, 4) AS quality
               |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+    // the published Gopher/MassiveText document filter (metrics + per-
+    // rule flags + conjunctive pass), closed-form oracled both sides
+    QueryDef(
+      "t_gopher_rules",
+      (s, dir) => gopherRules(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(s"$GopherRulesSql\nORDER BY doc_id"),
     ),
     QueryDef(
       "t_fingerprint",
