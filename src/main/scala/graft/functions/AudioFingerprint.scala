@@ -93,29 +93,48 @@ object AudioFingerprint {
     * with sin/cos at the band center (a single-bin DFT — the Goertzel
     * quantity), log-compressed with a floor so silent frames stay
     * finite.
+    *
+    * The correlation phasor e^{iw·i} advances by a complex rotation
+    * per sample instead of calling trig per sample — that is the whole
+    * cost of this function (2·Grid·n transcendental calls otherwise;
+    * ~90 ms/doc measured at the 100× scale cell, 30× the image pHash).
+    * Rotation is pure IEEE-754 multiply/add, bit-identical on every
+    * JVM since strict FP became mandatory (Java 17), so the
+    * platform-stability property the StrictMath seeds give us is
+    * preserved. The phasor re-seeds from StrictMath at every frame
+    * boundary, bounding rotation-rounding drift to one frame
+    * (≲ frameLen·2⁻⁵² relative) regardless of total duration.
     */
   private[functions] def spectrogram(sampleRate: Int, mono: Array[Double]): Array[Double] = {
     val n = mono.length
     val out = new Array[Double](Grid * Grid)
-    var t = 0
-    while (t < Grid) {
-      val s0 = t * n / Grid
-      val s1 = (t + 1) * n / Grid
-      var bnd = 0
-      while (bnd < Grid) {
-        val w = 2.0 * math.Pi * bandHz(bnd) / sampleRate
+    var bnd = 0
+    while (bnd < Grid) {
+      val w = 2.0 * math.Pi * bandHz(bnd) / sampleRate
+      val cw = StrictMath.cos(w)
+      val sw = StrictMath.sin(w)
+      var t = 0
+      while (t < Grid) {
+        val s0 = t * n / Grid
+        val s1 = (t + 1) * n / Grid
+        var pr = StrictMath.cos(w * s0)
+        var pi = StrictMath.sin(w * s0)
         var re = 0.0
         var im = 0.0
         var i = s0
         while (i < s1) {
-          re += mono(i) * StrictMath.cos(w * i)
-          im += mono(i) * StrictMath.sin(w * i)
+          val m = mono(i)
+          re += m * pr
+          im += m * pi
+          val nr = pr * cw - pi * sw
+          pi = pr * sw + pi * cw
+          pr = nr
           i += 1
         }
         out(t * Grid + bnd) = StrictMath.log((re * re + im * im) / (s1 - s0) + 1e-9)
-        bnd += 1
+        t += 1
       }
-      t += 1
+      bnd += 1
     }
     out
   }

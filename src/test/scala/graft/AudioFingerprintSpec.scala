@@ -109,14 +109,19 @@ class AudioFingerprintSpec extends SparkSpec {
       assert(col.indexOf(col.max) == bnd, s"frame $t peaks at band ${col.indexOf(col.max)}")
     }
     // re-derive cell (t=3, band=7) from first principles with
-    // independently-written code: single-bin DFT energy, log-compressed
+    // independently-written code: per-sample-trig single-bin DFT
+    // energy, log-compressed. The production path advances the phasor
+    // by rotation (re-seeded per frame), so agreement is within the
+    // 64-step rotation-rounding drift, not bit-exact — 1e-6 on the log
+    // is ~5 decimal digits of the energy, far tighter than any bit the
+    // sign-vs-median hash can see.
     val (t, b) = (3, 7)
     val w = 2.0 * math.Pi * AudioFingerprint.bandHz(b) / sr
     val (s0, s1) = (t * N / 32, (t + 1) * N / 32)
     val re = (s0 until s1).map(i => mono(i) * StrictMath.cos(w * i)).sum
     val im = (s0 until s1).map(i => mono(i) * StrictMath.sin(w * i)).sum
     val expected = StrictMath.log((re * re + im * im) / (s1 - s0) + 1e-9)
-    assert(math.abs(grid(t * 32 + b) - expected) < 1e-9)
+    assert(math.abs(grid(t * 32 + b) - expected) < 1e-6)
   }
 
   test("totality: crafted chunk lengths, truncations, and wrong formats yield None, never throw") {
