@@ -422,6 +422,26 @@ object Streaming extends QueryModule {
       },
       Some(s"${graft.operators.TextAnalysis.GopherRulesSql}\nORDER BY doc_id"),
     ),
+    // streaming C4 structural filter: same shape as st_gopher_rules —
+    // a stateless per-row map sharing the batch t_c4_rules projection
+    // and its closed-form DuckDB oracle, so the STREAM output is
+    // hash-gated to equal the batch row-for-row.
+    QueryDef(
+      "st_c4_rules",
+      (s, dir) => {
+        val name = s"st_c4_${System.nanoTime()}"
+        val q = graft.operators.TextAnalysis
+          .c4Rules(graft.operators.TextAnalysis.c4PageTable(
+            graft.streaming.CorpusStreaming.readDocumentStream(s, dir)))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_c4_rules timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"${graft.operators.TextAnalysis.C4RulesSql}\nORDER BY doc_id"),
+    ),
     // streaming radius retrieval: arriving vectors score against the
     // broadcast query batch with the threshold applied BEFORE the sink
     // — a stateless stream-static broadcast join (no state store, no

@@ -132,6 +132,124 @@ object TextAnalysis extends QueryModule {
       |  AND (stop_hits >= 2) AS pass
       |FROM m""".stripMargin
 
+  /** C4 structural filter (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+    * the heuristics that produced C4 from Common Crawl): a LINE is kept
+    * only if it ends in terminal punctuation (period / exclamation /
+    * question mark / closing quote), has ≥ 5 words, and does not
+    * mention "javascript"; a PAGE passes only with ≥ 3 sentences left
+    * in its kept lines and neither "lorem ipsum" nor a curly brace
+    * anywhere. Sentences are counted as terminal `.!?` marks in the
+    * kept lines — the usual closed-form approximation. (C4's remaining
+    * rule, the "bad word" blocklist, is a vendored word LIST, not a
+    * structural rule — a caller supplies their own list via an extra
+    * rlike filter; nothing is hidden in here.) Emitted per document as
+    * raw metrics plus one boolean per rule and the conjunctive `pass`,
+    * same contract as [[gopherRules]]. Pure higher-order-array
+    * expressions, stateless per-row, no shuffle before the sink —
+    * shared verbatim by the streaming twin (st_c4_rules).
+    */
+  private[graft] def c4Rules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // kept lines per C4's line rules; '\n' is the same regex-newline
+    // split every line rule in this file uses
+    val kept = """filter(split(text, '\\n'), l ->
+        (endswith(l, '.') OR endswith(l, '!') OR endswith(l, '?') OR endswith(l, '"'))
+        AND size(split(l, ' ')) >= 5
+        AND NOT contains(lower(l), 'javascript'))"""
+    docs.select(col("doc_id"), col("text"))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(split(text, '\\n')) AS BIGINT)").as("n_lines"),
+        expr(s"CAST(size($kept) AS BIGINT)").as("n_kept"),
+        expr(s"""CAST(aggregate($kept, CAST(0 AS BIGINT),
+                 (acc, l) -> acc + length(l) - length(translate(l, '.!?', ''))) AS BIGINT)""")
+          .as("n_sentences"),
+        expr("contains(lower(text), 'lorem ipsum')").as("has_lorem"),
+        expr("contains(text, '{')").as("has_brace"))
+      .select(
+        col("doc_id"), col("n_lines"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_lines"), 4).as("kept_ratio"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        (col("n_sentences") >= 3L).as("pass_sentences"),
+        (!col("has_lorem")).as("pass_lorem"),
+        (!col("has_brace")).as("pass_brace"))
+      .withColumn("pass",
+        col("pass_sentences") && col("pass_lorem") && col("pass_brace"))
+  }
+
+  /** Deterministic page re-lining for the C4 entry: the synthetic
+    * corpus is single-line word soup with zero punctuation (every C4
+    * metric would be a constant on it), so fold the first 40 tokens
+    * into five 8-word lines whose terminators cycle on doc_id —
+    * period / '...' / question mark / NONE (an unterminated line the
+    * filter must drop) — truncate line 3 to three words on every fifth
+    * doc (the ≥5-word floor), inject "javascript" into line 2 on every
+    * seventh, and append the page-level lorem-ipsum / curly-brace
+    * markers on every 11th / 13th. Same construction, token for token,
+    * in [[C4PageSqlExpr]] for the DuckDB side — the closed-form fixture
+    * convention the multimodal entries use.
+    */
+  private[graft] def c4PageTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def term(i: Int) =
+      s"CASE CAST((doc_id + $i) % 4 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '...' WHEN 2 THEN '?' ELSE '' END"
+    def line(i: Int) = {
+      val body =
+        if (i == 2) s"array_join(slice(split(text, ' '), ${8 * i + 1}, CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 8 END), ' ')"
+        else s"array_join(slice(split(text, ' '), ${8 * i + 1}, 8), ' ')"
+      val js = if (i == 1) " || CASE WHEN doc_id % 7 = 0 THEN ' javascript' ELSE '' END" else ""
+      s"$body$js || ${term(i)}"
+    }
+    val page = (0 until 5).map(line).mkString("concat_ws('\\n', ", ", ", ")") +
+      " || CASE WHEN doc_id % 11 = 0 THEN '\\nlorem ipsum' ELSE '' END" +
+      " || CASE WHEN doc_id % 13 = 0 THEN '\\n{' ELSE '' END"
+    docs.select(col("doc_id"), expr(page).as("text"))
+  }
+
+  /** DuckDB twin of [[c4PageTable]] — one SELECT-able expression
+    * producing the identical page string from (doc_id, text).
+    * list_slice is begin/end-index (inclusive) where Spark's slice is
+    * start/LENGTH; both 1-based.
+    */
+  private[graft] val C4PageSqlExpr: String = {
+    def term(i: Int) =
+      s"CASE CAST((doc_id + $i) % 4 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '...' WHEN 2 THEN '?' ELSE '' END"
+    def line(i: Int) = {
+      val body =
+        if (i == 2) s"array_to_string(list_slice(string_split(text, ' '), ${8 * i + 1}, ${8 * i} + CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 8 END), ' ')"
+        else s"array_to_string(list_slice(string_split(text, ' '), ${8 * i + 1}, ${8 * i + 8}), ' ')"
+      val js = if (i == 1) " || CASE WHEN doc_id % 7 = 0 THEN ' javascript' ELSE '' END" else ""
+      s"$body$js || ${term(i)}"
+    }
+    (0 until 5).map(line).mkString("concat_ws(chr(10), ", ", ", ")") +
+      " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END" +
+      " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{' ELSE '' END"
+  }
+
+  private[graft] val C4RulesSql: String =
+    s"""WITH pages AS (SELECT doc_id, $C4PageSqlExpr AS text FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  list_filter(string_split(text, chr(10)), l ->
+      |    (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+      |    AND len(string_split(l, ' ')) >= 5
+      |    AND NOT contains(lower(l), 'javascript')) AS kept,
+      |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |  contains(text, '{') AS has_brace
+      |  FROM pages),
+      |s AS (SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(list_sum(list_transform(kept,
+      |    l -> length(l) - length(translate(l, '.!?', '')))), 0) AS BIGINT) AS n_sentences,
+      |  has_lorem, has_brace
+      |  FROM m)
+      |SELECT doc_id, n_lines, n_kept,
+      |ROUND(CAST(n_kept AS DOUBLE) / n_lines, 4) AS kept_ratio,
+      |n_sentences, has_lorem, has_brace,
+      |n_sentences >= 3 AS pass_sentences,
+      |NOT has_lorem AS pass_lorem,
+      |NOT has_brace AS pass_brace,
+      |(n_sentences >= 3) AND NOT has_lorem AND NOT has_brace AS pass
+      |FROM s""".stripMargin
+
   /** Sliding-window chunk projection shared by batch (t_chunk_overlap)
     * and streaming (st_chunk_overlap): 256-char windows at 192-char
     * stride, md5-content-addressed. STATELESS sequence+explode+substring
@@ -222,6 +340,13 @@ object TextAnalysis extends QueryModule {
       "t_gopher_rules",
       (s, dir) => gopherRules(Tables(s, dir).documents).orderBy("doc_id"),
       Some(s"$GopherRulesSql\nORDER BY doc_id"),
+    ),
+    // the C4 structural filter (kept-line rules + sentence floor +
+    // lorem-ipsum/brace page rules), closed-form oracled both sides
+    QueryDef(
+      "t_c4_rules",
+      (s, dir) => c4Rules(c4PageTable(Tables(s, dir).documents)).orderBy("doc_id"),
+      Some(s"$C4RulesSql\nORDER BY doc_id"),
     ),
     QueryDef(
       "t_fingerprint",
