@@ -44,20 +44,26 @@ object FlacHeaders {
     if (bytes.length < 4 + 4 + 34) return None
     if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' || bytes(3) != 'C')
       return None
-    var pos = 4
+    // Long-space walk (the AudioFingerprint.pcmMono convention): for
+    // inputs approaching 2 GiB, Int `body + len` can wrap negative and
+    // defeat the bounds check — every guard here compares in Long, and
+    // positions narrow to Int only after proving < bytes.length.
+    var posL = 4L
     var first = true
     var info: Option[FlacInfo] = None
     var nBlocks = 0
     var vendor = ""
     var last = false
     while (!last) {
-      if (pos + 4 > bytes.length) return None
+      if (posL + 4L > bytes.length) return None
+      val pos = posL.toInt
       val hdr = bytes(pos) & 0xff
       last = (hdr & 0x80) != 0
       val tpe = hdr & 0x7f
       val len = u24(bytes, pos + 1)
-      val body = pos + 4
-      if (body + len > bytes.length) return None
+      val bodyL = posL + 4L
+      if (bodyL + len > bytes.length) return None
+      val body = bodyL.toInt
       if (first) {
         // STREAMINFO is mandatory and mandatory-first (RFC 9639 §8.1)
         if (tpe != 0 || len < 34) return None
@@ -78,13 +84,16 @@ object FlacHeaders {
           sampleRate, channels, bits, totalSamples, 0, "", md5.toString))
         first = false
       } else if (tpe == 4 && len >= 8) {
-        // VORBIS_COMMENT: little-endian vendor-length framing
-        val vlen = u32le(bytes, body).toInt
-        if (vlen >= 0 && body + 4 + vlen + 4 <= body + len)
-          vendor = new String(bytes, body + 4, vlen, "UTF-8")
+        // VORBIS_COMMENT: little-endian vendor-length framing. Compare
+        // in Long BEFORE narrowing — a crafted vlen near Int.MaxValue
+        // would wrap `body + 4 + vlen + 4` negative and slip past an
+        // Int `<=` check into an out-of-bounds String read.
+        val vlenL = u32le(bytes, body)
+        if (vlenL + 8L <= len)
+          vendor = new String(bytes, body + 4, vlenL.toInt, "UTF-8")
       }
       nBlocks += 1
-      pos = body + len
+      posL = bodyL + len
     }
     info.map(_.copy(nBlocks = nBlocks, vendor = vendor))
   }

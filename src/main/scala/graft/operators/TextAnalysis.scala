@@ -140,7 +140,14 @@ object TextAnalysis extends QueryModule {
     * mention "javascript"; a PAGE passes only with ≥ 3 sentences left
     * in its kept lines and neither "lorem ipsum" nor a curly brace
     * anywhere. Sentences are counted as terminal `.!?` marks in the
-    * kept lines — the usual closed-form approximation. (C4's remaining
+    * kept lines — the usual closed-form approximation. Divergence from
+    * the RELEASED c4_utils (tensorflow-datasets): that code additionally
+    * drops lines ending in an ellipsis "..." and matches "javascript"
+    * as a whole word; here the paper-level rules are taken literally —
+    * an ellipsis line ends in '.' so it is kept (and contributes three
+    * sentence marks), and "javascript" matches as a substring. Both
+    * engines implement the same literal reading, so the gate compares
+    * like for like. (C4's remaining
     * rule, the "bad word" blocklist, is a vendored word LIST, not a
     * structural rule — a caller supplies their own list via an extra
     * rlike filter; nothing is hidden in here.) Emitted per document as
@@ -214,9 +221,12 @@ object TextAnalysis extends QueryModule {
     def term(i: Int) =
       s"CASE CAST((doc_id + $i) % 4 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '...' WHEN 2 THEN '?' ELSE '' END"
     def line(i: Int) = {
+      // COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+      // array_join of an empty slice is '' — without it, a sub-40-word
+      // document NULLs the line and concat_ws silently drops it
       val body =
-        if (i == 2) s"array_to_string(list_slice(string_split(text, ' '), ${8 * i + 1}, ${8 * i} + CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 8 END), ' ')"
-        else s"array_to_string(list_slice(string_split(text, ' '), ${8 * i + 1}, ${8 * i + 8}), ' ')"
+        if (i == 2) s"coalesce(array_to_string(list_slice(string_split(text, ' '), ${8 * i + 1}, ${8 * i} + CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 8 END), ' '), '')"
+        else s"coalesce(array_to_string(list_slice(string_split(text, ' '), ${8 * i + 1}, ${8 * i + 8}), ' '), '')"
       val js = if (i == 1) " || CASE WHEN doc_id % 7 = 0 THEN ' javascript' ELSE '' END" else ""
       s"$body$js || ${term(i)}"
     }

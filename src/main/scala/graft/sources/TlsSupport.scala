@@ -183,6 +183,21 @@ object TlsSupport {
   def serverContextFromPem(certPath: String, keyPath: String): SSLContext = {
     val cert = certificateFromPem(certPath)
     val key = privateKeyFromPem(keyPath)
+    // KeyStore.setKeyEntry does NOT check that the key matches the
+    // cert's public key (a mismatch would otherwise surface only at the
+    // first handshake) — prove the pair by sign-verifying a probe.
+    val algo = key.getAlgorithm match {
+      case "RSA" => "SHA256withRSA"
+      case _     => "SHA256withECDSA"
+    }
+    val probe = "graft-tls-pair-probe".getBytes("US-ASCII")
+    val signer = java.security.Signature.getInstance(algo)
+    signer.initSign(key); signer.update(probe)
+    val sig = signer.sign()
+    val verifier = java.security.Signature.getInstance(algo)
+    verifier.initVerify(cert.getPublicKey); verifier.update(probe)
+    require(verifier.verify(sig),
+      s"key_file $keyPath does not match the certificate in $certPath")
     val ks = KeyStore.getInstance("PKCS12")
     ks.load(null, null)
     ks.setKeyEntry("graft", key, Array.empty[Char], Array(cert))

@@ -99,6 +99,40 @@ class C4RulesSpec extends SparkSpec {
     assert(b(r2, "has_brace") && !b(r2, "pass_brace") && !b(r2, "pass"))
   }
 
+  test("short document (<40 words): empty-slice lines survive as bare terminators — hand-pinned row") {
+    // The r10 gate red: DuckDB's array_to_string([]) is NULL (so the
+    // un-COALESCEd oracle dropped the line via concat_ws) while Spark's
+    // array_join('') keeps it. This pins the REQUIRED cross-engine
+    // behavior as a hand-computed row, independent of any recompute
+    // that shares Spark's semantics. For doc_id=0 with a 10-word text:
+    //   line0 = words 1-8 + '.'            -> kept (8 words, '.')
+    //   line1 = words 9-10 + ' javascript' + '...' (0%7==0) -> dropped
+    //   line2 = EMPTY slice (%5 trunc)  + '?' -> bare '?', dropped (<5 words)
+    //   line3 = EMPTY slice + '' term        -> '' line, MUST still count
+    //   line4 = EMPTY slice + '.'            -> bare '.', dropped
+    // plus the %11 lorem and %13 brace markers: n_lines MUST be 7.
+    val s = spark
+    import s.implicits._
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, ten)).toDF("doc_id", "text")
+    val page = graft.operators.TextAnalysis.c4PageTable(df).collect()(0).getString(1)
+    assert(page ==
+      "w1 w2 w3 w4 w5 w6 w7 w8.\nw9 w10 javascript...\n?\n\n.\nlorem ipsum\n{")
+    val r = graft.operators.TextAnalysis.c4Rules(
+      graft.operators.TextAnalysis.c4PageTable(df)).collect()(0)
+    assert(l(r, "n_lines") == 7L)
+    assert(l(r, "n_kept") == 1L)
+    assert(r.getDouble(r.fieldIndex("kept_ratio")) == 0.1429)
+    assert(l(r, "n_sentences") == 1L)
+    assert(b(r, "has_lorem") && b(r, "has_brace"))
+    assert(!b(r, "pass_sentences") && !b(r, "pass"))
+    // and the oracle side must carry the COALESCE guard for the same
+    // empty-slice lines — assert textually since DuckDB can't run here
+    val sql = graft.operators.TextAnalysis.C4PageSqlExpr
+    assert(sql.contains("coalesce(array_to_string("),
+      "C4PageSqlExpr must COALESCE empty-list array_to_string (NULL in DuckDB)")
+  }
+
   test("gate corpus: flags agree with an independent page-construction + rules recompute") {
     val out = graft.SparkEntry.queries("t_c4_rules")(spark, sfDir).collect()
     val docs = graft.Tables(spark, sfDir).documents

@@ -84,4 +84,22 @@ class FlacHeadersSpec extends AnyFunSuite {
     overrun(7) = 0xff.toByte // STREAMINFO len 34 -> 255 > remaining
     assert(FlacHeaders.parse(overrun).isEmpty)
   }
+
+  test("crafted vendor length near Int.MaxValue cannot wrap the bounds check") {
+    // VORBIS_COMMENT whose u32le vendor length is 0x7FFFFFF0: Int
+    // arithmetic `body + 4 + vlen + 4` wraps negative and would slip
+    // past an Int `<=` check into an out-of-bounds String read — the
+    // walk must compare in Long and ignore the vendor, not throw.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(handBuilt, 0, handBuilt.length)
+    val bytes = out.toByteArray
+    bytes(4) = 0x00 // STREAMINFO no longer last
+    out.reset(); out.write(bytes, 0, bytes.length)
+    out.write(0x84); out.write(0); out.write(0); out.write(12) // last | VORBIS, len 12
+    // u32le vlen = 0x7FFFFFF0, then 8 arbitrary body bytes
+    out.write(0xF0); out.write(0xFF); out.write(0xFF); out.write(0x7F)
+    out.write(new Array[Byte](8), 0, 8)
+    val f = FlacHeaders.parse(out.toByteArray)
+    assert(f.nonEmpty && f.get.vendor == "" && f.get.nBlocks == 2)
+  }
 }

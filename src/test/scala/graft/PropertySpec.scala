@@ -38,6 +38,7 @@ class PropertySpec extends AnyFunSuite {
       graft.functions.JpegPixels.decode(b)
       graft.functions.PerceptualHash.phash64(b)
       graft.functions.AudioFingerprint.fingerprint64(b)
+      graft.functions.FlacHeaders.parse(b)
       graft.sources.Extract.decompress(b)
       true
     })
@@ -48,7 +49,11 @@ class PropertySpec extends AnyFunSuite {
       graft.functions.JpegPixels.decode(b)
       graft.functions.PerceptualHash.phash64(b)
       graft.functions.AudioFingerprint.fingerprint64(b)
+      graft.functions.FlacHeaders.parse(b)
       true
+    })
+    check(Prop.forAllNoShrink(bytesGen) { tail =>
+      graft.functions.FlacHeaders.parse("fLaC".getBytes ++ tail); true
     })
   }
 

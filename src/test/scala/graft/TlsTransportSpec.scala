@@ -159,16 +159,13 @@ class TlsTransportSpec extends SparkSpec {
     val wrongKey = dir.resolve("wrong.key")
     java.nio.file.Files.write(wrongKey,
       pem("PRIVATE KEY", otherKp.getPrivate.getEncoded).getBytes("US-ASCII"))
-    intercept[Exception] {
-      val s = new HttpIntake(cfg.copy(keyFile = wrongKey.toString), drop, () => "{}", () => Nil)
-      try {
-        // if context construction tolerated the mismatch, the handshake must not
-        val c = HttpClient.newBuilder().sslContext(TlsSupport.clientContext).build()
-        c.send(HttpRequest.newBuilder(
-          URI.create(s"https://127.0.0.1:${s.port}/health")).GET().build(),
-          HttpResponse.BodyHandlers.ofString())
-      } finally s.close()
+    // CONSTRUCTION alone must throw (the sign-verify pair probe in
+    // serverContextFromPem) — no handshake in this intercept, so a
+    // context that silently tolerated the mismatch fails this test
+    val e = intercept[IllegalArgumentException] {
+      new HttpIntake(cfg.copy(keyFile = wrongKey.toString), drop, () => "{}", () => Nil)
     }
+    assert(e.getMessage.contains("does not match"))
   }
 
   test("client trust is pinned, not trust-all: a default-trust client is rejected") {
