@@ -20,6 +20,32 @@ object Bench {
     "q_band_join_auto", "q_skew_join_salted",
   )
 
+  /** Single-thread CPU canary: a fixed, data-independent integer-mix
+    * loop (xxhash-style avalanche over 1 << 22 iterations) timed on one
+    * thread. Round-over-round bench totals have swung 40%+ on identical
+    * code and identical data (r9 7.5 s → r10/r11 ~10.9 s, uniform
+    * across every query incl. ones untouched for five rounds) — the
+    * signature of a slower HOST, not a slower plan. The canary makes
+    * that directly measurable: compare `canary_sec` across rounds
+    * before reading anything into the query columns.
+    */
+  private def cpuCanary(): Double = {
+    var acc = 0x9E3779B97F4A7C15L
+    // untimed warm pass so JIT compiles the loop before measurement
+    var w = 0
+    while (w < (1 << 20)) { acc ^= acc >>> 33; acc *= 0xFF51AFD7ED558CCDL; w += 1 }
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < (1 << 22)) {
+      acc ^= acc >>> 33; acc *= 0xFF51AFD7ED558CCDL
+      acc ^= acc >>> 29; acc *= 0xC4CEB9FE1A85EC53L
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) println(acc) // defeat dead-code elimination
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
@@ -51,6 +77,18 @@ object Bench {
     def loadNow(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => 0.0 }
+    // Hypervisor steal across the bench window: in a VM, host-side CPU
+    // contention is INVISIBLE to guest loadavg (the r11 finding: totals
+    // swung 10.9 → 14.0 s between back-to-back runs at guest load ~4).
+    // /proc/stat field 8 counts ticks the hypervisor ran someone else
+    // while this guest was runnable — the direct measurement.
+    def statTicks(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (f.lift(7).getOrElse(0L), f.sum)
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    val (steal0, total0) = statTicks()
     val maxLoad = sys.env.get("GRAFT_BENCH_MAX_LOAD").flatMap(_.toDoubleOption).getOrElse(8.0)
     val BasePasses = 3
     val MaxPasses = 5
@@ -89,7 +127,12 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val nCpu = Runtime.getRuntime.availableProcessors()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"sf":"$sfDir","passes":$p,"pass_loads":"${passLoads.map(l => f"$l%.1f").mkString(",")}","loadavg":"$loadAvg","cpus":$nCpu}"""
+    val canary = f"${Seq.fill(3)(cpuCanary()).min}%.4f"
+    val (steal1, total1) = statTicks()
+    val stealPct =
+      if (total1 > total0) f"${100.0 * (steal1 - steal0) / (total1 - total0)}%.2f"
+      else "-1"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"sf":"$sfDir","passes":$p,"pass_loads":"${passLoads.map(l => f"$l%.1f").mkString(",")}","loadavg":"$loadAvg","cpus":$nCpu,"canary_sec":$canary,"steal_pct":$stealPct}"""
     spark.stop()
     // Driver-parseable channels, most robust first: a file in the repo
     // root, then bare stdout lines (raw via run/outputStrategy, printed

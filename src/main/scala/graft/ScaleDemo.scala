@@ -189,7 +189,24 @@ object ScaleDemo {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val df = queries(q)(spark, dir)
-        val rows = df.count()
+        // count() on a PROJECTION-ONLY plan (no filter/join/agg between
+        // scan and sink) collapses to parquet footer count-star and
+        // never evaluates the projected expressions — a 100× cell then
+        // measures metadata reads, not the operator (observed:
+        // t_c4_rules "0.33 s" for 500k docs). Force full evaluation by
+        // hashing every output column through an aggregate; for plans
+        // with a filter/join/agg the work already runs and count()
+        // stays the cheaper, historically-comparable window.
+        val forced = Set("t_c4_rules", "t_gopher_rules")
+        val rows =
+          if (forced(q)) {
+            import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+            val n = df.count()
+            // bit_xor, not sum: ANSI mode overflows Long on summed hashes
+            df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+              .agg(expr("bit_xor(h)")).head()
+            n
+          } else df.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val plan = df.queryExecution.executedPlan.toString
         val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
