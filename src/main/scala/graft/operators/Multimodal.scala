@@ -359,6 +359,56 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, pixelSchema)
   }
 
+  /** Image table whose payloads are COMPLETE baseline TIFFs (TIFF 6.0
+    * strip-organized uncompressed RGB, RowsPerStrip cycling 2-4, byte
+    * order alternating II/MM on doc_id) carrying the suite's shared
+    * gradient — the container-format sixth of the still-image family.
+    */
+  def tiffTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val base = t.documents.select(
+      col("doc_id"),
+      (col("doc_id") % 16 + 4).cast("int").as("w"),
+      (col("doc_id") % 12 + 4).cast("int").as("h"),
+      (col("doc_id") % 997).cast("int").as("seed"))
+    val rdd = base.rdd.map { r =>
+      Row(r.getLong(0),
+          graft.functions.TiffPixels.syntheticTiff(
+            r.getInt(1), r.getInt(2), r.getInt(3), bigEndian = r.getLong(0) % 2 == 1),
+          Row(r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType), StructField("h", IntegerType),
+        StructField("seed", IntegerType)))),
+    ))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** TIFF pixel decode to per-channel means, cross-checked against the
+    * closed-form gradient — same batched mapPartitions shape and same
+    * pixels_ok contract as [[decodePngPixels]].
+    */
+  def decodeTiffPixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.TiffPixels.decode(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, mr, mg, mb)) =>
+            val (er, eg, eb) = graft.functions.PngPixels.syntheticMeans(
+              meta.getInt(0), meta.getInt(1), meta.getInt(2))
+            Row(r.getLong(0), w, h, mr, mg, mb,
+                w == meta.getInt(0) && h == meta.getInt(1) &&
+                  mr == er && mg == eg && mb == eb)
+          case None => Row(r.getLong(0), 0, 0, 0.0, 0.0, 0.0, false)
+        }
+      }))
+    spark.createDataFrame(rdd, pixelSchema)
+  }
+
   /** Image table whose payloads are COMPLETE compressed PNGs (real zlib
     * IDAT streams, gradient pixels, rows cycling through all five
     * filter types) — the compressed-format twin of [[bmpTable]].
@@ -699,6 +749,61 @@ object Multimodal extends QueryModule {
         }
       }))
     spark.createDataFrame(rdd, flacSchema)
+  }
+
+  val oggSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("serial", LongType),
+    StructField("n_pages", IntegerType),
+    StructField("last_granule", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("nominal_bitrate", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("vendor", StringType),
+    StructField("header_ok", BooleanType),
+  ))
+
+  /** Streams whose payloads are COMPLETE Ogg/Vorbis header chains (BOS
+    * identification page, comment page, 0-5 empty audio pages, EOS,
+    * every page carrying its real RFC 3533 CRC).
+    */
+  def oggTable(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val rdd = t.documents.select(col("doc_id")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val d = r.getLong(0)
+        Row(d, graft.functions.OggHeaders.synthetic(
+          serial = d,
+          channels = (d % 8).toInt + 1,
+          sampleRate = Seq(8000, 22050, 44100, 48000)((d % 4).toInt),
+          nominalBitrate = ((d % 32).toInt + 1) * 16000,
+          vendor = s"graft${d % 7}",
+          nAudioPages = (d % 6).toInt))
+      }))
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** REAL Ogg page walk + Vorbis ident/comment parse
+    * (graft.functions.OggHeaders): page accounting with verified CRCs,
+    * stream serial, last granule, and the ident fields — the
+    * streaming-container triage twin of [[decodeFlacHeaders]]. A walk
+    * that mis-sizes a lacing table or miscomputes the unreflected CRC
+    * desyncs and reds out.
+    */
+  def decodeOggHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        graft.functions.OggHeaders.parse(r.getAs[Array[Byte]](1)) match {
+          case Some(o) =>
+            Row(r.getLong(0), o.serial, o.nPages, o.lastGranule, o.channels,
+                o.sampleRate, o.nominalBitrate, o.durationMs, o.vendor, true)
+          case None => Row(r.getLong(0), 0L, 0, 0L, 0, 0, 0, 0L, "", false)
+        }
+      }))
+    spark.createDataFrame(rdd, oggSchema)
   }
 
   val orientedSchema: StructType = StructType(Seq(
@@ -1245,6 +1350,20 @@ object Multimodal extends QueryModule {
         | TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin
 
+    val OggHeaders: String =
+      """SELECT doc_id,
+        | CAST(doc_id AS BIGINT) AS serial,
+        | CAST(doc_id % 6 + 2 AS INT) AS n_pages,
+        | CAST((doc_id % 6) * 1024 AS BIGINT) AS last_granule,
+        | CAST(doc_id % 8 + 1 AS INT) AS channels,
+        | CAST([8000,22050,44100,48000][CAST(doc_id % 4 AS INT) + 1] AS INT) AS sample_rate,
+        | CAST((doc_id % 32 + 1) * 16000 AS INT) AS nominal_bitrate,
+        | CAST((doc_id % 6) * 1024 * 1000
+        |   // ([8000,22050,44100,48000][CAST(doc_id % 4 AS INT) + 1]) AS BIGINT) AS duration_ms,
+        | 'graft' || CAST(doc_id % 7 AS VARCHAR) AS vendor,
+        | TRUE AS header_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+
     val VideoHeaders: String =
       """SELECT doc_id,
         | ['isom','mp42'][CAST(doc_id % 2 AS INT) + 1] AS brand,
@@ -1391,6 +1510,15 @@ object Multimodal extends QueryModule {
         decodeFlacHeaders(flacTable(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.FlacHeaders),
     ),
+    // real Ogg page walk (verified RFC 3533 CRCs) + Vorbis ident/
+    // comment headers, closed-form-oracled — the streaming-audio
+    // container triage stage
+    QueryDef(
+      "m_ogg_headers",
+      (s, dir) =>
+        decodeOggHeaders(oggTable(Tables(s, dir))).orderBy("doc_id"),
+      Some(Oracle.OggHeaders),
+    ),
     // real ID3v2.4 text-frame extraction composed with the frame walk,
     // closed-form-oracled
     QueryDef(
@@ -1436,6 +1564,18 @@ object Multimodal extends QueryModule {
       "m_png_pixels",
       (s, dir) =>
         decodePngPixels(pngTable(Tables(s, dir))).orderBy("doc_id"),
+      Some(Oracle.PngPixels),
+    ),
+    // the sixth still-image container end to end: complete baseline
+    // TIFFs (strip-organized uncompressed RGB, BOTH byte orders, inline
+    // and at-offset IFD values) decoded by the full TIFF 6.0 IFD walk
+    // and cross-checked against the shared closed-form gradient — the
+    // fixture dims/formulas match pngTable's, so the entry reuses
+    // Oracle.PngPixels through an entirely different byte path
+    QueryDef(
+      "m_tiff_pixels",
+      (s, dir) =>
+        decodeTiffPixels(tiffTable(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.PngPixels),
     ),
     // the LAST still-image format end to end: complete lossless WebPs

@@ -442,6 +442,25 @@ object Streaming extends QueryModule {
       },
       Some(s"${graft.operators.TextAnalysis.C4RulesSql}\nORDER BY doc_id"),
     ),
+    // streaming FineWeb filter: same shape as st_gopher_rules /
+    // st_c4_rules — a stateless per-row map sharing the batch
+    // t_fineweb_rules projection and its closed-form DuckDB oracle.
+    QueryDef(
+      "st_fineweb_rules",
+      (s, dir) => {
+        val name = s"st_fineweb_${System.nanoTime()}"
+        val q = graft.operators.TextAnalysis
+          .finewebRules(graft.operators.TextAnalysis.fwPageTable(
+            graft.streaming.CorpusStreaming.readDocumentStream(s, dir)))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_fineweb_rules timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"${graft.operators.TextAnalysis.FinewebRulesSql}\nORDER BY doc_id"),
+    ),
     // streaming radius retrieval: arriving vectors score against the
     // broadcast query batch with the threshold applied BEFORE the sink
     // — a stateless stream-static broadcast join (no state store, no

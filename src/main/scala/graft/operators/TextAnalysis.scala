@@ -260,6 +260,151 @@ object TextAnalysis extends QueryModule {
       |(n_sentences >= 3) AND NOT has_lorem AND NOT has_brace AS pass
       |FROM s""".stripMargin
 
+  /** FineWeb quality filter (Penedo et al. 2024, "The FineWeb Datasets:
+    * Decanting the Web for the Finest Text Data at Scale" — the three
+    * custom heuristics FineWeb added on top of its Gopher/C4 baseline,
+    * each developed against a C4-filtered ablation):
+    *   1. KEEP only if the fraction of lines ending in terminal
+    *      punctuation (the C4 set: . ! ? ") is ABOVE 0.12;
+    *   2. KEEP only if the fraction of characters in duplicated lines
+    *      is BELOW 0.10 — counted over occurrences AFTER the first of
+    *      each repeated line (the datatrove convention), against total
+    *      line characters;
+    *   3. KEEP only if the fraction of lines shorter than 30 characters
+    *      is BELOW 0.67.
+    * Emitted per document as raw metrics plus one boolean per rule and
+    * the conjunctive `pass`, the same contract as [[gopherRules]] /
+    * [[c4Rules]]. The duplicate-line scan is ROW-LOCAL (sort the line
+    * array, charge each element equal to its predecessor) — no explode,
+    * no shuffle, so the projection is shared verbatim by the streaming
+    * twin (st_fineweb_rules) and partitions embarrassingly at 100 TB.
+    * Rule thresholds compare the UNROUNDED ratios; the 4dp rounding is
+    * display-only, as in gopherRules.
+    */
+  private[graft] def finewebRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        expr("split(text, '\\n')").as("lines"),
+        expr("array_sort(split(text, '\\n'))").as("slines"))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(lines) AS BIGINT)").as("n_lines"),
+        expr("""CAST(size(filter(lines, l ->
+            endswith(l, '.') OR endswith(l, '!') OR endswith(l, '?') OR endswith(l, '"')))
+            AS BIGINT)""").as("n_punct"),
+        expr("CAST(size(filter(lines, l -> length(l) < 30)) AS BIGINT)").as("n_short"),
+        // element_at is 1-based and transform's index 0-based, so
+        // element_at(slines, i) IS the predecessor of position i
+        expr("""CAST(aggregate(transform(slines, (l, i) ->
+            IF(i > 0 AND l = element_at(slines, i), CAST(length(l) AS BIGINT), CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)""").as("dup_chars"),
+        expr("CAST(aggregate(lines, CAST(0 AS BIGINT), (a, l) -> a + CAST(length(l) AS BIGINT)) AS BIGINT)")
+          .as("line_chars"))
+      .select(
+        col("doc_id"), col("n_lines"), col("dup_chars"), col("line_chars"),
+        round(col("n_punct").cast("double") / col("n_lines"), 4).as("punct_ratio"),
+        round(col("n_short").cast("double") / col("n_lines"), 4).as("short_ratio"),
+        round(col("dup_chars").cast("double") / greatest(col("line_chars"), lit(1L)), 4)
+          .as("dup_char_ratio"),
+        (col("n_punct").cast("double") / col("n_lines") > 0.12).as("pass_punct"),
+        (col("n_short").cast("double") / col("n_lines") < 0.67).as("pass_short"),
+        (col("dup_chars").cast("double") / greatest(col("line_chars"), lit(1L)) < 0.1)
+          .as("pass_dup"))
+      .withColumn("pass", col("pass_punct") && col("pass_short") && col("pass_dup"))
+  }
+
+  /** Deterministic page re-lining for the FineWeb entry (the c4PageTable
+    * convention — the synthetic corpus is single-line word soup, so the
+    * line-level rules would be constants on it): six 6-word lines from
+    * the first 36 tokens, terminators cycling '.', '?', NONE on
+    * (doc_id + i) % 3; every 10th doc gets NO terminators anywhere (the
+    * punct-ratio fail arm); every 9th doc truncates EVERY line to two
+    * words (the short-line fail arm); line 4 alone truncates to two
+    * words on every 4th doc (a short line that does not fail the doc);
+    * every 3rd doc appends a verbatim copy of line 0 (the
+    * duplicated-line fail arm). Token for token in [[FwPageSqlExpr]].
+    */
+  private[graft] def fwPageTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def term(i: Int) =
+      s"CASE WHEN doc_id % 10 = 0 THEN '' WHEN CAST((doc_id + $i) % 3 AS INT) = 0 THEN '.' WHEN CAST((doc_id + $i) % 3 AS INT) = 1 THEN '?' ELSE '' END"
+    def len(i: Int) =
+      s"CASE WHEN doc_id % 9 = 0 THEN 2 ${if (i == 4) "WHEN doc_id % 4 = 0 THEN 2 " else ""}ELSE 6 END"
+    def line(i: Int) =
+      s"array_join(slice(split(text, ' '), ${6 * i + 1}, ${len(i)}), ' ') || ${term(i)}"
+    val page = (0 until 6).map(line).mkString("concat_ws('\\n', ", ", ", ")") +
+      s" || CASE WHEN doc_id % 3 = 0 THEN '\\n' || ${line(0)} ELSE '' END"
+    docs.select(col("doc_id"), expr(page).as("text"))
+  }
+
+  /** DuckDB twin of [[fwPageTable]] — list_slice is begin/end-inclusive
+    * where Spark's slice is start/LENGTH (both 1-based), and the
+    * empty-slice join is COALESCEd ('' in Spark, NULL in DuckDB — the
+    * r10 c4 lesson).
+    */
+  private[graft] val FwPageSqlExpr: String = {
+    def term(i: Int) =
+      s"CASE WHEN doc_id % 10 = 0 THEN '' WHEN CAST((doc_id + $i) % 3 AS INT) = 0 THEN '.' WHEN CAST((doc_id + $i) % 3 AS INT) = 1 THEN '?' ELSE '' END"
+    def len(i: Int) =
+      s"CASE WHEN doc_id % 9 = 0 THEN 2 ${if (i == 4) "WHEN doc_id % 4 = 0 THEN 2 " else ""}ELSE 6 END"
+    def line(i: Int) =
+      s"coalesce(array_to_string(list_slice(string_split(text, ' '), ${6 * i + 1}, ${6 * i} + ${len(i)}), ' '), '') || ${term(i)}"
+    (0 until 6).map(line).mkString("concat_ws(chr(10), ", ", ", ")") +
+      s" || CASE WHEN doc_id % 3 = 0 THEN chr(10) || ${line(0)} ELSE '' END"
+  }
+
+  private[graft] val FinewebRulesSql: String =
+    s"""WITH pages AS (SELECT doc_id, $FwPageSqlExpr AS text FROM documents),
+      |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+      |  list_sort(string_split(text, chr(10))) AS slines FROM pages),
+      |m AS (SELECT doc_id,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(lines, x ->
+      |    ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '"'))) AS BIGINT) AS n_punct,
+      |  CAST(len(list_filter(lines, x -> length(x) < 30)) AS BIGINT) AS n_short,
+      |  CAST(coalesce(list_sum(list_transform(slines, (x, i) ->
+      |    CASE WHEN i > 1 AND x = slines[i-1] THEN length(x) ELSE 0 END)), 0) AS BIGINT) AS dup_chars,
+      |  CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars
+      |  FROM l)
+      |SELECT doc_id, n_lines, dup_chars, line_chars,
+      |ROUND(CAST(n_punct AS DOUBLE) / n_lines, 4) AS punct_ratio,
+      |ROUND(CAST(n_short AS DOUBLE) / n_lines, 4) AS short_ratio,
+      |ROUND(CAST(dup_chars AS DOUBLE) / GREATEST(line_chars, 1), 4) AS dup_char_ratio,
+      |CAST(n_punct AS DOUBLE) / n_lines > 0.12 AS pass_punct,
+      |CAST(n_short AS DOUBLE) / n_lines < 0.67 AS pass_short,
+      |CAST(dup_chars AS DOUBLE) / GREATEST(line_chars, 1) < 0.1 AS pass_dup,
+      |(CAST(n_punct AS DOUBLE) / n_lines > 0.12)
+      |  AND (CAST(n_short AS DOUBLE) / n_lines < 0.67)
+      |  AND (CAST(dup_chars AS DOUBLE) / GREATEST(line_chars, 1) < 0.1) AS pass
+      |FROM m""".stripMargin
+
+  /** CCNet's head/middle/tail scoring + partition (see the
+    * t_ccnet_buckets registry entry for the paper mapping and the
+    * <=-stability argument): unigram-surprisal scoring, exact tercile
+    * cuts as a 1-row broadcast, low surprisal = head.
+    */
+  private[graft] def ccnetBuckets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val totalDf = freq.agg(sum(col("c")).as("n_total"))
+    val scored = toks.join(freq, "term")
+      .crossJoin(broadcast(totalDf))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           round(sum(-log2(col("c").cast("double") / col("n_total").cast("double")))
+             / count(lit(1)), 4).as("surprisal"))
+    val cuts = scored.agg(
+      expr("percentile(surprisal, 1.0D/3)").as("c1"),
+      expr("percentile(surprisal, 2.0D/3)").as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal"),
+        round(col("c1"), 4).as("cut_head"),
+        round(col("c2"), 4).as("cut_tail"),
+        when(col("surprisal") <= col("c1"), "head")
+          .when(col("surprisal") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Sliding-window chunk projection shared by batch (t_chunk_overlap)
     * and streaming (st_chunk_overlap): 256-char windows at 192-char
     * stride, md5-content-addressed. STATELESS sequence+explode+substring
@@ -357,6 +502,13 @@ object TextAnalysis extends QueryModule {
       "t_c4_rules",
       (s, dir) => c4Rules(c4PageTable(Tables(s, dir).documents)).orderBy("doc_id"),
       Some(s"$C4RulesSql\nORDER BY doc_id"),
+    ),
+    // the three published FineWeb custom heuristics (punct-line floor,
+    // duplicated-line char cap, short-line cap), closed-form oracled
+    QueryDef(
+      "t_fineweb_rules",
+      (s, dir) => finewebRules(fwPageTable(Tables(s, dir).documents)).orderBy("doc_id"),
+      Some(s"$FinewebRulesSql\nORDER BY doc_id"),
     ),
     QueryDef(
       "t_fingerprint",
@@ -1017,6 +1169,43 @@ object TextAnalysis extends QueryModule {
              |  / COUNT(*), 4) AS surprisal
              |FROM t2 JOIN freq USING(term) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+    // CCNet's head/middle/tail split (Wenzek et al. 2020, "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data"): score every document with an LM signal (here the
+    // corpus-fit unigram surprisal above, same 4dp contract), cut the
+    // corpus at the score's exact terciles, and label LOW-surprisal
+    // (most predictable) docs "head", then "middle", then "tail" —
+    // the paper's quality partition used to keep head+middle for
+    // training. The cuts are a 1-row broadcast (the DSIR model-totals
+    // shape); the tercile aggregate is EXACT for the cross-engine
+    // gate — at 100 TB swap percentile for approx_percentile(1e-6)
+    // and the rest of the plan is unchanged. Comparison against the
+    // UNROUNDED cuts is <=-stable cross-engine: doc scores are 4dp
+    // multiples and an interpolated cut lies strictly between
+    // adjacent order statistics, so no document sits within an ulp
+    // of a cut unless the cut IS an order statistic (interpolation
+    // fraction 0, exact in both engines).
+    QueryDef(
+      "t_ccnet_buckets",
+      (s, dir) => ccnetBuckets(Tables(s, dir).documents).orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |t2 AS (SELECT * FROM toks WHERE term <> ''),
+             |freq AS (SELECT term, COUNT(*) AS c FROM t2 GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
+             |scored AS (SELECT doc_id, COUNT(*) AS n_tokens,
+             |  ROUND(SUM(-log2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)))
+             |    / COUNT(*), 4) AS surprisal
+             |  FROM t2 JOIN freq USING(term) CROSS JOIN tot
+             |  GROUP BY doc_id),
+             |cuts AS (SELECT quantile_cont(surprisal, 1.0/3) AS c1,
+             |  quantile_cont(surprisal, 2.0/3) AS c2 FROM scored)
+             |SELECT doc_id, n_tokens, surprisal,
+             |ROUND(c1, 4) AS cut_head, ROUND(c2, 4) AS cut_tail,
+             |CASE WHEN surprisal <= c1 THEN 'head'
+             |     WHEN surprisal <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+             |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin),
     ),
     // Deflate compression ratio — the quality signal entropy can't see:
     // LONG-RANGE repetition (copy-pasted paragraphs, templated spam)

@@ -155,6 +155,8 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row corpus-total broadcast onto the token frame (same scalar
       // shape as the TPC-H threshold queries)
       "t_unigram_surprisal",
+      // 1-row corpus-total + 1-row tercile-cuts broadcasts (CCNet)
+      "t_ccnet_buckets",
       // 1-row vocabulary-size broadcast onto the bigram frame
       "t_bigram_surprisal",
       // 1-row model-totals broadcast onto the token frame (DSIR)

@@ -26,7 +26,8 @@ class PropertySpec extends AnyFunSuite {
   private val magics = Seq(
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
     "GIF89a".getBytes, "BM".getBytes, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
-    "RIFF".getBytes, "ftyp".getBytes)
+    "RIFF".getBytes, "ftyp".getBytes,
+    Array[Byte]('I', 'I', 42, 0), Array[Byte]('M', 'M', 0, 42))
   private val magicPrefixed: Gen[Array[Byte]] =
     for { m <- Gen.oneOf(magics); tail <- bytesGen } yield m ++ tail
 
@@ -39,6 +40,7 @@ class PropertySpec extends AnyFunSuite {
       graft.functions.PerceptualHash.phash64(b)
       graft.functions.AudioFingerprint.fingerprint64(b)
       graft.functions.FlacHeaders.parse(b)
+      graft.functions.TiffPixels.decode(b)
       graft.sources.Extract.decompress(b)
       true
     })
@@ -50,6 +52,7 @@ class PropertySpec extends AnyFunSuite {
       graft.functions.PerceptualHash.phash64(b)
       graft.functions.AudioFingerprint.fingerprint64(b)
       graft.functions.FlacHeaders.parse(b)
+      graft.functions.TiffPixels.decode(b)
       true
     })
     check(Prop.forAllNoShrink(bytesGen) { tail =>
