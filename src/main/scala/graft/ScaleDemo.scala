@@ -54,7 +54,7 @@ object ScaleDemo {
     // model totals) — the same scalar-threshold shapes PlanAuditSpec
     // allowlists; bounded at any scale by construction
     "t_unigram_surprisal", "t_bigram_surprisal", "t_dsir_weight",
-    "t_dsir_sample",
+    "t_dsir_sample", "t_ccnet_buckets",
     "q11_important_value", "q20_excess_shippers", "q22_inactive_customers",
     "d_link_authority")
 
@@ -197,7 +197,7 @@ object ScaleDemo {
         // hashing every output column through an aggregate; for plans
         // with a filter/join/agg the work already runs and count()
         // stays the cheaper, historically-comparable window.
-        val forced = Set("t_c4_rules", "t_gopher_rules")
+        val forced = Set("t_c4_rules", "t_gopher_rules", "t_fineweb_rules")
         val rows =
           if (forced(q)) {
             import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
