@@ -1237,6 +1237,12 @@ object Multimodal extends QueryModule {
     */
   private[graft] def exifOracle: String = Oracle.ExifMeta
 
+  /** m_ogg_headers' closed-form oracle, shared by the streaming twin
+    * (operators.Streaming st_ogg_headers) so the stream output is
+    * itself hash-gated.
+    */
+  private[graft] def oggOracle: String = Oracle.OggHeaders
+
   private object Oracle {
     /** FNV-1a 64 over a DuckDB list of byte values, folded in HUGEINT
       * mod-2^64 arithmetic and re-signed to match a JVM Long. The xor

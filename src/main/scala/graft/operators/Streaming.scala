@@ -554,6 +554,27 @@ object Streaming extends QueryModule {
       },
       Some(graft.operators.Multimodal.exifOracle),
     ),
+    // continuous AUDIO intake: the m_ogg_headers walk (verified page
+    // CRCs + Vorbis ident/comment) applied statelessly to files
+    // arriving in a drop directory — the audio arm of MediaIntake,
+    // carrying the batch entry's own closed-form oracle
+    QueryDef(
+      "st_ogg_headers",
+      (s, dir) => {
+        val drop = s"/tmp/graft_ogg_drop/${new java.io.File(dir).getName}"
+        graft.streaming.MediaIntake.materializeDropDir(
+          graft.operators.Multimodal.oggTable(Tables(s, dir)), drop, ext = "ogg")
+        val name = s"st_ogg_${System.nanoTime()}"
+        val q = graft.streaming.MediaIntake.oggStream(s, drop)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_ogg_headers timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.operators.Multimodal.oggOracle),
+    ),
     // continuous report-FILE intake (the IMAP-poll twin): binaryFile
     // stream over the sample corpus → executor-side parse → flattened
     // record rows, AvailableNow + memory sink for the gate

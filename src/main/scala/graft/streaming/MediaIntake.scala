@@ -34,7 +34,7 @@ object MediaIntake {
     * row-count marker (payloads are deterministic functions of doc_id,
     * so count identity means byte identity).
     */
-  def materializeDropDir(media: DataFrame, dir: String): Unit = {
+  def materializeDropDir(media: DataFrame, dir: String, ext: String = "jpg"): Unit = {
     val n = media.count()
     val root = new java.io.File(dir)
     val marker = new java.io.File(root, s"_READY_$n")
@@ -44,14 +44,14 @@ object MediaIntake {
     // fewer rows would otherwise leave orphan files the stream would
     // happily emit as extra (gate-red) rows
     root.listFiles().foreach { f =>
-      if (f.getName.startsWith("_READY_") || f.getName.endsWith(".jpg") ||
+      if (f.getName.startsWith("_READY_") || f.getName.endsWith(s".$ext") ||
           f.getName.endsWith(".tmp")) f.delete()
     }
     media.select(col("doc_id"), col("payload")).foreachPartition {
       rows: java.util.Iterator[org.apache.spark.sql.Row] =>
         rows.forEachRemaining { r =>
-          val f = new java.io.File(dir, s"doc_${r.getLong(0)}.jpg")
-          val tmp = new java.io.File(dir, s".doc_${r.getLong(0)}.jpg.tmp")
+          val f = new java.io.File(dir, s"doc_${r.getLong(0)}.$ext")
+          val tmp = new java.io.File(dir, s".doc_${r.getLong(0)}.$ext.tmp")
           java.nio.file.Files.write(tmp.toPath, r.getAs[Array[Byte]](1))
           // atomic publish (THROWS on failure — File.renameTo returns a
           // silently-ignorable boolean): the stream never sees a torn file
@@ -64,10 +64,11 @@ object MediaIntake {
   }
 
   /** The drop-directory file stream (path + bytes). */
-  def mediaFileStream(spark: SparkSession, dropDir: String): DataFrame =
+  def mediaFileStream(spark: SparkSession, dropDir: String,
+                      ext: String = "jpg"): DataFrame =
     spark.readStream.format("binaryFile")
       .schema(binarySchema)
-      .option("pathGlobFilter", "*.jpg")
+      .option("pathGlobFilter", s"*.$ext")
       .load(dropDir)
       .select(col("path"), col("content"))
 
@@ -141,6 +142,35 @@ object MediaIntake {
     * from the file name, files without parseable EXIF are skipped (the
     * gate's full-row-set compare then surfaces any skip as missing).
     */
+  /** One row of Ogg/Vorbis triage, column-for-column the m_ogg_headers
+    * frame so the stream shares its closed-form oracle — the AUDIO arm
+    * of the continuous intake (podcast/speech crawl drop dirs).
+    */
+  final case class OggRow(doc_id: Long, serial: Long, n_pages: Int,
+                          last_granule: Long, channels: Int, sample_rate: Int,
+                          nominal_bitrate: Int, duration_ms: Long,
+                          vendor: String, header_ok: Boolean)
+
+  /** Stateless per-file Ogg walk over the drop stream: same shape as
+    * [[exifStream]], CRC-verified pages and all.
+    */
+  def oggStream(spark: SparkSession, dropDir: String): Dataset[OggRow] = {
+    import spark.implicits._
+    val id = "doc_([0-9]+)\\.ogg$".r
+    mediaFileStream(spark, dropDir, ext = "ogg").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        id.findFirstMatchIn(path).map { m =>
+          graft.functions.OggHeaders.parse(bytes) match {
+            case Some(o) => OggRow(m.group(1).toLong, o.serial, o.nPages,
+              o.lastGranule, o.channels, o.sampleRate, o.nominalBitrate,
+              o.durationMs, o.vendor, header_ok = true)
+            case None => OggRow(m.group(1).toLong, 0L, 0, 0L, 0, 0, 0, 0L, "",
+              header_ok = false)
+          }
+        }
+      }
+  }
+
   def exifStream(spark: SparkSession, dropDir: String): Dataset[ExifRow] = {
     import spark.implicits._
     val id = "doc_([0-9]+)\\.jpg$".r
