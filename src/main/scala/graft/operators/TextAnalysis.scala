@@ -377,6 +377,67 @@ object TextAnalysis extends QueryModule {
       |  AND (CAST(dup_chars AS DOUBLE) / GREATEST(line_chars, 1) < 0.1) AS pass
       |FROM m""".stripMargin
 
+  /** Crawl-permission decisions over synthetic robots.txt fixtures —
+    * the REAL RFC 9309 parse/match/precedence path
+    * (functions.RobotsRules) driven end to end per document: a
+    * two-group robots file (a `*` group with overlapping
+    * Disallow/Allow prefixes; a GraftBot group with its own rules and
+    * Crawl-delay, present on 3 of 4 docs so the `*` fallback arm runs)
+    * and a doc_id-derived URL path, decided for agent "GraftBot". The
+    * oracle recomputes group choice, allow/disallow, winning-pattern
+    * length, and crawl delay closed-form from doc_id — a parser that
+    * mis-merges groups, breaks longest-match-wins, or loses the
+    * allow-tie rule reds out. Stateless per-row map, no shuffle.
+    */
+  private[graft] def robotsDecisions(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions(_.map { r =>
+      val d = r.getLong(0)
+      val sb = new StringBuilder
+      sb.append("# synthetic robots fixture\n")
+      sb.append("User-agent: *\n")
+      sb.append("Disallow: /p0\n")
+      sb.append("Disallow: /p1/x\n")
+      sb.append("Allow: /p1/x2\n")
+      if (d % 4 != 0) {
+        sb.append("\nUser-agent: GraftBot\n")
+        sb.append("Disallow: /p2\n")
+        sb.append("Allow: /p2/x1\n")
+        sb.append(s"Crawl-delay: ${d % 9 + 1}\n")
+      }
+      val path = s"/p${d % 5}/x${d % 3}"
+      val dec = graft.functions.RobotsRules.decide(
+        graft.functions.RobotsRules.parse(sb.toString), "GraftBot", path)
+      Row(d, path, dec.groupUsed, dec.crawlDelay, dec.allowed, dec.matchLen)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("path", StringType),
+      StructField("group_used", StringType), StructField("crawl_delay", IntegerType),
+      StructField("allowed", BooleanType), StructField("match_len", IntegerType))))
+  }
+
+  private[graft] val RobotsRulesSql: String =
+    """SELECT doc_id,
+      |'/p' || CAST(doc_id % 5 AS VARCHAR) || '/x' || CAST(doc_id % 3 AS VARCHAR) AS path,
+      |CASE WHEN doc_id % 4 = 0 THEN '*' ELSE 'graftbot' END AS group_used,
+      |CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 9 + 1 END AS INT) AS crawl_delay,
+      |CASE WHEN doc_id % 4 = 0 THEN
+      |  CASE WHEN doc_id % 5 = 0 THEN FALSE
+      |       WHEN doc_id % 5 = 1 THEN doc_id % 3 = 2
+      |       ELSE TRUE END
+      |ELSE CASE WHEN doc_id % 5 = 2 THEN doc_id % 3 = 1 ELSE TRUE END
+      |END AS allowed,
+      |CAST(CASE WHEN doc_id % 4 = 0 THEN
+      |  CASE WHEN doc_id % 5 = 0 THEN 3
+      |       WHEN doc_id % 5 = 1 THEN CASE WHEN doc_id % 3 = 2 THEN 6 ELSE 5 END
+      |       ELSE 0 END
+      |ELSE CASE WHEN doc_id % 5 = 2 THEN CASE WHEN doc_id % 3 = 1 THEN 6 ELSE 3 END
+      |     ELSE 0 END
+      |END AS INT) AS match_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** CCNet's head/middle/tail scoring + partition (see the
     * t_ccnet_buckets registry entry for the paper mapping and the
     * <=-stability argument): unigram-surprisal scoring, exact tercile
@@ -1186,6 +1247,13 @@ object TextAnalysis extends QueryModule {
     // adjacent order statistics, so no document sits within an ulp
     // of a cut unless the cut IS an order statistic (interpolation
     // fraction 0, exact in both engines).
+    // RFC 9309 robots.txt decisions — the crawl front door's first
+    // fetch gate, closed-form oracled (see robotsDecisions scaladoc)
+    QueryDef(
+      "t_robots_rules",
+      (s, dir) => robotsDecisions(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(RobotsRulesSql),
+    ),
     QueryDef(
       "t_ccnet_buckets",
       (s, dir) => ccnetBuckets(Tables(s, dir).documents).orderBy("doc_id"),
