@@ -438,6 +438,64 @@ object TextAnalysis extends QueryModule {
       |END AS INT) AS match_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** RFC 3986 URL canonicalization driven end to end
+    * (functions.UrlCanonical): per-doc raw URLs exercise every
+    * normalization arm — mixed-case scheme/host, a percent-encoded
+    * UNRESERVED letter in the host (%41 → a), explicit-default vs
+    * non-default ports, dot segments, %7E → ~ in the path, an
+    * unreserved escape in the query, empty-path → "/", and fragments —
+    * while the oracle recomputes the canonical string, host, effective
+    * port, and path closed-form from doc_id. A canonicalizer that
+    * decodes a reserved character, keeps a default port, or mis-runs
+    * remove_dot_segments reds out. Stateless per-row map, no shuffle —
+    * the upstream key maker for URL-level dedup at crawl scale.
+    */
+  private[graft] def urlCanonicalize(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions(_.map { r =>
+      val d = r.getLong(0)
+      val scheme = if (d % 2 == 0) "HTTP" else "HTTPS"
+      val port = if (d % 3 == 0) (if (d % 2 == 0) ":80" else ":443") else s":${8000 + d % 5}"
+      val path = if (d % 11 == 0) "" else s"/a/./b${d % 4}/../c/%7Euser/d${d % 6}"
+      val query = if (d % 3 == 0) "?z=1&a=%42" else ""
+      val frag = if (d % 5 == 0) "#sec" else ""
+      val raw = s"$scheme://EX%41MPLE${d % 7}.COM$port$path$query$frag"
+      val c = graft.functions.UrlCanonical.canonicalize(raw).get
+      Row(d, raw, c.url, c.host, c.port, c.path, c.hadFragment)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("raw_url", StringType),
+      StructField("canon_url", StringType), StructField("host", StringType),
+      StructField("port", IntegerType), StructField("path", StringType),
+      StructField("had_fragment", BooleanType))))
+  }
+
+  private[graft] val UrlCanonicalizeSql: String =
+    """SELECT doc_id,
+      |(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
+      | || '://EX%41MPLE' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      | || (CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+      |      ELSE ':' || CAST(8000 + doc_id % 5 AS VARCHAR) END)
+      | || (CASE WHEN doc_id % 11 = 0 THEN ''
+      |      ELSE '/a/./b' || CAST(doc_id % 4 AS VARCHAR) || '/../c/%7Euser/d' || CAST(doc_id % 6 AS VARCHAR) END)
+      | || (CASE WHEN doc_id % 3 = 0 THEN '?z=1&a=%42' ELSE '' END)
+      | || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS raw_url,
+      |(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+      | || '://example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      | || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE ':' || CAST(8000 + doc_id % 5 AS VARCHAR) END)
+      | || (CASE WHEN doc_id % 11 = 0 THEN '/'
+      |      ELSE '/a/c/~user/d' || CAST(doc_id % 6 AS VARCHAR) END)
+      | || (CASE WHEN doc_id % 3 = 0 THEN '?z=1&a=B' ELSE '' END) AS canon_url,
+      |'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+      |CAST(CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN 80 ELSE 443 END
+      |     ELSE 8000 + doc_id % 5 END AS INT) AS port,
+      |CASE WHEN doc_id % 11 = 0 THEN '/'
+      |     ELSE '/a/c/~user/d' || CAST(doc_id % 6 AS VARCHAR) END AS path,
+      |doc_id % 5 = 0 AS had_fragment
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** CCNet's head/middle/tail scoring + partition (see the
     * t_ccnet_buckets registry entry for the paper mapping and the
     * <=-stability argument): unigram-surprisal scoring, exact tercile
@@ -1247,6 +1305,13 @@ object TextAnalysis extends QueryModule {
     // adjacent order statistics, so no document sits within an ulp
     // of a cut unless the cut IS an order statistic (interpolation
     // fraction 0, exact in both engines).
+    // RFC 3986 URL canonicalization — the URL-dedup key maker,
+    // closed-form oracled (see urlCanonicalize scaladoc)
+    QueryDef(
+      "t_url_canonicalize",
+      (s, dir) => urlCanonicalize(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(UrlCanonicalizeSql),
+    ),
     // RFC 9309 robots.txt decisions — the crawl front door's first
     // fetch gate, closed-form oracled (see robotsDecisions scaladoc)
     QueryDef(

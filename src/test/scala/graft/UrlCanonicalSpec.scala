@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.UrlCanonical
+import graft.functions.UrlCanonical.{canonicalize, pctNormalize, removeDotSegments}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 3986 normalization pinned by hand: the §6.2.2 equivalences the
+  * RFC itself lists, reserved-vs-unreserved decoding discipline, the
+  * §5.2.4 dot-segment algorithm's own cases, port/fragment rules, and
+  * totality on junk.
+  */
+class UrlCanonicalSpec extends AnyFunSuite {
+
+  test("the RFC's own §6.2.2 example: case + unreserved decoding converge") {
+    // example.com/%7Esmith with scattered case — all forms must meet
+    val forms = Seq(
+      "http://example.com/~smith/",
+      "http://EXAMPLE.com/%7esmith/",
+      "HTTP://Example.COM/%7Esmith/")
+    val canon = forms.map(canonicalize(_).get.url).distinct
+    assert(canon == Seq("http://example.com/~smith/"))
+  }
+
+  test("reserved characters STAY encoded; their hex uppercases") {
+    // %2F is an encoded '/': decoding it would change the path structure
+    val c = canonicalize("http://h.com/a%2fb/%41%5a").get
+    assert(c.path == "/a%2Fb/AZ") // %41->A %5A->Z decode; %2f stays, uppercased
+  }
+
+  test("malformed percent escapes pass through verbatim, never throw") {
+    assert(canonicalize("http://h.com/a%2").get.path == "/a%2")
+    assert(canonicalize("http://h.com/a%zz").get.path == "/a%zz")
+    assert(pctNormalize("%") == "%")
+  }
+
+  test("remove_dot_segments: the RFC §5.2.4 shapes") {
+    assert(removeDotSegments("/a/b/c/./../../g") == "/a/g")
+    assert(removeDotSegments("mid/content=5/../6") == "mid/6")
+    assert(removeDotSegments("/a/./b/../c") == "/a/c")
+    assert(removeDotSegments("/..") == "/")
+    assert(removeDotSegments("/../../x") == "/x")
+    assert(removeDotSegments(".") == "" && removeDotSegments("..") == "")
+  }
+
+  test("default ports drop; non-default ports survive; effective port reported") {
+    assert(canonicalize("http://h.com:80/x").get.url == "http://h.com/x")
+    assert(canonicalize("https://h.com:443/x").get.url == "https://h.com/x")
+    assert(canonicalize("http://h.com:8080/x").get.url == "http://h.com:8080/x")
+    assert(canonicalize("http://h.com/x").get.port == 80)
+    assert(canonicalize("https://h.com/x").get.port == 443)
+    assert(canonicalize("http://h.com:8080/x").get.port == 8080)
+  }
+
+  test("empty path with an authority becomes '/'; fragment strips and is flagged") {
+    val c = canonicalize("HTTP://H.com#top").get
+    assert(c.url == "http://h.com/" && c.path == "/" && c.hadFragment)
+    assert(!canonicalize("http://h.com/x?q=1").get.hadFragment)
+  }
+
+  test("query survives with unreserved escapes decoded; userinfo is preserved") {
+    assert(canonicalize("http://h.com/p?a=%42&b=%2F").get.url ==
+      "http://h.com/p?a=B&b=%2F")
+    assert(canonicalize("http://user:pw@H.com/x").get.url ==
+      "http://user:pw@h.com/x")
+  }
+
+  test("refuses URLs without a scheme head; total on junk") {
+    assert(canonicalize("notaurl").isEmpty)
+    assert(canonicalize("://missing.scheme").isEmpty)
+    assert(canonicalize("1http://bad-first-char.com").isEmpty)
+    canonicalize("http://" + "%" * 9999) // must not throw
+    canonicalize("http://h.com:" + "9" * 30 + "/x") // port overflow -> total
+  }
+}
