@@ -62,6 +62,76 @@ object Similarity extends QueryModule {
        |ORDER BY q_id, vec_id""".stripMargin
   }
 
+  /** Local cosine with EXACTLY the native expression's arithmetic
+    * (plans.CosineSimilarity: ascending double left-fold,
+    * dot / (sqrt(na)*sqrt(nb))) — used by the MMR rerank's in-group
+    * candidate-candidate similarities so the greedy argmax compares
+    * the same doubles the oracle derives.
+    */
+  private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    * diversify a top-N candidate pool by greedily picking
+    * argmax λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s). The production
+    * shape: ANN recall produces a SMALL pool per query (here the
+    * bounded-heap top-8), embeddings join back onto the pool (a
+    * broadcast — the pool is queries×8 rows), and the greedy selection
+    * runs per-query over ≤8 candidates inside mapGroups — bounded
+    * local work, no corpus shuffle, the diversity-aware sampling stage
+    * a training-data pipeline runs after retrieval. Ties break on
+    * vec_id ascending; rank-1's penalty term is 0 (empty selected
+    * set), matching the unrolled oracle.
+    */
+  private[graft] def mmrRerank(e: DataFrame, nQueries: Int, poolK: Int,
+                               k: Int, lambda: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("rel", expr(cos))
+      .select(col("q_id"), col("vec_id"), col("rel")).as[(Long, Long, Double)]
+    val pool = scored.groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(poolK).toColumn)
+      .flatMap { case (q, hits) => hits.map { case (v, rel) => (q, v, rel) } }
+      .toDF("q_id", "vec_id", "rel")
+    val withVec = broadcast(pool)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("rel"), col("embedding"))
+      .as[(Long, Long, Double, Seq[Float])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        var remaining = it.toList.sortBy { case (_, v, rel, _) => (-rel, v) }
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Double, Seq[Float])] // vec, rel, mmr, emb
+        // the penalty is max over the SELECTED set's sims — which can be
+        // NEGATIVE (anti-correlated vectors); only the empty set gives 0.
+        // Folding from 0.0 would silently clamp negative penalties.
+        def penalty(emb: Seq[Float]): Double =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cosLocal(emb, s._4)).max
+        while (selected.length < k && remaining.nonEmpty) {
+          val best = remaining.minBy { case (_, v, rel, emb) =>
+            (-(lambda * rel - (1 - lambda) * penalty(emb)), v)
+          }
+          selected += ((best._2, best._3,
+            lambda * best._3 - (1 - lambda) * penalty(best._4), best._4))
+          remaining = remaining.filterNot(_._2 == best._2)
+        }
+        selected.zipWithIndex.map { case ((v, rel, mmr, _), i) => (q, v, i + 1, rel, mmr) }
+      }
+      .toDF("q_id", "vec_id", "mmr_rank", "rel", "mmr_score")
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     // brute-force cosine top-k: the exact baseline every ANN variant is
     // judged against
@@ -100,6 +170,54 @@ object Similarity extends QueryModule {
     // radius (range) retrieval: every corpus vector within a cosine
     // threshold of each query — the fixed-radius twin of top-k (RAG
     // retrieval-with-floor, duplicate candidate harvesting). The
+    // MMR-diversified top-k (see mmrRerank scaladoc): greedy
+    // λ·relevance − (1−λ)·max-similarity selection over the bounded
+    // top-8 pool, k=3, λ=0.7 — the oracle UNROLLS the three greedy
+    // steps (rank-1 by relevance, then two argmax rounds against the
+    // growing selected set's pairwise similarities) so every pick and
+    // both emitted scores are recomputed independently
+    QueryDef(
+      "s_mmr_rerank",
+      (s, dir) => mmrRerank(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+        nQueries = 5, poolK = 8, k = 3, lambda = 0.7)
+        .orderBy("q_id", "mmr_rank"),
+      Some(s"""WITH c AS (SELECT vec_id, embedding,
+              |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM c WHERE vec_id < 5),
+              |scored AS (SELECT q_id, c.vec_id, c.embedding, c.nrm,
+              |  ${duckDot("q_vec", "c.embedding")} / (c.nrm * q_nrm) AS rel
+              |  FROM c, q WHERE c.vec_id <> q_id),
+              |pool AS (SELECT q_id, vec_id, embedding, nrm, rel FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+              |  FROM scored) WHERE rn <= 8),
+              |pair AS (SELECT a.q_id, a.vec_id AS v1, b.vec_id AS v2,
+              |  ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+              |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+              |s1 AS (SELECT q_id, vec_id, rel, 0.7::DOUBLE*rel - (1::DOUBLE-0.7::DOUBLE)*0.0 AS mmr FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+              |  FROM pool) WHERE rn = 1),
+              |m2 AS (SELECT p.q_id, p.vec_id, p.rel, 0.7::DOUBLE*p.rel - (1::DOUBLE-0.7::DOUBLE)*pr.sim AS mmr
+              |  FROM pool p JOIN s1 ON p.q_id = s1.q_id AND p.vec_id <> s1.vec_id
+              |  JOIN pair pr ON pr.q_id = p.q_id AND pr.v1 = p.vec_id AND pr.v2 = s1.vec_id),
+              |s2 AS (SELECT q_id, vec_id, rel, mmr FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+              |  FROM m2) WHERE rn = 1),
+              |m3 AS (SELECT p.q_id, p.vec_id, p.rel,
+              |  0.7::DOUBLE*p.rel - (1::DOUBLE-0.7::DOUBLE)*GREATEST(p1.sim, p2.sim) AS mmr
+              |  FROM pool p
+              |  JOIN s1 ON p.q_id = s1.q_id JOIN s2 ON p.q_id = s2.q_id
+              |  JOIN pair p1 ON p1.q_id = p.q_id AND p1.v1 = p.vec_id AND p1.v2 = s1.vec_id
+              |  JOIN pair p2 ON p2.q_id = p.q_id AND p2.v1 = p.vec_id AND p2.v2 = s2.vec_id
+              |  WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id),
+              |s3 AS (SELECT q_id, vec_id, rel, mmr FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+              |  FROM m3) WHERE rn = 1)
+              |SELECT q_id, vec_id, CAST(1 AS INT) AS mmr_rank, rel, mmr AS mmr_score FROM s1
+              |UNION ALL SELECT q_id, vec_id, CAST(2 AS INT), rel, mmr FROM s2
+              |UNION ALL SELECT q_id, vec_id, CAST(3 AS INT), rel, mmr FROM s3
+              |ORDER BY q_id, mmr_rank""".stripMargin),
+    ),
     // threshold filter runs INSIDE the scan stage on the codegen'd
     // cosine expression, so only matches ever cross the exchange —
     // strictly cheaper than top-k (no heap state); the corpus never

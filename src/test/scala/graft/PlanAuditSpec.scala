@@ -150,7 +150,7 @@ class PlanAuditSpec extends SparkSpec {
       "s_cosine_topk", "s_range_search", "d_embedding_neardup",
       "d_embedding_neardup_ivf",
       "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify",
-      "s_ivfpq_topk", "s_prefix_rerank_topk",
+      "s_ivfpq_topk", "s_prefix_rerank_topk", "s_mmr_rerank",
       "q11_important_value", "q20_excess_shippers", "q22_inactive_customers",
       // 1-row corpus-total broadcast onto the token frame (same scalar
       // shape as the TPC-H threshold queries)
