@@ -554,6 +554,43 @@ object Streaming extends QueryModule {
       },
       Some(graft.operators.Multimodal.exifOracle),
     ),
+    // streaming robots decisions: the literal batch t_robots_rules
+    // typed map over arriving documents (stateless, no state store,
+    // no watermark), hash-gated to the batch entry's own oracle —
+    // robots re-checks on a live crawl frontier
+    QueryDef(
+      "st_robots_rules",
+      (s, dir) => {
+        val name = s"st_robots_${System.nanoTime()}"
+        val q = graft.operators.TextAnalysis
+          .robotsDecisions(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_robots_rules timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"${graft.operators.TextAnalysis.RobotsRulesSql}"),
+    ),
+    // streaming URL canonicalization: the batch t_url_canonicalize
+    // typed map on the stream — canonical keys minted the moment a
+    // crawl record arrives, feeding the URL-dedup guard downstream
+    QueryDef(
+      "st_url_canonicalize",
+      (s, dir) => {
+        val name = s"st_urlc_${System.nanoTime()}"
+        val q = graft.operators.TextAnalysis
+          .urlCanonicalize(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_url_canonicalize timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"${graft.operators.TextAnalysis.UrlCanonicalizeSql}"),
+    ),
     // continuous AUDIO intake: the m_ogg_headers walk (verified page
     // CRCs + Vorbis ident/comment) applied statelessly to files
     // arriving in a drop directory — the audio arm of MediaIntake,

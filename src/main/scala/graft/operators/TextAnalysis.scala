@@ -390,11 +390,11 @@ object TextAnalysis extends QueryModule {
     * allow-tie rule reds out. Stateless per-row map, no shuffle.
     */
   private[graft] def robotsDecisions(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val spark = docs.sparkSession
-    val rdd = docs.select(col("doc_id")).rdd.mapPartitions(_.map { r =>
-      val d = r.getLong(0)
+    import spark.implicits._
+    // typed map, not an RDD transform: the identical projection then
+    // serves the batch gate AND the streaming twin (st_robots_rules)
+    docs.select(col("doc_id")).as[Long].map { d =>
       val sb = new StringBuilder
       sb.append("# synthetic robots fixture\n")
       sb.append("User-agent: *\n")
@@ -410,12 +410,8 @@ object TextAnalysis extends QueryModule {
       val path = s"/p${d % 5}/x${d % 3}"
       val dec = graft.functions.RobotsRules.decide(
         graft.functions.RobotsRules.parse(sb.toString), "GraftBot", path)
-      Row(d, path, dec.groupUsed, dec.crawlDelay, dec.allowed, dec.matchLen)
-    })
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("path", StringType),
-      StructField("group_used", StringType), StructField("crawl_delay", IntegerType),
-      StructField("allowed", BooleanType), StructField("match_len", IntegerType))))
+      (d, path, dec.groupUsed, dec.crawlDelay, dec.allowed, dec.matchLen)
+    }.toDF("doc_id", "path", "group_used", "crawl_delay", "allowed", "match_len")
   }
 
   private[graft] val RobotsRulesSql: String =
@@ -451,11 +447,10 @@ object TextAnalysis extends QueryModule {
     * the upstream key maker for URL-level dedup at crawl scale.
     */
   private[graft] def urlCanonicalize(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val spark = docs.sparkSession
-    val rdd = docs.select(col("doc_id")).rdd.mapPartitions(_.map { r =>
-      val d = r.getLong(0)
+    import spark.implicits._
+    // typed map (stream-shareable), same discipline as robotsDecisions
+    docs.select(col("doc_id")).as[Long].map { d =>
       val scheme = if (d % 2 == 0) "HTTP" else "HTTPS"
       val port = if (d % 3 == 0) (if (d % 2 == 0) ":80" else ":443") else s":${8000 + d % 5}"
       val path = if (d % 11 == 0) "" else s"/a/./b${d % 4}/../c/%7Euser/d${d % 6}"
@@ -463,13 +458,8 @@ object TextAnalysis extends QueryModule {
       val frag = if (d % 5 == 0) "#sec" else ""
       val raw = s"$scheme://EX%41MPLE${d % 7}.COM$port$path$query$frag"
       val c = graft.functions.UrlCanonical.canonicalize(raw).get
-      Row(d, raw, c.url, c.host, c.port, c.path, c.hadFragment)
-    })
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("raw_url", StringType),
-      StructField("canon_url", StringType), StructField("host", StringType),
-      StructField("port", IntegerType), StructField("path", StringType),
-      StructField("had_fragment", BooleanType))))
+      (d, raw, c.url, c.host, c.port, c.path, c.hadFragment)
+    }.toDF("doc_id", "raw_url", "canon_url", "host", "port", "path", "had_fragment")
   }
 
   private[graft] val UrlCanonicalizeSql: String =
