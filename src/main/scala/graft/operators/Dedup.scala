@@ -370,6 +370,22 @@ object Dedup extends QueryModule {
   /** DuckDB twin of lshCandidates: CTE chain ending in `cand`, with the
     * same bucket cap.
     */
+  /** Per-cluster keep-best aggregation (d_keep_best): highest quality
+    * wins, doc_id breaks ties. Window partitions are clusters —
+    * bounded groups, never a corpus sort.
+    */
+  private[graft] def keepBest(clusters: org.apache.spark.sql.DataFrame,
+                              quality: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+           max(when(col("rn") === 1, col("doc_id"))).as("keeper"),
+           max(when(col("rn") === 1, col("quality"))).as("keeper_quality"))
+  }
+
   private def candSql(maxBucket: Int): String = {
     val minsSql = (0 until Bands * Rows).map { i =>
       s"min(substr(y, ${1 + 8 * i}, 8)) AS h$i"
@@ -515,6 +531,55 @@ object Dedup extends QueryModule {
            |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
            |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      },
+    ),
+    // (keepBest helper defined below the entries list)
+    // QUALITY-AWARE cluster keeper — the SemDeDup/FineWeb policy: from
+    // each near-dup cluster keep the highest-QUALITY member, not the
+    // smallest id (d_dedup_clusters' min-label convention); the keeper
+    // argmax uses t_quality_score's exact scalar with doc_id breaking
+    // quality ties. Window partitions are CLUSTERS (bounded groups), so
+    // the row_number never sorts the corpus — the same per-group shape
+    // as q_window_topn_per_group, riding the banded-LSH pair generation
+    // and min-label propagation unchanged.
+    QueryDef(
+      "d_keep_best",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        keepBest(graft.api.DedupPipeline.clusters(minhashLsh(docs)),
+          docs.select(col("doc_id"), TextAnalysis.qualityCol.as("quality")))
+          .orderBy("cluster_id")
+      },
+      Some {
+        s"""WITH RECURSIVE ${candSql(MaxBucket)},
+           |jac AS (SELECT doc_a, doc_b,
+           |  ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+           |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardTau),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (SELECT a AS src, b AS dst FROM edges
+           |          UNION
+           |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+           |cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+           |       FROM reach GROUP BY src),
+           |q AS (SELECT doc_id,
+           |  ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/200.0)*0.5
+           |    + (CAST(len(list_filter(string_split(text,' '),
+           |         w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+           |       / len(string_split(text,' ')))*0.2
+           |    + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           |       / length(text))*0.3, 4) AS quality
+           |  FROM documents),
+           |r AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+           |  ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+           |    ORDER BY q.quality DESC, cl.doc_id) AS rn
+           |  FROM cl JOIN q USING (doc_id))
+           |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+           |MAX(CASE WHEN rn = 1 THEN quality END) AS keeper_quality
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
       },
     ),
     // Link-graph authority — the crawl-side PRIORITIZATION signal
