@@ -36,7 +36,52 @@ object TiffPixels {
   /** Decode a baseline-RGB TIFF to (width, height, meanR, meanG, meanB);
     * None on anything outside the profile or structurally broken.
     */
-  def decode(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+  def decode(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    decodeRaster(bytes).map { case (w, h, raster) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < raster.length) {
+        sr += raster(i) & 0xff; sg += raster(i + 1) & 0xff; sb += raster(i + 2) & 0xff
+        i += 3
+      }
+      val n = (w.toLong * h).toDouble
+      (w, h, sr / n, sg / n, sb / n)
+    }
+
+  /** Nearest-neighbor tw×th thumbnail over the decoded raster — the
+    * same sampling grid and positional FNV walk as
+    * [[PngPixels.thumbnail]], so the TIFF thumbnail entry shares the
+    * PNG thumbnail's closed-form oracle.
+    */
+  def thumbnail(bytes: Array[Byte], tw: Int, th: Int): Option[(Int, Int, Double, Double, Double, Long)] = {
+    if (tw <= 0 || th <= 0) return None
+    decodeRaster(bytes).map { case (w, h, raster) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var fnv = 0xcbf29ce484222325L
+      def mix(v: Int): Unit = { fnv ^= (v & 0xff); fnv *= 0x100000001b3L }
+      var ty = 0
+      while (ty < th) {
+        val sy = (ty.toLong * h / th).toInt
+        var tx = 0
+        while (tx < tw) {
+          val sx = (tx.toLong * w / tw).toInt
+          val i = (sy * w + sx) * 3
+          val (r, g, bl) = (raster(i) & 0xff, raster(i + 1) & 0xff, raster(i + 2) & 0xff)
+          sr += r; sg += g; sb += bl
+          mix(r); mix(g); mix(bl)
+          tx += 1
+        }
+        ty += 1
+      }
+      val n = tw.toLong * th
+      (tw, th, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, fnv)
+    }
+  }
+
+  /** Full RGB raster (row-major, 3 bytes/pixel) assembled from the
+    * strip chain; None outside the baseline profile.
+    */
+  def decodeRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes.length < 8) return None
     val be =
       if (bytes(0) == 'M' && bytes(1) == 'M') true
@@ -93,22 +138,27 @@ object TiffPixels {
     val cnts = values(279).getOrElse(return None)
     if (offs.length != nStrips || cnts.length != nStrips) return None
 
-    var (sr, sg, sb) = (0L, 0L, 0L)
+    // validate EVERY strip before allocating: a crafted 65535×65535
+    // header would otherwise demand a 12.9 GB raster (an OOM is a
+    // totality violation as much as a thrown bounds error); overlapping
+    // strip offsets also mean total raster bytes can exceed file size
+    if (w * h * 3L > (64L << 20)) return None // profile cap, not a spec limit
     var s = 0
     while (s < nStrips) {
       val rows = math.min(rps, h - s.toLong * rps)
       if (cnts(s) != rows * w * 3L) return None
       if (offs(s) < 0L || offs(s) + cnts(s) > bytes.length) return None
-      var i = offs(s).toInt
-      val end = (offs(s) + cnts(s)).toInt
-      while (i < end) {
-        sr += bytes(i) & 0xff; sg += bytes(i + 1) & 0xff; sb += bytes(i + 2) & 0xff
-        i += 3
-      }
       s += 1
     }
-    val n = (w * h).toDouble
-    Some((w.toInt, h.toInt, sr / n, sg / n, sb / n))
+    val raster = new Array[Byte]((w * h * 3L).toInt)
+    var at = 0
+    s = 0
+    while (s < nStrips) {
+      System.arraycopy(bytes, offs(s).toInt, raster, at, cnts(s).toInt)
+      at += cnts(s).toInt
+      s += 1
+    }
+    Some((w.toInt, h.toInt, raster))
   }
 
   /** Complete baseline-RGB TIFF bytes carrying the suite's shared

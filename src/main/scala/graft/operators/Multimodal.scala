@@ -409,6 +409,28 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, pixelSchema)
   }
 
+  /** Thumbnails through the TIFF container: full IFD walk + strip
+    * raster + the shared nearest-neighbor sampler/FNV walk, cross-
+    * checked against the formula-only gradient recomputation — same
+    * contract as [[decodePngThumbnails]].
+    */
+  def decodeTiffThumbnails(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload"), col("meta")).rdd
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+        val meta = r.getStruct(2)
+        graft.functions.TiffPixels.thumbnail(r.getAs[Array[Byte]](1), tw, th) match {
+          case Some((w, h, mr, mg, mb, fnv)) =>
+            val (er, eg, eb, efnv) = graft.functions.PngPixels.syntheticThumb(
+              meta.getInt(0), meta.getInt(1), meta.getInt(2), tw, th)
+            Row(r.getLong(0), w, h, mr, mg, mb, fnv,
+                fnv == efnv && mr == er && mg == eg && mb == eb)
+          case None => Row(r.getLong(0), 0, 0, 0.0, 0.0, 0.0, 0L, false)
+        }
+      }))
+    spark.createDataFrame(rdd, thumbSchema)
+  }
+
   /** Image table whose payloads are COMPLETE compressed PNGs (real zlib
     * IDAT streams, gradient pixels, rows cycling through all five
     * filter types) — the compressed-format twin of [[bmpTable]].
@@ -1583,6 +1605,15 @@ object Multimodal extends QueryModule {
       (s, dir) =>
         decodeTiffPixels(tiffTable(Tables(s, dir))).orderBy("doc_id"),
       Some(Oracle.PngPixels),
+    ),
+    // thumbnails through the TIFF container: the same gradient and
+    // sampler as the PNG thumbnails, so the entry shares
+    // Oracle.PngThumbnail through the IFD/strip byte path
+    QueryDef(
+      "m_tiff_thumbnail",
+      (s, dir) =>
+        decodeTiffThumbnails(tiffTable(Tables(s, dir)), 4, 4).orderBy("doc_id"),
+      Some(Oracle.PngThumbnail),
     ),
     // the LAST still-image format end to end: complete lossless WebPs
     // (real VP8L — five encoding paths cycled by seed: literals,

@@ -94,6 +94,28 @@ class TiffPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("thumbnail matches the formula-only gradient recomputation across the sweep") {
+    for (d <- 0 until 20) {
+      val (w, h, seed) = (d % 16 + 4, d % 12 + 4, d % 997)
+      val b = TiffPixels.syntheticTiff(w, h, seed, bigEndian = d % 2 == 1)
+      val Some((tw, th, mr, mg, mb, fnv)) = TiffPixels.thumbnail(b, 4, 4): @unchecked
+      val (er, eg, eb, efnv) = graft.functions.PngPixels.syntheticThumb(w, h, seed, 4, 4)
+      assert(tw == 4 && th == 4)
+      assert(mr == er && mg == eg && mb == eb && fnv == efnv, s"d=$d")
+    }
+  }
+
+  test("a crafted giant-dimension header refuses instead of allocating the raster") {
+    // ImageWidth/ImageLength 65535x65535 declares a 12.9 GB raster: the
+    // decoder must refuse BEFORE allocation (an OOM is a totality
+    // violation too). Entry 0/1 value fields at 10+8 = 18 and 10+12+8 = 30.
+    val giant = handBuilt.clone()
+    giant(18) = 0xff.toByte; giant(19) = 0xff.toByte
+    giant(30) = 0xff.toByte; giant(31) = 0xff.toByte
+    assert(TiffPixels.decode(giant).isEmpty)
+    assert(TiffPixels.thumbnail(giant, 4, 4).isEmpty)
+  }
+
   test("crafted counts and offsets near the 32-bit edge cannot wrap the bounds checks") {
     // BitsPerSample count 0x40000001: count*size in Int would wrap to a
     // tiny positive number and pass a naive check
