@@ -49,7 +49,7 @@ object ScaleDemo {
     * `degraded` below stays false.
     */
   val IntendedNested: Set[String] = Set("s_cosine_topk", "s_range_search",
-    "s_prefix_rerank_topk",
+    "s_prefix_rerank_topk", "s_mmr_rerank",
     // 1-row scalar broadcasts (corpus totals / vocabulary size /
     // model totals) — the same scalar-threshold shapes PlanAuditSpec
     // allowlists; bounded at any scale by construction
