@@ -1265,6 +1265,11 @@ object Multimodal extends QueryModule {
     */
   private[graft] def oggOracle: String = Oracle.OggHeaders
 
+  /** The shared gradient-pixels oracle (m_png_pixels / m_tiff_pixels /
+    * st_tiff_pixels — same fixture dims and formulas).
+    */
+  private[graft] def pngPixelsOracle: String = Oracle.PngPixels
+
   private object Oracle {
     /** FNV-1a 64 over a DuckDB list of byte values, folded in HUGEINT
       * mod-2^64 arithmetic and re-signed to match a JVM Long. The xor

@@ -591,6 +591,26 @@ object Streaming extends QueryModule {
       },
       Some(s"${graft.operators.TextAnalysis.UrlCanonicalizeSql}"),
     ),
+    // continuous STILL-IMAGE intake: the m_tiff_pixels IFD walk applied
+    // statelessly to .tiff files arriving in a MediaIntake drop
+    // directory, carrying the batch entry's own closed-form oracle
+    QueryDef(
+      "st_tiff_pixels",
+      (s, dir) => {
+        val drop = s"/tmp/graft_tiff_drop/${new java.io.File(dir).getName}"
+        graft.streaming.MediaIntake.materializeDropDir(
+          graft.operators.Multimodal.tiffTable(Tables(s, dir)), drop, ext = "tiff")
+        val name = s"st_tiff_${System.nanoTime()}"
+        val q = graft.streaming.MediaIntake.tiffStream(s, drop)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_tiff_pixels timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.operators.Multimodal.pngPixelsOracle),
+    ),
     // continuous AUDIO intake: the m_ogg_headers walk (verified page
     // CRCs + Vorbis ident/comment) applied statelessly to files
     // arriving in a drop directory — the audio arm of MediaIntake,

@@ -154,6 +154,39 @@ object MediaIntake {
   /** Stateless per-file Ogg walk over the drop stream: same shape as
     * [[exifStream]], CRC-verified pages and all.
     */
+  /** One row of decoded TIFF pixels, column-for-column the
+    * m_tiff_pixels frame so the stream shares the PNG gradient's
+    * closed-form oracle; pixels_ok re-derives the expected means from
+    * the doc_id the filename carries (the fixture's (w, h, seed) are
+    * doc_id formulas, so the streaming check needs no side channel).
+    */
+  final case class TiffRow(doc_id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double,
+                           pixels_ok: Boolean)
+
+  /** Stateless per-file TIFF decode over the drop stream — the
+    * still-image arm of the continuous intake, full IFD walk per file.
+    */
+  def tiffStream(spark: SparkSession, dropDir: String): Dataset[TiffRow] = {
+    import spark.implicits._
+    val id = "doc_([0-9]+)\\.tiff$".r
+    mediaFileStream(spark, dropDir, ext = "tiff").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        id.findFirstMatchIn(path).map { m =>
+          val d = m.group(1).toLong
+          graft.functions.TiffPixels.decode(bytes) match {
+            case Some((w, h, mr, mg, mb)) =>
+              val (er, eg, eb) = graft.functions.PngPixels.syntheticMeans(
+                (d % 16).toInt + 4, (d % 12).toInt + 4, (d % 997).toInt)
+              TiffRow(d, w, h, mr, mg, mb,
+                w == (d % 16).toInt + 4 && h == (d % 12).toInt + 4 &&
+                  mr == er && mg == eg && mb == eb)
+            case None => TiffRow(d, 0, 0, 0.0, 0.0, 0.0, pixels_ok = false)
+          }
+        }
+      }
+  }
+
   def oggStream(spark: SparkSession, dropDir: String): Dataset[OggRow] = {
     import spark.implicits._
     val id = "doc_([0-9]+)\\.ogg$".r
