@@ -37,7 +37,7 @@ class StreamingObservabilitySpec extends SparkSpec {
         q.processAllAvailable()
         // the listener bus is async relative to processAllAvailable —
         // poll until the first batch's progress event lands
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
         while (obs.batchesFor("obs_stream") < 1 && System.nanoTime() < deadline)
           Thread.sleep(50)
         assert(obs.batchesFor("obs_stream") >= 1)
@@ -71,7 +71,7 @@ class StreamingObservabilitySpec extends SparkSpec {
           Files.write(java.nio.file.Paths.get(src, "b.txt"),
             (1 to 100).map(i => s"user${i % 11}").mkString("\n").getBytes("UTF-8"))
           q.processAllAvailable()
-          val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          val d2 = System.nanoTime() + 120L * 1000 * 1000 * 1000
           while (obs.gauges.toMap.apply(
             s"""parsedmarc_stream_input_rows_total{query="obs_stream"}""") < 300.0 &&
             System.nanoTime() < d2) Thread.sleep(50)
@@ -104,7 +104,7 @@ class StreamingObservabilitySpec extends SparkSpec {
         .start()
       try {
         q.processAllAvailable()
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
         while (obs.batchesFor(hostile) < 1 && System.nanoTime() < deadline)
           Thread.sleep(50)
         assert(obs.batchesFor(hostile) >= 1)
