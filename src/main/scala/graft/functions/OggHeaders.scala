@@ -16,9 +16,9 @@ package graft.functions
   * polynomial 0x04C11DB7, unreflected, zero init and zero final xor,
   * computed over the whole page with the CRC field zeroed. Parse is
   * total — truncation, a wrong capture pattern, a CRC mismatch, a
-  * mid-stream serial change, or a malformed first packet return None,
-  * never throw; all offset math runs in Long (the FlacHeaders
-  * convention).
+  * mid-stream serial change, a missing/spurious BOS flag, or a
+  * malformed first packet return None, never throw; all offset math
+  * runs in Long (the FlacHeaders convention).
   */
 object OggHeaders {
 
@@ -93,6 +93,11 @@ object OggHeaders {
         return None
       if (bytes(p + 4) != 0) return None // stream structure version
       val flags = bytes(p + 5) & 0xff
+      // RFC 3533 §6: BOS (0x02) marks exactly the first page of a
+      // logical stream — absent there, or present mid-stream, the
+      // chain is structurally invalid
+      if (nPages == 0 && (flags & 0x02) == 0) return None
+      if (nPages > 0 && (flags & 0x02) != 0) return None
       val granule = i64le(bytes, p + 6)
       val pageSerial = u32le(bytes, p + 14)
       if (serial < 0) serial = pageSerial

@@ -100,9 +100,11 @@ object UrlCanonical {
     val (authority, rawPath) =
       if (pathStart >= 0) (beforeQuery.substring(0, pathStart), beforeQuery.substring(pathStart))
       else (beforeQuery, "")
-    // userinfo preserved verbatim; host/port after the last '@'
+    // userinfo percent-normalized like every other component (§6.2.2
+    // applies URL-wide) but NOT case-folded (only scheme and host are);
+    // host/port after the last '@'
     val at = authority.lastIndexOf('@')
-    val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
+    val userinfo = if (at >= 0) pctNormalize(authority.substring(0, at + 1)) else ""
     val hostPort = authority.substring(at + 1)
     val colon = hostPort.lastIndexOf(':')
     val (rawHost, rawPort) =

@@ -452,11 +452,15 @@ object TextAnalysis extends QueryModule {
     // typed map (stream-shareable), same discipline as robotsDecisions
     docs.select(col("doc_id")).as[Long].map { d =>
       val scheme = if (d % 2 == 0) "HTTP" else "HTTPS"
+      // userinfo arm: %41 (unreserved 'A') must decode, %3d (reserved
+      // '=') must stay encoded with UPPERCASED hex, and case is kept
+      // (only scheme/host fold)
+      val user = if (d % 13 == 0) "u%41ser.%3dpw@" else ""
       val port = if (d % 3 == 0) (if (d % 2 == 0) ":80" else ":443") else s":${8000 + d % 5}"
       val path = if (d % 11 == 0) "" else s"/a/./b${d % 4}/../c/%7Euser/d${d % 6}"
       val query = if (d % 3 == 0) "?z=1&a=%42" else ""
       val frag = if (d % 5 == 0) "#sec" else ""
-      val raw = s"$scheme://EX%41MPLE${d % 7}.COM$port$path$query$frag"
+      val raw = s"$scheme://${user}EX%41MPLE${d % 7}.COM$port$path$query$frag"
       val c = graft.functions.UrlCanonical.canonicalize(raw).get
       (d, raw, c.url, c.host, c.port, c.path, c.hadFragment)
     }.toDF("doc_id", "raw_url", "canon_url", "host", "port", "path", "had_fragment")
@@ -465,7 +469,8 @@ object TextAnalysis extends QueryModule {
   private[graft] val UrlCanonicalizeSql: String =
     """SELECT doc_id,
       |(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
-      | || '://EX%41MPLE' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      | || '://' || (CASE WHEN doc_id % 13 = 0 THEN 'u%41ser.%3dpw@' ELSE '' END)
+      | || 'EX%41MPLE' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
       | || (CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
       |      ELSE ':' || CAST(8000 + doc_id % 5 AS VARCHAR) END)
       | || (CASE WHEN doc_id % 11 = 0 THEN ''
@@ -473,7 +478,8 @@ object TextAnalysis extends QueryModule {
       | || (CASE WHEN doc_id % 3 = 0 THEN '?z=1&a=%42' ELSE '' END)
       | || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS raw_url,
       |(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
-      | || '://example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      | || '://' || (CASE WHEN doc_id % 13 = 0 THEN 'uAser.%3Dpw@' ELSE '' END)
+      | || 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
       | || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE ':' || CAST(8000 + doc_id % 5 AS VARCHAR) END)
       | || (CASE WHEN doc_id % 11 = 0 THEN '/'
       |      ELSE '/a/c/~user/d' || CAST(doc_id % 6 AS VARCHAR) END)

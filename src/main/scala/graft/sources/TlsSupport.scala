@@ -190,6 +190,11 @@ object TlsSupport {
       case "RSA" => "SHA256withRSA"
       case _     => "SHA256withECDSA"
     }
+    // cross-algorithm pairs (EC key with an RSA cert or vice versa)
+    // would make initVerify throw an opaque InvalidKeyException —
+    // short-circuit them onto the same uniform mismatch message
+    require(key.getAlgorithm == cert.getPublicKey.getAlgorithm,
+      s"key_file $keyPath does not match the certificate in $certPath")
     val probe = "graft-tls-pair-probe".getBytes("US-ASCII")
     val signer = java.security.Signature.getInstance(algo)
     signer.initSign(key); signer.update(probe)

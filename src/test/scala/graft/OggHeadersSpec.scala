@@ -122,6 +122,26 @@ class OggHeadersSpec extends AnyFunSuite {
     assert(OggHeaders.parse(java.util.Arrays.copyOf(b, p1)).isEmpty)
   }
 
+  test("BOS must be set on page 0 and only there (RFC 3533 §6)") {
+    val b = OggHeaders.synthetic(9L, 1, 22050, 64000, "v", 2)
+    // page offsets + a flag rewrite with the CRC recomputed, so the
+    // refusal is attributable to the BOS rule, not a checksum break
+    def pageLen(at: Int): Int = {
+      val n = b(at + 26) & 0xff
+      27 + n + (0 until n).map(s => b(at + 27 + s) & 0xff).sum
+    }
+    def withFlags(at: Int, flags: Int): Array[Byte] = {
+      val m = b.clone()
+      m(at + 5) = flags.toByte
+      var c = OggHeaders.pageCrc(m, at, pageLen(at), at + 22)
+      for (i <- 0 until 4) { m(at + 22 + i) = (c & 0xff).toByte; c >>>= 8 }
+      m
+    }
+    assert(OggHeaders.parse(b).nonEmpty)
+    assert(OggHeaders.parse(withFlags(0, 0x00)).isEmpty, "first page without BOS")
+    assert(OggHeaders.parse(withFlags(pageLen(0), 0x02)).isEmpty, "spurious mid-stream BOS")
+  }
+
   test("total under truncation and single-byte flips") {
     val b = OggHeaders.synthetic(3L, 6, 48000, 256000, "graft3", 4)
     for (n <- 0 until b.length)

@@ -166,6 +166,18 @@ class TlsTransportSpec extends SparkSpec {
       new HttpIntake(cfg.copy(keyFile = wrongKey.toString), drop, () => "{}", () => Nil)
     }
     assert(e.getMessage.contains("does not match"))
+    // CROSS-algorithm mismatch (EC key against the RSA cert) must yield
+    // the SAME uniform message, not an opaque InvalidKeyException from
+    // Signature.initVerify
+    val ecKpg = java.security.KeyPairGenerator.getInstance("EC")
+    ecKpg.initialize(256)
+    val ecKey = dir.resolve("ec.key")
+    java.nio.file.Files.write(ecKey,
+      pem("PRIVATE KEY", ecKpg.generateKeyPair().getPrivate.getEncoded).getBytes("US-ASCII"))
+    val eCross = intercept[IllegalArgumentException] {
+      TlsSupport.serverContextFromPem(certPath.toString, ecKey.toString)
+    }
+    assert(eCross.getMessage.contains("does not match"))
   }
 
   test("client trust is pinned, not trust-all: a default-trust client is rejected") {
