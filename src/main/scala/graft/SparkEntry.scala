@@ -18,6 +18,7 @@ object SparkEntry {
     Windowed,
     TextAnalysis,
     Dedup,
+    WebPipeline,
     Similarity,
     DmarcIngest,
     Enrichment,

@@ -57,4 +57,27 @@ object DedupPipeline {
       .select(col("doc_id").as(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware variant — the SemDeDup/FineWeb keep-best policy
+    * (d_keep_best's keeper rule as a DEDUP step): from each near-dup
+    * cluster keep the highest-`quality` member, doc_id breaking ties,
+    * instead of the smallest id. `quality` is a (doc_id, quality)
+    * frame (e.g. TextAnalysis.qualityCol over the same corpus). The
+    * keeper window partitions by cluster — bounded groups, never a
+    * corpus sort — so this composes over the xxhash64 production LSH
+    * path (Dedup.minhashLsh64) at full speed; pair-set and keeper
+    * parity with the md5 oracle path is pinned by DedupKeepBest64Spec.
+    */
+  def dedupKeepBest(corpus: DataFrame, pairs: DataFrame, quality: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col(idCol))
+    val losers = clusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+      .join(quality, idCol)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -38,6 +38,16 @@ object TrainingData {
   final case class Prepared(corpus: DataFrame, pairs: DataFrame,
                             stages: Seq[(String, Long)])
 
+  /** [[prepareWeb]]'s result: the prepared corpus (doc_id, url,
+    * canon_url, text, quality, n_tokens, surprisal, bucket, split,
+    * bin), the near-dup pair set the keep-best stage acted on, and the
+    * ordered per-stage survivor counts — stages are strictly nested
+    * filters, so consecutive differences attribute every dropped doc to
+    * exactly one stage.
+    */
+  final case class PreparedWeb(corpus: DataFrame, pairs: DataFrame,
+                               stages: Seq[(String, Long)])
+
   /** Deterministic md5 percent bucket of the doc id — stable across
     * runs, engines, and repartitioning (same convention as
     * t_hash_split).
@@ -120,5 +130,170 @@ object TrainingData {
         } finally deduped.unpersist(false)
       } finally exact.unpersist(false)
     } finally cleaned.unpersist(false)
+  }
+
+  /** The one-call WEB-corpus pipeline — the full crawl-to-training-set
+    * composition wired from the engine's own gate-green stages:
+    *
+    *   WARC fetch (real record parse + HTML boilerplate strip) →
+    *   RFC 9309 robots gate → RFC 3986 URL-canonicalization dedup →
+    *   Gopher + C4 + FineWeb published-filter battery → exact dedup →
+    *   banded-LSH near-dup dedup with the QUALITY-AWARE keep-best
+    *   keeper → CCNet head/middle bucketing (tail dropped) →
+    *   deterministic hash split + context-window packing plan
+    *
+    * with [[prepare]]'s per-stage attrition accounting: stages are
+    * strictly NESTED filters over doc_id, so every dropped document is
+    * attributable to exactly one stage and the drops telescope to
+    * raw − final (WebPipelineSpec pins both).
+    *
+    * Fixture conventions carried from the standalone entries (the
+    * synthetic corpus is single-line word soup): robots files and URL
+    * variants are doc_id-derived exactly as t_robots_rules /
+    * t_url_canonicalize build them; the line-level C4 and FineWeb
+    * batteries run over each entry's own deterministic page re-lining
+    * (c4PageTable / fwPageTable) of the extracted text; Gopher runs on
+    * the extracted text directly with its stopword floor re-thresholded
+    * to ≥ 1 — the corpus vocabulary carries only one of the eight
+    * Gopher stopwords, so the paper's ≥ 2 would zero every document
+    * (the per-rule booleans exist exactly so pipelines can
+    * re-threshold; WebPipelineSpec proves the necessity).
+    *
+    * Scale shape: every stage is the already-audited at-scale operator;
+    * each stage is eagerly localCheckpointed so its count action and
+    * the next stage read one materialization AND the lazy plan resets
+    * per stage (see the in-body comment — the self-joining stage shape
+    * otherwise grows the plan exponentially in stage count, a DRIVER
+    * failure mode no executor count fixes). The only driver-side values
+    * are the per-stage counts; every join onto the corpus is a doc_id
+    * semi/inner join (hash joins on the id, never a corpus-wide window
+    * or sort).
+    *
+    * @param oracleHash true = md5 LSH signatures (DuckDB-checkable —
+    *                   the d_web_pipeline gate entry); false = the
+    *                   xxhash64 production path (default, same banding
+    *                   and verification, several times faster hashing)
+    */
+  def prepareWeb(docs: DataFrame, oracleHash: Boolean = false,
+                 trainPct: Int = 80, valPct: Int = 10,
+                 binTokens: Int = 2048): PreparedWeb = {
+    import graft.operators.TextAnalysis
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stages = Seq.newBuilder[(String, Long)]
+    // localCheckpoint (eager) per stage, NOT persist: every stage joins
+    // the corpus against a derivation OF ITSELF (keeper ids, pass ids),
+    // so each stage doubles the lazy plan — k chained stages build a
+    // 2^k-node plan that chokes the DRIVER (observed: Catalyst's plan
+    // string alone overflowed an 8 GiB heap on the 500-doc gate corpus)
+    // long before any data moves. Cutting lineage at each counted stage
+    // keeps the plan linear in stage size; the storage cost is the same
+    // persist the count already paid for, and checkpoint blocks are
+    // GC-released by the context cleaner when the stage frame drops.
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val p = df.localCheckpoint(true)
+      stages += name -> p.count()
+      p
+    }
+    locally {
+      stages += "raw" -> docs.count()
+
+      // fetch: pack the corpus into WARC blobs, parse the records back,
+      // strip HTML boilerplate — the p_warc_extract chain, kept here so
+      // the composite exercises the REAL crawl front door end to end
+      val fetched = stage("warc_fetch",
+        TextAnalysis.warcBlobs(docs)
+          .flatMap { case (_, blob) =>
+            graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty)
+              .map(TextAnalysis.warcPageText)
+          }.toDF("doc_id", "url", "text"))
+
+      // robots gate: fetch-permission decisions through the real
+      // RFC 9309 parse/match path (t_robots_rules' fixture scheme)
+      val allowedIds = TextAnalysis.robotsDecisions(docs.select(col("doc_id")))
+        .filter(col("allowed")).select("doc_id")
+      val robots = stage("robots_gate",
+        fetched.join(allowedIds, Seq("doc_id"), "left_semi"))
+
+      // URL dedup: canonicalize doc_id-derived raw variants through the
+      // real RFC 3986 normalizer; every 10th doc's variant collides
+      // with its predecessor's canonical form, min doc_id survives
+      val canon = docs.select(col("doc_id")).as[Long].map { d =>
+        val k = d - (if (d % 10 == 7) 1L else 0L)
+        val raw = (if (d % 2 == 0) "HTTPS" else "https") +
+          s"://SITE${k % 5}.Test" + (if (d % 3 == 0) ":443" else "") +
+          s"/d/../doc/$k" + (if (d % 5 == 0) "#frag" else "")
+        (d, graft.functions.UrlCanonical.canonicalize(raw).get.url)
+      }.toDF("doc_id", "canon_url")
+      val withCanon = robots.join(canon, "doc_id")
+      val urlKeepers = withCanon.groupBy("canon_url")
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val urlDeduped = stage("url_dedup",
+        withCanon.join(urlKeepers, Seq("doc_id"), "left_semi"))
+
+      // published-filter battery, one attrition stage per filter
+      val texts = urlDeduped.select(col("doc_id"), col("text"))
+      val gopherKeep = TextAnalysis.gopherRules(texts)
+        .filter(col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
+          col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+          col("stop_hits") >= 1)
+        .select("doc_id")
+      val gophered = stage("filter_gopher",
+        urlDeduped.join(gopherKeep, Seq("doc_id"), "left_semi"))
+
+      val c4Keep = TextAnalysis.c4Rules(
+          TextAnalysis.c4PageTable(gophered.select(col("doc_id"), col("text"))))
+        .filter(col("pass")).select("doc_id")
+      val c4ed = stage("filter_c4",
+        gophered.join(c4Keep, Seq("doc_id"), "left_semi"))
+
+      val fwKeep = TextAnalysis.finewebRules(
+          TextAnalysis.fwPageTable(c4ed.select(col("doc_id"), col("text"))))
+        .filter(col("pass")).select("doc_id")
+      val fwed = stage("filter_fineweb",
+        c4ed.join(fwKeep, Seq("doc_id"), "left_semi"))
+
+      // exact dedup on the extracted text, min doc_id survives
+      val exKeepers = fwed.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val exact = stage("exact_dedup",
+        fwed.join(exKeepers, Seq("doc_id"), "left_semi"))
+
+      // near-dup dedup with the quality-aware keep-best keeper
+      val pairs =
+        if (oracleHash) graft.operators.Dedup.minhashLsh(exact.select(col("doc_id"), col("text")))
+        else graft.operators.Dedup.minhashLsh64(exact.select(col("doc_id"), col("text")))
+      val quality = exact.select(col("doc_id"), TextAnalysis.qualityCol.as("quality"))
+      val deduped = stage("neardup_keepbest",
+        DedupPipeline.dedupKeepBest(exact.join(quality, "doc_id"), pairs, quality))
+
+      // CCNet bucketing over the SURVIVOR corpus; tail tercile dropped
+      val cc = TextAnalysis.ccnetBuckets(deduped.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_tokens"), col("surprisal"), col("bucket"))
+      val bucketed = stage("ccnet_keep",
+        deduped.join(cc.filter(col("bucket") =!= "tail"), "doc_id"))
+
+      // deterministic split + packing plan — prepare()'s tail, fed by
+      // ccnet's n_tokens (identical to the split-count on this text
+      // shape: extraction leaves no empty tokens)
+      val split = bucketed.withColumn("split",
+        when(pctBucket < trainPct, "train")
+          .when(pctBucket < trainPct + valPct, "val")
+          .otherwise("test"))
+      val w = Window.partitionBy("pack_bucket").orderBy("doc_id")
+      val packed = split
+        .withColumn("pack_bucket", pmod(col("doc_id"), lit(32)))
+        .withColumn("train_tokens",
+          when(col("split") === "train", col("n_tokens")).otherwise(0L))
+        .withColumn("bin",
+          when(col("split") === "train",
+            concat_ws("_", col("pack_bucket"),
+              ((sum("train_tokens").over(w) - col("n_tokens")) / binTokens)
+                .cast("bigint"))))
+        .drop("pack_bucket", "train_tokens")
+      val out = packed.localCheckpoint()
+      stages += "final" -> out.count()
+      PreparedWeb(out, pairs, stages.result())
+    }
   }
 }

@@ -386,7 +386,12 @@ object Dedup extends QueryModule {
            max(when(col("rn") === 1, col("quality"))).as("keeper_quality"))
   }
 
-  private def candSql(maxBucket: Int): String = {
+  /** DuckDB twin of the banded-LSH candidate chain, parameterized by
+    * the source relation so composites (d_web_pipeline) can run the
+    * SAME derivation over a filtered upstream CTE instead of the raw
+    * documents table.
+    */
+  private[graft] def candSql(maxBucket: Int, src: String = "documents"): String = {
     val minsSql = (0 until Bands * Rows).map { i =>
       s"min(substr(y, ${1 + 8 * i}, 8)) AS h$i"
     }.mkString(", ")
@@ -394,7 +399,7 @@ object Dedup extends QueryModule {
       val key = (0 until Rows).map(k => s"h${j * Rows + k}").mkString(" || ")
       s"SELECT doc_id, $j AS j, md5($key) AS mh FROM mins"
     }.mkString("\nUNION ALL\n")
-    s"""sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+    s"""sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM $src),
        |hashed AS (SELECT doc_id,
        |  md5('0|' || x) || md5('1|' || x) || md5('2|' || x) || md5('3|' || x) AS y
        |  FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),

@@ -28,13 +28,20 @@ object TextAnalysis extends QueryModule {
       expr("CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT)").cast("double") /
         length(col("text")).cast("bigint") * 0.3, 4)
 
-  private val qualitySqlCte =
-    s"""q AS (SELECT doc_id,
-       |  ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/200.0)*0.5
+  /** DuckDB twin of [[qualityCol]] as a bare expression over a `text`
+    * column — shared by the quality CTEs here, d_keep_best's oracle
+    * (textually equal by construction there), and d_web_pipeline.
+    */
+  private[graft] val QualityExprSql: String =
+    s"""ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/200.0)*0.5
        |    + (CAST(len(list_filter(string_split(text,' '), w -> w IN $Stop)) AS DOUBLE)
        |       / len(string_split(text,' ')))*0.2
        |    + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-       |       / length(text))*0.3, 4) AS quality
+       |       / length(text))*0.3, 4)""".stripMargin
+
+  private val qualitySqlCte =
+    s"""q AS (SELECT doc_id,
+       |  $QualityExprSql AS quality
        |  FROM documents)""".stripMargin
 
   /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
@@ -95,9 +102,13 @@ object TextAnalysis extends QueryModule {
           col("pass_stop"))
   }
 
-  private[graft] val GopherRulesSql: String =
-    """WITH m AS (SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  /** Gopher per-doc metric columns (DuckDB) — ONE definition shared by
+    * the t_gopher_rules oracle and the d_web_pipeline stage CTE so the
+    * rule arithmetic cannot drift between the standalone entry and the
+    * composite.
+    */
+  private[graft] val GopherMetricColsSql: String =
+    """CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
       |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
       |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
@@ -107,7 +118,27 @@ object TextAnalysis extends QueryModule {
       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
       |  CAST(len(list_filter(string_split(text, chr(10)),
       |    l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, chr(8226) || ' '))) AS BIGINT) AS n_bullet,
-      |  CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end
+      |  CAST(len(list_filter(string_split(text, chr(10)), l -> ends_with(l, '...'))) AS BIGINT) AS n_ell_end""".stripMargin
+
+  /** The Gopher pass conjunction over [[GopherMetricColsSql]]'s columns,
+    * with the stopword floor as a parameter: the standalone entry uses
+    * the paper's >= 2; d_web_pipeline re-thresholds to >= 1 because the
+    * synthetic corpus's vocabulary carries only ONE of the eight Gopher
+    * stopwords ('the'), so the paper floor would zero the corpus (the
+    * per-rule booleans exist precisely so pipelines can re-threshold).
+    */
+  private[graft] def gopherPassCondSql(stopFloor: Int): String =
+    s"""(n_words BETWEEN 50 AND 100000)
+       |  AND (CAST(word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+       |  AND (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1)
+       |  AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+       |  AND (CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3)
+       |  AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+       |  AND (stop_hits >= $stopFloor)""".stripMargin
+
+  private[graft] val GopherRulesSql: String =
+    s"""WITH m AS (SELECT doc_id,
+      |  $GopherMetricColsSql
       |  FROM documents)
       |SELECT doc_id, n_words,
       |ROUND(CAST(word_chars AS DOUBLE) / n_words, 4) AS mean_word_len,
@@ -123,13 +154,7 @@ object TextAnalysis extends QueryModule {
       |CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3 AS pass_ellipsis,
       |CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8 AS pass_alpha,
       |stop_hits >= 2 AS pass_stop,
-      |(n_words BETWEEN 50 AND 100000)
-      |  AND (CAST(word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
-      |  AND (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1)
-      |  AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
-      |  AND (CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3)
-      |  AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
-      |  AND (stop_hits >= 2) AS pass
+      |${gopherPassCondSql(2)} AS pass
       |FROM m""".stripMargin
 
   /** C4 structural filter (Raffel et al. 2020, "Exploring the Limits of
@@ -235,20 +260,35 @@ object TextAnalysis extends QueryModule {
       " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{' ELSE '' END"
   }
 
-  private[graft] val C4RulesSql: String =
-    s"""WITH pages AS (SELECT doc_id, $C4PageSqlExpr AS text FROM documents),
-      |m AS (SELECT doc_id,
-      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+  /** C4 kept-line / page-marker metric columns (DuckDB) — shared by
+    * the t_c4_rules oracle and the d_web_pipeline stage CTE (drift
+    * guard, same convention as [[GopherMetricColsSql]]).
+    */
+  private[graft] val C4MetricColsSql: String =
+    """CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
       |  list_filter(string_split(text, chr(10)), l ->
       |    (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
       |    AND len(string_split(l, ' ')) >= 5
       |    AND NOT contains(lower(l), 'javascript')) AS kept,
       |  contains(lower(text), 'lorem ipsum') AS has_lorem,
-      |  contains(text, '{') AS has_brace
+      |  contains(text, '{') AS has_brace""".stripMargin
+
+  /** Sentence count over the `kept` column of [[C4MetricColsSql]]. */
+  private[graft] val C4SentenceSumSql: String =
+    """CAST(coalesce(list_sum(list_transform(kept,
+      |    l -> length(l) - length(translate(l, '.!?', '')))), 0) AS BIGINT)""".stripMargin
+
+  /** The C4 page-level pass conjunction over the s-CTE's columns. */
+  private[graft] val C4PassCondSql: String =
+    "(n_sentences >= 3) AND NOT has_lorem AND NOT has_brace"
+
+  private[graft] val C4RulesSql: String =
+    s"""WITH pages AS (SELECT doc_id, $C4PageSqlExpr AS text FROM documents),
+      |m AS (SELECT doc_id,
+      |  $C4MetricColsSql
       |  FROM pages),
       |s AS (SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
-      |  CAST(coalesce(list_sum(list_transform(kept,
-      |    l -> length(l) - length(translate(l, '.!?', '')))), 0) AS BIGINT) AS n_sentences,
+      |  $C4SentenceSumSql AS n_sentences,
       |  has_lorem, has_brace
       |  FROM m)
       |SELECT doc_id, n_lines, n_kept,
@@ -257,7 +297,7 @@ object TextAnalysis extends QueryModule {
       |n_sentences >= 3 AS pass_sentences,
       |NOT has_lorem AS pass_lorem,
       |NOT has_brace AS pass_brace,
-      |(n_sentences >= 3) AND NOT has_lorem AND NOT has_brace AS pass
+      |$C4PassCondSql AS pass
       |FROM s""".stripMargin
 
   /** FineWeb quality filter (Penedo et al. 2024, "The FineWeb Datasets:
@@ -352,18 +392,31 @@ object TextAnalysis extends QueryModule {
       s" || CASE WHEN doc_id % 3 = 0 THEN chr(10) || ${line(0)} ELSE '' END"
   }
 
-  private[graft] val FinewebRulesSql: String =
-    s"""WITH pages AS (SELECT doc_id, $FwPageSqlExpr AS text FROM documents),
-      |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
-      |  list_sort(string_split(text, chr(10))) AS slines FROM pages),
-      |m AS (SELECT doc_id,
-      |  CAST(len(lines) AS BIGINT) AS n_lines,
+  /** FineWeb per-doc metric columns over the l-CTE's (lines, slines)
+    * (DuckDB) — shared by the t_fineweb_rules oracle and the
+    * d_web_pipeline stage CTE (drift guard).
+    */
+  private[graft] val FwMetricColsSql: String =
+    """CAST(len(lines) AS BIGINT) AS n_lines,
       |  CAST(len(list_filter(lines, x ->
       |    ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '"'))) AS BIGINT) AS n_punct,
       |  CAST(len(list_filter(lines, x -> length(x) < 30)) AS BIGINT) AS n_short,
       |  CAST(coalesce(list_sum(list_transform(slines, (x, i) ->
       |    CASE WHEN i > 1 AND x = slines[i-1] THEN length(x) ELSE 0 END)), 0) AS BIGINT) AS dup_chars,
-      |  CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars
+      |  CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars""".stripMargin
+
+  /** The FineWeb pass conjunction over [[FwMetricColsSql]]'s columns. */
+  private[graft] val FwPassCondSql: String =
+    """(CAST(n_punct AS DOUBLE) / n_lines > 0.12)
+      |  AND (CAST(n_short AS DOUBLE) / n_lines < 0.67)
+      |  AND (CAST(dup_chars AS DOUBLE) / GREATEST(line_chars, 1) < 0.1)""".stripMargin
+
+  private[graft] val FinewebRulesSql: String =
+    s"""WITH pages AS (SELECT doc_id, $FwPageSqlExpr AS text FROM documents),
+      |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+      |  list_sort(string_split(text, chr(10))) AS slines FROM pages),
+      |m AS (SELECT doc_id,
+      |  $FwMetricColsSql
       |  FROM l)
       |SELECT doc_id, n_lines, dup_chars, line_chars,
       |ROUND(CAST(n_punct AS DOUBLE) / n_lines, 4) AS punct_ratio,
@@ -372,9 +425,7 @@ object TextAnalysis extends QueryModule {
       |CAST(n_punct AS DOUBLE) / n_lines > 0.12 AS pass_punct,
       |CAST(n_short AS DOUBLE) / n_lines < 0.67 AS pass_short,
       |CAST(dup_chars AS DOUBLE) / GREATEST(line_chars, 1) < 0.1 AS pass_dup,
-      |(CAST(n_punct AS DOUBLE) / n_lines > 0.12)
-      |  AND (CAST(n_short AS DOUBLE) / n_lines < 0.67)
-      |  AND (CAST(dup_chars AS DOUBLE) / GREATEST(line_chars, 1) < 0.1) AS pass
+      |$FwPassCondSql AS pass
       |FROM m""".stripMargin
 
   /** Crawl-permission decisions over synthetic robots.txt fixtures —
@@ -414,17 +465,24 @@ object TextAnalysis extends QueryModule {
     }.toDF("doc_id", "path", "group_used", "crawl_delay", "allowed", "match_len")
   }
 
-  private[graft] val RobotsRulesSql: String =
-    """SELECT doc_id,
-      |'/p' || CAST(doc_id % 5 AS VARCHAR) || '/x' || CAST(doc_id % 3 AS VARCHAR) AS path,
-      |CASE WHEN doc_id % 4 = 0 THEN '*' ELSE 'graftbot' END AS group_used,
-      |CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 9 + 1 END AS INT) AS crawl_delay,
-      |CASE WHEN doc_id % 4 = 0 THEN
+  /** Closed-form `allowed` decision of the robots fixture (DuckDB) —
+    * shared by the t_robots_rules oracle and d_web_pipeline's gate CTE
+    * (drift guard).
+    */
+  private[graft] val RobotsAllowedSql: String =
+    """CASE WHEN doc_id % 4 = 0 THEN
       |  CASE WHEN doc_id % 5 = 0 THEN FALSE
       |       WHEN doc_id % 5 = 1 THEN doc_id % 3 = 2
       |       ELSE TRUE END
       |ELSE CASE WHEN doc_id % 5 = 2 THEN doc_id % 3 = 1 ELSE TRUE END
-      |END AS allowed,
+      |END""".stripMargin
+
+  private[graft] val RobotsRulesSql: String =
+    s"""SELECT doc_id,
+      |'/p' || CAST(doc_id % 5 AS VARCHAR) || '/x' || CAST(doc_id % 3 AS VARCHAR) AS path,
+      |CASE WHEN doc_id % 4 = 0 THEN '*' ELSE 'graftbot' END AS group_used,
+      |CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 9 + 1 END AS INT) AS crawl_delay,
+      |$RobotsAllowedSql AS allowed,
       |CAST(CASE WHEN doc_id % 4 = 0 THEN
       |  CASE WHEN doc_id % 5 = 0 THEN 3
       |       WHEN doc_id % 5 = 1 THEN CASE WHEN doc_id % 3 = 2 THEN 6 ELSE 5 END
@@ -519,6 +577,25 @@ object TextAnalysis extends QueryModule {
           .when(col("surprisal") <= col("c2"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** CCNet scoring chain (DuckDB) over a (doc_id, text) source
+    * relation, ending in `scored` (doc_id, n_tokens, surprisal) and
+    * `cuts` (c1, c2) — shared by the t_ccnet_buckets oracle and
+    * d_web_pipeline's bucketing stage (drift guard).
+    */
+  private[graft] def ccnetScoredCtesSql(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $src),
+       |t2 AS (SELECT * FROM toks WHERE term <> ''),
+       |freq AS (SELECT term, COUNT(*) AS c FROM t2 GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
+       |scored AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |  ROUND(SUM(-log2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       |    / COUNT(*), 4) AS surprisal
+       |  FROM t2 JOIN freq USING(term) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |cuts AS (SELECT quantile_cont(surprisal, 1.0/3) AS c1,
+       |  quantile_cont(surprisal, 2.0/3) AS c2 FROM scored)""".stripMargin
 
   /** Sliding-window chunk projection shared by batch (t_chunk_overlap)
     * and streaming (st_chunk_overlap): 256-char windows at 192-char
@@ -1318,18 +1395,7 @@ object TextAnalysis extends QueryModule {
     QueryDef(
       "t_ccnet_buckets",
       (s, dir) => ccnetBuckets(Tables(s, dir).documents).orderBy("doc_id"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-             |t2 AS (SELECT * FROM toks WHERE term <> ''),
-             |freq AS (SELECT term, COUNT(*) AS c FROM t2 GROUP BY 1),
-             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
-             |scored AS (SELECT doc_id, COUNT(*) AS n_tokens,
-             |  ROUND(SUM(-log2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)))
-             |    / COUNT(*), 4) AS surprisal
-             |  FROM t2 JOIN freq USING(term) CROSS JOIN tot
-             |  GROUP BY doc_id),
-             |cuts AS (SELECT quantile_cont(surprisal, 1.0/3) AS c1,
-             |  quantile_cont(surprisal, 2.0/3) AS c2 FROM scored)
+      Some(s"""WITH ${ccnetScoredCtesSql("documents")}
              |SELECT doc_id, n_tokens, surprisal,
              |ROUND(c1, 4) AS cut_head, ROUND(c2, 4) AS cut_tail,
              |CASE WHEN surprisal <= c1 THEN 'head'
@@ -1626,6 +1692,17 @@ object TextAnalysis extends QueryModule {
     (d, r.uri, r.status, e.title, e.text.split(" ").length)
   }
 
+  /** [[warcPageRow]]'s sibling carrying the EXTRACTED TEXT — the
+    * d_web_pipeline fetch stage needs the page body downstream, not
+    * just its word count.
+    */
+  private[graft] def warcPageText(r: graft.functions.WarcRecords.Response): (Long, String, String) = {
+    val e = graft.functions.HtmlText.extract(
+      new String(r.body, java.nio.charset.StandardCharsets.UTF_8)).get
+    val d = r.uri.substring(r.uri.lastIndexOf("doc") + 3).toLong
+    (d, r.uri, e.text)
+  }
+
   /** DuckDB twin of the WARC→HTTP→HTML chain — shared by the batch
     * entry and the streaming twin's oracle.
     */
@@ -1655,15 +1732,23 @@ object TextAnalysis extends QueryModule {
       }.toDF("doc_id", "title", "text_out", "n_paragraphs")
   }
 
+  /** DuckDB closed form of the boilerplate-stripped page text the
+    * WARC→HTTP→HTML chain yields per document — shared by the
+    * t_html_extract oracle and d_web_pipeline's fetched-CTE (drift
+    * guard).
+    */
+  private[graft] val HtmlTextOutSql: String =
+    """array_to_string(list_concat(
+      |   list_filter(string_split(text, ' '), w -> w <> ''),
+      |   ['Tail', '&', '@', '<end>']), ' ')""".stripMargin
+
   /** DuckDB twin of [[htmlExtracted]] — shared by the batch entry and
     * the streaming twin's oracle.
     */
   private[graft] val HtmlExtractSql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-      | array_to_string(list_concat(
-      |   list_filter(string_split(text, ' '), w -> w <> ''),
-      |   ['Tail', '&', '@', '<end>']), ' ') AS text_out,
+      | $HtmlTextOutSql AS text_out,
       | CAST(ceil(CAST(length(list_filter(string_split(text, ' '), w -> w <> ''))
       |   AS DOUBLE) / 10) AS INT) + 1 AS n_paragraphs
       |FROM documents ORDER BY doc_id""".stripMargin

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** d_web_pipeline — the one-call WEB-corpus training-data pipeline
+  * (api.TrainingData.prepareWeb) surfaced as its per-stage attrition
+  * accounting, with a FULL DuckDB recomputation oracle: every stage's
+  * survivor count is independently re-derived by chaining the
+  * standalone entries' own oracle fragments (shared constants, so the
+  * composite cannot drift from the gate-green pieces it composes):
+  *
+  *   raw → warc_fetch (HtmlTextOutSql closed form of the WARC→HTML
+  *   chain) → robots_gate (RobotsAllowedSql) → url_dedup (closed-form
+  *   RFC 3986 canonical keys, min-id keeper) → filter_gopher
+  *   (GopherMetricColsSql + gopherPassCondSql(1) — the stopword floor
+  *   re-thresholded, see prepareWeb's scaladoc) → filter_c4
+  *   (C4PageSqlExpr + C4MetricColsSql + C4PassCondSql) →
+  *   filter_fineweb (FwPageSqlExpr + FwMetricColsSql + FwPassCondSql)
+  *   → exact_dedup (md5 min-id) → neardup_keepbest (Dedup.candSql's
+  *   banded-LSH chain + recursive-CTE closure + the d_keep_best
+  *   quality argmax) → ccnet_keep (ccnetScoredCtesSql, tail tercile
+  *   dropped) → final (split/pack adds columns, drops nothing).
+  *
+  * Every non-recursive CTE is MATERIALIZED: the stage-count UNION ALL
+  * reads each stage once instead of re-inlining the whole upstream
+  * chain per count (measured: 0.4 s vs > 5 min on the gate corpus),
+  * and the recursive closure iterates over a materialized edge list
+  * instead of re-deriving LSH per step.
+  *
+  * Reference anchor: this is the "one-call corpus preparation" the
+  * reference's CLI pipelines (cmd/parsedmarc-go/main.go intake →
+  * parse → enrich → store) compose for DMARC data, re-expressed for
+  * the crawl-to-training-set domain the brief's LLM-pipeline surface
+  * covers.
+  */
+object WebPipeline extends QueryModule {
+
+  /** Stage names in pipeline order (shared by the entry, the oracle,
+    * and WebPipelineSpec).
+    */
+  private[graft] val StageNames: Seq[String] = Seq(
+    "raw", "warc_fetch", "robots_gate", "url_dedup", "filter_gopher",
+    "filter_c4", "filter_fineweb", "exact_dedup", "neardup_keepbest",
+    "ccnet_keep", "final")
+
+  /** Closed-form canonical URL of the doc_id-derived raw variant
+    * prepareWeb feeds through functions.UrlCanonical: scheme/host case
+    * folds, the explicit :443 default port drops, /d/../ dot-segments
+    * remove, the #frag strips — and every 10th doc (doc_id % 10 = 7)
+    * keys onto its predecessor's URL, the collision the dedup acts on.
+    */
+  private val urlKeySql =
+    "(doc_id - CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END)"
+  private val canonUrlSql =
+    s"'https://site' || CAST($urlKeySql % 5 AS VARCHAR) || '.test/doc/' || CAST($urlKeySql AS VARCHAR)"
+
+  private def oracleSql: String = {
+    val T = TextAnalysis
+    val stageCounts = StageNames.zipWithIndex.map { case (s, i) =>
+      val rel = s match {
+        case "raw" => "documents"
+        case "warc_fetch" => "fetched"
+        case "robots_gate" => "robots"
+        case "url_dedup" => "urldedup"
+        case "filter_gopher" => "gkeep"
+        case "filter_c4" => "c4keep"
+        case "filter_fineweb" => "fwkeep"
+        case "exact_dedup" => "exdedup"
+        case "neardup_keepbest" => "neardup"
+        case "ccnet_keep" => "ccnet"
+        case "final" => "finalout"
+      }
+      if (i == 0)
+        s"SELECT $i AS stage_idx, '$s' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM $rel"
+      else s"SELECT $i, '$s', COUNT(*) FROM $rel"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |fetched AS MATERIALIZED (SELECT doc_id, ${T.HtmlTextOutSql} AS text FROM documents),
+       |robots AS MATERIALIZED (SELECT doc_id, text FROM fetched WHERE ${T.RobotsAllowedSql}),
+       |urlkey AS MATERIALIZED (SELECT doc_id, text, $canonUrlSql AS canon FROM robots),
+       |urlmin AS MATERIALIZED (SELECT canon, MIN(doc_id) AS keeper FROM urlkey GROUP BY 1),
+       |urldedup AS MATERIALIZED (SELECT u.doc_id, u.text FROM urlkey u JOIN urlmin m
+       |  ON u.canon = m.canon AND u.doc_id = m.keeper),
+       |gm AS MATERIALIZED (SELECT doc_id, text,
+       |  ${T.GopherMetricColsSql}
+       |  FROM urldedup),
+       |gkeep AS MATERIALIZED (SELECT doc_id, text FROM gm
+       |  WHERE ${T.gopherPassCondSql(1)}),
+       |c4p AS MATERIALIZED (SELECT doc_id, text AS orig_text, ${T.C4PageSqlExpr} AS text FROM gkeep),
+       |c4m AS MATERIALIZED (SELECT doc_id, orig_text,
+       |  ${T.C4MetricColsSql}
+       |  FROM c4p),
+       |c4s AS MATERIALIZED (SELECT doc_id, orig_text,
+       |  ${T.C4SentenceSumSql} AS n_sentences,
+       |  has_lorem, has_brace
+       |  FROM c4m),
+       |c4keep AS MATERIALIZED (SELECT doc_id, orig_text AS text FROM c4s
+       |  WHERE ${T.C4PassCondSql}),
+       |fwp AS MATERIALIZED (SELECT doc_id, text AS orig_text, ${T.FwPageSqlExpr} AS text FROM c4keep),
+       |fwl AS MATERIALIZED (SELECT doc_id, orig_text, string_split(text, chr(10)) AS lines,
+       |  list_sort(string_split(text, chr(10))) AS slines FROM fwp),
+       |fwm AS MATERIALIZED (SELECT doc_id, orig_text,
+       |  ${T.FwMetricColsSql}
+       |  FROM fwl),
+       |fwkeep AS MATERIALIZED (SELECT doc_id, orig_text AS text FROM fwm
+       |  WHERE ${T.FwPassCondSql}),
+       |exmin AS MATERIALIZED (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM fwkeep GROUP BY 1),
+       |exdedup AS MATERIALIZED (SELECT f.doc_id, f.text FROM fwkeep f JOIN exmin m
+       |  ON md5(f.text) = m.h AND f.doc_id = m.keeper),
+       |${materialize(Dedup.candSql(Dedup.MaxBucket, "exdedup"))},
+       |jac AS MATERIALIZED (SELECT doc_a, doc_b,
+       |  ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT a AS src, b AS dst FROM edges
+       |          UNION
+       |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |cl AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |       FROM reach GROUP BY src),
+       |q AS MATERIALIZED (SELECT doc_id, ${T.QualityExprSql} AS quality FROM exdedup),
+       |rnk AS MATERIALIZED (SELECT cl.cluster_id, cl.doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |    ORDER BY q.quality DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN q USING (doc_id)),
+       |losers AS MATERIALIZED (SELECT doc_id FROM rnk WHERE rn > 1),
+       |neardup AS MATERIALIZED (SELECT e.doc_id, e.text FROM exdedup e ANTI JOIN losers l USING (doc_id)),
+       |${materialize(T.ccnetScoredCtesSql("neardup"))},
+       |ccnet AS MATERIALIZED (SELECT n.doc_id, n.text FROM neardup n JOIN scored s USING (doc_id)
+       |  CROSS JOIN cuts WHERE s.surprisal <= cuts.c2),
+       |finalout AS MATERIALIZED (SELECT doc_id FROM ccnet)
+       |SELECT * FROM (
+       |  $stageCounts
+       |) ORDER BY stage_idx""".stripMargin
+  }
+
+  /** Rewrite each top-level `name AS (` CTE head in a fragment to
+    * `name AS MATERIALIZED (` — the fragments are shared verbatim with
+    * entry oracles that don't need the hint, so it is applied here
+    * rather than baked into the shared text.
+    */
+  private def materialize(ctes: String): String =
+    ctes.replaceAll("(?m)^(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "d_web_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val p = graft.api.TrainingData.prepareWeb(
+          Tables(s, dir).documents, oracleHash = true)
+        p.stages.zipWithIndex
+          .map { case ((st, n), i) => (i, st, n) }
+          .toDF("stage_idx", "stage", "n_docs")
+          .orderBy("stage_idx")
+      },
+      Some(oracleSql),
+    ),
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.api.TrainingData
+import graft.operators.{TextAnalysis, WebPipeline}
+import org.apache.spark.sql.functions._
+
+/** api.TrainingData.prepareWeb / d_web_pipeline — the one-call
+  * WEB-corpus pipeline. Pins the attrition-accounting CONTRACT (stage
+  * order, monotonicity, every drop attributable to exactly one stage,
+  * set-level nesting), that the gate corpus actually exercises every
+  * dropping stage, the necessity of the Gopher stopword re-threshold,
+  * and the output frame's invariants. The cross-engine stage counts
+  * themselves are the driver gate's job (chained-CTE DuckDB oracle).
+  */
+class WebPipelineSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sfDir).documents
+  private lazy val prepared = TrainingData.prepareWeb(docs, oracleHash = true)
+  private lazy val byStage = prepared.stages.toMap
+
+  test("stage order matches the registry contract and counts are monotone") {
+    assert(prepared.stages.map(_._1) == WebPipeline.StageNames)
+    prepared.stages.sliding(2).foreach { case Seq((a, na), (b, nb)) =>
+      assert(na >= nb, s"$a=$na < $b=$nb")
+    }
+    assert(byStage("final") > 0, "pipeline must not zero the corpus")
+  }
+
+  test("every dropped doc is attributable to exactly one stage (drops telescope)") {
+    val drops = prepared.stages.sliding(2).map {
+      case Seq((_, na), (_, nb)) => na - nb
+    }.toSeq
+    assert(drops.sum == byStage("raw") - byStage("final"))
+    // stages are strictly nested filters, so per-stage drops are the
+    // full attribution: nothing is dropped twice, nothing silently
+    assert(drops.forall(_ >= 0))
+  }
+
+  test("the gate corpus exercises every dropping stage") {
+    def drop(a: String, b: String) = byStage(a) - byStage(b)
+    assert(drop("warc_fetch", "robots_gate") > 0, "robots gate idle")
+    assert(drop("robots_gate", "url_dedup") > 0, "url dedup idle")
+    assert(drop("url_dedup", "filter_gopher") > 0, "gopher idle")
+    assert(drop("filter_gopher", "filter_c4") > 0, "c4 idle")
+    assert(drop("filter_c4", "filter_fineweb") > 0, "fineweb idle")
+    assert(drop("exact_dedup", "neardup_keepbest") > 0, "near-dup keeper idle")
+    assert(drop("neardup_keepbest", "ccnet_keep") > 0, "ccnet cut idle")
+    // fetch and split/pack must drop NOTHING: every document round-trips
+    // the WARC chain, and packing only adds columns
+    assert(drop("raw", "warc_fetch") == 0)
+    assert(drop("ccnet_keep", "final") == 0)
+  }
+
+  test("output is set-nested in the input and duplicate-free on url and text") {
+    val out = prepared.corpus
+    assert(out.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+    val n = out.count()
+    assert(out.select("canon_url").distinct().count() == n)
+    assert(out.select(md5(col("text"))).distinct().count() == n)
+    // no surviving near-dup pair has both sides kept (same pair set the
+    // keeper stage acted on — the TrainingDataSpec convention)
+    val ids = out.select("doc_id")
+    assert(prepared.pairs
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+      .isEmpty)
+    assert(prepared.pairs.count() > 0, "testdata must exercise the keeper")
+  }
+
+  test("the Gopher stopword re-threshold is NECESSARY: the paper floor zeroes this corpus") {
+    // prepareWeb gates on stop_hits >= 1 instead of the published >= 2
+    // (documented divergence) — prove the corpus forces it: the
+    // extracted text passes ZERO documents under the full Gopher pass
+    val extracted = docs.select(col("doc_id"),
+      concat(concat_ws(" ",
+        filter(split(col("text"), " "), w => w =!= "")),
+        lit(" Tail & @ <end>")).as("text"))
+    assert(TextAnalysis.gopherRules(extracted).filter(col("pass")).isEmpty,
+      "corpus now passes the paper floor - restore stop_hits >= 2 in prepareWeb")
+    // ...and the re-thresholded gate keeps a nonzero, strict subset
+    assert(byStage("filter_gopher") > 0 &&
+      byStage("filter_gopher") < byStage("url_dedup"))
+  }
+
+  test("ccnet keeps exactly the head+middle terciles of the SURVIVOR corpus") {
+    // recompute buckets over the neardup survivors and compare sets
+    val survivors = prepared.corpus.select("doc_id", "text")
+    val buckets = TextAnalysis.ccnetBuckets(survivors)
+    // every kept doc is head or middle IN THE KEPT FRAME's own column
+    assert(prepared.corpus.filter(col("bucket") === "tail").isEmpty)
+    assert(prepared.corpus.select("bucket").distinct().count() == 2)
+    // and the carried surprisal column is the ccnet scalar of the text
+    val joined = prepared.corpus.select(col("doc_id"), col("n_tokens"))
+      .join(buckets.select(col("doc_id"), col("n_tokens").as("n2")), "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("n2")).isEmpty)
+  }
+
+  test("splits are disjoint+exhaustive and the packer respects the bin budget") {
+    val out = prepared.corpus
+    val bySplit = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum == byStage("final"))
+    // bins: only train rows carry one, and no bin exceeds budget +
+    // one overhanging doc (the running-total bin rule)
+    assert(out.filter(col("split") =!= "train" && col("bin").isNotNull).isEmpty)
+    val overfull = out.filter(col("split") === "train")
+      .groupBy("bin").agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .filter(col("t") - col("m") >= 2048)
+    assert(overfull.isEmpty, "a bin was already full before its last doc")
+  }
+
+  test("production-hash path (xxhash64) reproduces the oracle path's stage counts") {
+    // independent LSH samplings each have ~1-(1-j^r)^b recall, so pair
+    // SETS can differ in principle; on the gate corpus they agree
+    // (DedupLsh64Spec pins the raw pair parity) and so must every
+    // downstream stage count
+    val fast = TrainingData.prepareWeb(docs, oracleHash = false)
+    assert(fast.stages == prepared.stages)
+  }
+}
