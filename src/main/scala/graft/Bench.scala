@@ -12,13 +12,24 @@ object Bench {
     * vector top-k, plus the two newest scale mechanisms — the
     * band-join optimizer rewrite and the salted replicated join — so a
     * regression in either shows up as seconds, not only in plan specs.
+    *
+    * The set was FROZEN from r6 through r11; r12 adds the two surfaces
+    * where most new code lands and regressions were previously
+    * invisible between rounds: the full LLM web-corpus composite
+    * (d_web_pipeline — WARC → robots/URL → filter battery → dedup with
+    * keep-best → ccnet → split/pack) and a real media decode
+    * (m_jpeg_pixels). Cross-round totals compare on `legacy_total`
+    * (the frozen 11-query subset); `value` covers the full set.
     */
-  val Headline: Seq[String] = Seq(
+  val LegacyHeadline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_daily_volume", "q_org_compliance", "q_sessionize",
     "d_minhash_lsh", "d_minhash_lsh_fast", "s_cosine_topk",
     "q_band_join_auto", "q_skew_join_salted",
   )
+
+  val Headline: Seq[String] =
+    LegacyHeadline ++ Seq("d_web_pipeline", "m_jpeg_pixels")
 
   /** Single-thread CPU canary: a fixed, data-independent integer-mix
     * loop (xxhash-style avalanche over 1 << 22 iterations) timed on one
@@ -120,6 +131,11 @@ object Bench {
     val qs = dict(_._2._1)
     val medians = dict(_._2._2)
     val total = results.map(_._2._1).sum
+    // the r6-frozen subset's total — the cross-round comparison number
+    // (r12 widened the set; a new query must not read as a regression)
+    val legacyTotal = results.collect {
+      case (n, (mn, _)) if LegacyHeadline.contains(n) => mn
+    }.sum
     // Machine-load context: recorded r02/r03 totals swung 2-4× purely
     // with co-tenant load average, so the artifact carries the load at
     // every pass start to make a loaded run self-diagnosing.
@@ -132,7 +148,7 @@ object Bench {
     val stealPct =
       if (total1 > total0) f"${100.0 * (steal1 - steal0) / (total1 - total0)}%.2f"
       else "-1"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"sf":"$sfDir","passes":$p,"pass_loads":"${passLoads.map(l => f"$l%.1f").mkString(",")}","loadavg":"$loadAvg","cpus":$nCpu,"canary_sec":$canary,"steal_pct":$stealPct}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacyTotal,"queries":$qs,"medians":$medians,"sf":"$sfDir","passes":$p,"pass_loads":"${passLoads.map(l => f"$l%.1f").mkString(",")}","loadavg":"$loadAvg","cpus":$nCpu,"canary_sec":$canary,"steal_pct":$stealPct}"""
     spark.stop()
     // Driver-parseable channels, most robust first: a file in the repo
     // root, then bare stdout lines (raw via run/outputStrategy, printed

@@ -58,6 +58,16 @@ object ScaleDemo {
     "q11_important_value", "q20_excess_shippers", "q22_inactive_customers",
     "d_link_authority")
 
+  /** Variant cells: a registry query re-measured under a session-conf
+    * override — the conf-selectable at-scale arm of an operator gets
+    * its own named artifact row in scale_result.jsonl instead of
+    * silently overwriting the base cell. Resolution: variant name →
+    * (registry name, conf key, conf value).
+    */
+  val Variants: Map[String, (String, String, String)] = Map(
+    "t_ccnet_buckets_approx" ->
+      (("t_ccnet_buckets", "spark.graft.ccnet.approxCuts", "true")))
+
   /** Content fingerprint of the base corpus: path plus (size, mtime) of
     * every file under the three source tables. A path-only marker proved
     * insufficient — the driver regenerates testdata IN PLACE, so the same
@@ -175,7 +185,9 @@ object ScaleDemo {
     // on the first measured cell and makes 1× read slower than 10×
     locally {
       val dir = generate(spark, base, workRoot, 1)
-      for (q <- queryNames) { queries(q)(spark, dir).count(); () }
+      for (q <- queryNames) {
+        queries(Variants.get(q).map(_._1).getOrElse(q))(spark, dir).count(); ()
+      }
       spark.catalog.clearCache()
     }
     for (k <- scales) {
@@ -187,8 +199,14 @@ object ScaleDemo {
         // heavy lifting to warm cache and report decreasing times at
         // increasing scale
         spark.catalog.clearCache()
+        // variant cells run the underlying registry query with their
+        // conf set; the conf is restored so later cells see the default
+        val (regName, confOverride) = Variants.get(q)
+          .map { case (r, ck, cv) => (r, Some(ck -> cv)) }
+          .getOrElse((q, None))
+        confOverride.foreach { case (ck, cv) => spark.conf.set(ck, cv) }
         val t0 = System.nanoTime()
-        val df = queries(q)(spark, dir)
+        val df = queries(regName)(spark, dir)
         // count() on a PROJECTION-ONLY plan (no filter/join/agg between
         // scan and sink) collapses to parquet footer count-star and
         // never evaluates the projected expressions — a 100× cell then
@@ -199,7 +217,7 @@ object ScaleDemo {
         // stays the cheaper, historically-comparable window.
         val forced = Set("t_c4_rules", "t_gopher_rules", "t_fineweb_rules")
         val rows =
-          if (forced(q)) {
+          if (forced(regName)) {
             import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
             val n = df.count()
             // bit_xor, not sum: ANSI mode overflows Long on summed hashes
@@ -210,7 +228,8 @@ object ScaleDemo {
         val sec = (System.nanoTime() - t0) / 1e9
         val plan = df.queryExecution.executedPlan.toString
         val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
-        val degraded = nested && !IntendedNested(q)
+        val degraded = nested && !IntendedNested(regName)
+        confOverride.foreach { case (ck, _) => spark.conf.unset(ck) }
         val line =
           s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested,"degraded":$degraded}"""
         println(s"GRAFT_SCALE_JSON $line")

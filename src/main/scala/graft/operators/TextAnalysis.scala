@@ -17,6 +17,13 @@ object TextAnalysis extends QueryModule {
 
   private val Stop = "('the','a','of','and','to','in','is','it')"
 
+  /** GK-sketch accuracy for the ccnet approx-cut arm: rank error
+    * ≤ n/accuracy, so tercile cuts land within 0.01% of corpus rank —
+    * far inside the head/middle/tail boundaries' natural fuzz — at a
+    * fixed ~accuracy-sized sketch per partial aggregate.
+    */
+  private[graft] val CcnetSketchAccuracy = 10000
+
   /** The t_quality_score scalar, reused by the global-threshold filter:
     * length-capped token share + stopword ratio + alpha density, rounded
     * to 4dp so both engines compare identical doubles.
@@ -552,8 +559,21 @@ object TextAnalysis extends QueryModule {
 
   /** CCNet's head/middle/tail scoring + partition (see the
     * t_ccnet_buckets registry entry for the paper mapping and the
-    * <=-stability argument): unigram-surprisal scoring, exact tercile
-    * cuts as a 1-row broadcast, low surprisal = head.
+    * <=-stability argument): unigram-surprisal scoring, tercile cuts as
+    * a 1-row broadcast, low surprisal = head.
+    *
+    * Cut computation is conf-selectable
+    * (`spark.graft.ccnet.approxCuts`, default false): the exact
+    * `percentile` buffers EVERY per-doc surprisal in the aggregation
+    * state — fine at gate SF, a driver/executor memory wall at 100 TB
+    * corpus cardinality — while `approx_percentile` keeps a bounded
+    * GK sketch with rank error ≤ n/accuracy, the shape that survives
+    * any corpus size. The plan is otherwise unchanged (same single
+    * aggregate to one row, same broadcast back). Semantics diverge
+    * only at the cut VALUES: exact interpolates between order
+    * statistics, the sketch returns an actual sample within the rank
+    * bound — CcnetApproxCutsSpec pins the agreement on the gate
+    * corpus. The oracle entry stays on the exact path.
     */
   private[graft] def ccnetBuckets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -566,9 +586,17 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n_tokens"),
            round(sum(-log2(col("c").cast("double") / col("n_total").cast("double")))
              / count(lit(1)), 4).as("surprisal"))
-    val cuts = scored.agg(
-      expr("percentile(surprisal, 1.0D/3)").as("c1"),
-      expr("percentile(surprisal, 2.0D/3)").as("c2"))
+    val approx = docs.sparkSession.conf
+      .getOption("spark.graft.ccnet.approxCuts").exists(_.toBoolean)
+    val cuts =
+      if (approx)
+        scored.agg(expr(
+            s"approx_percentile(surprisal, array(1.0D/3, 2.0D/3), $CcnetSketchAccuracy)")
+            .as("cs"))
+          .select(col("cs").getItem(0).as("c1"), col("cs").getItem(1).as("c2"))
+      else scored.agg(
+        expr("percentile(surprisal, 1.0D/3)").as("c1"),
+        expr("percentile(surprisal, 2.0D/3)").as("c2"))
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_tokens"), col("surprisal"),
         round(col("c1"), 4).as("cut_head"),
