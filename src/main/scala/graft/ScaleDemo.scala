@@ -54,7 +54,7 @@ object ScaleDemo {
     // model totals) — the same scalar-threshold shapes PlanAuditSpec
     // allowlists; bounded at any scale by construction
     "t_unigram_surprisal", "t_bigram_surprisal", "t_dsir_weight",
-    "t_dsir_sample", "t_ccnet_buckets",
+    "t_dsir_sample", "t_ccnet_buckets", "t_wimbd_stats",
     "q11_important_value", "q20_excess_shippers", "q22_inactive_customers",
     "d_link_authority")
 
@@ -67,6 +67,23 @@ object ScaleDemo {
   val Variants: Map[String, (String, String, String)] = Map(
     "t_ccnet_buckets_approx" ->
       (("t_ccnet_buckets", "spark.graft.ccnet.approxCuts", "true")))
+
+  /** Custom cells: production compositions with no registry entry of
+    * their own (their correctness lives in a parity spec, not an
+    * oracle) whose at-scale cost still belongs in the artifact.
+    * d_keep_best_fast = the keep-best keeper over the xxhash64
+    * production LSH path (DedupKeepBest64Spec pins keeper-set parity
+    * with the oracled md5 entry).
+    */
+  val CustomCells: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_keep_best_fast" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.api.DedupPipeline.dedupKeepBest(
+        docs,
+        graft.operators.Dedup.minhashLsh64(docs.select(col("doc_id"), col("text"))),
+        docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityCol.as("quality")))
+    }))
 
   /** Content fingerprint of the base corpus: path plus (size, mtime) of
     * every file under the three source tables. A path-only marker proved
@@ -186,7 +203,8 @@ object ScaleDemo {
     locally {
       val dir = generate(spark, base, workRoot, 1)
       for (q <- queryNames) {
-        queries(Variants.get(q).map(_._1).getOrElse(q))(spark, dir).count(); ()
+        CustomCells.getOrElse(q,
+          queries(Variants.get(q).map(_._1).getOrElse(q)))(spark, dir).count(); ()
       }
       spark.catalog.clearCache()
     }
@@ -206,7 +224,7 @@ object ScaleDemo {
           .getOrElse((q, None))
         confOverride.foreach { case (ck, cv) => spark.conf.set(ck, cv) }
         val t0 = System.nanoTime()
-        val df = queries(regName)(spark, dir)
+        val df = CustomCells.getOrElse(regName, queries(regName))(spark, dir)
         // count() on a PROJECTION-ONLY plan (no filter/join/agg between
         // scan and sink) collapses to parquet footer count-star and
         // never evaluates the projected expressions — a 100× cell then

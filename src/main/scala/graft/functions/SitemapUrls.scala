@@ -1,0 +1,71 @@
+package graft.functions
+
+/** sitemaps.org protocol parser — the crawl front door's URL
+  * DISCOVERY channel, completing the gate chain robots.txt decides
+  * (functions.RobotsRules) and URL canonicalization keys
+  * (functions.UrlCanonical). Structure per the public protocol
+  * (sitemaps.org/protocol.html):
+  *
+  *   - a `<urlset>` document carries `<url>` entries: required
+  *     `<loc>`, optional `<lastmod>` (W3C datetime — date-only or
+  *     full timestamp), `<changefreq>` (closed vocabulary), and
+  *     `<priority>` (0.0–1.0, protocol default 0.5);
+  *   - a `<sitemapindex>` document carries `<sitemap>` entries
+  *     (`<loc>` + optional `<lastmod>`) pointing at child sitemaps;
+  *   - per the protocol's limits, a sitemap may carry at most 50,000
+  *     entries; parse refuses beyond that rather than truncating.
+  *
+  * Parse is total: None on malformed XML, a root element that is
+  * neither urlset nor sitemapindex, or a url entry missing `<loc>`.
+  * Out-of-vocabulary changefreq and out-of-range priority are
+  * DROPPED to the protocol defaults (the documented consumer
+  * leniency — Google's parsers ignore invalid optional fields), not
+  * refused: optional-field junk must not cost a site its crawl.
+  * lastmod keeps its raw W3C string; interpretation is the caller's
+  * (crawl schedulers compare lexicographically within one format).
+  */
+object SitemapUrls {
+
+  final case class Entry(loc: String, lastmod: Option[String],
+                         changefreq: String, priority: Double)
+
+  final case class Sitemap(isIndex: Boolean, entries: Seq[Entry])
+
+  private val ChangefreqVocab = Set(
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
+  val MaxEntries = 50000
+
+  def parse(xml: String): Option[Sitemap] = {
+    val root =
+      try scala.xml.XML.loadString(xml)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    root.label match {
+      case "urlset" =>
+        val urls = root \ "url"
+        if (urls.length > MaxEntries) return None
+        val entries = urls.map { u =>
+          val loc = (u \ "loc").text.trim
+          if (loc.isEmpty) return None
+          val lastmod = Some((u \ "lastmod").text.trim).filter(_.nonEmpty)
+          val cf = (u \ "changefreq").text.trim.toLowerCase
+          val prio = (u \ "priority").text.trim.toDoubleOption
+            .filter(p => p >= 0.0 && p <= 1.0)
+          Entry(loc, lastmod,
+            if (ChangefreqVocab(cf)) cf else "",
+            prio.getOrElse(0.5))
+        }
+        Some(Sitemap(isIndex = false, entries))
+      case "sitemapindex" =>
+        val maps = root \ "sitemap"
+        if (maps.length > MaxEntries) return None
+        val entries = maps.map { m =>
+          val loc = (m \ "loc").text.trim
+          if (loc.isEmpty) return None
+          Entry(loc, Some((m \ "lastmod").text.trim).filter(_.nonEmpty), "", 0.5)
+        }
+        Some(Sitemap(isIndex = true, entries))
+      case _ => None
+    }
+  }
+}

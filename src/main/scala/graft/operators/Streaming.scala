@@ -402,6 +402,50 @@ object Streaming extends QueryModule {
       },
       Some(s"${graft.operators.TextAnalysis.DsirWeightSqlCore}\nORDER BY doc_id"),
     ),
+    // streaming CCNet scoring — the dsirScore deployment split applied
+    // to the quality partition: hashed-bucket counts + tercile cuts fit
+    // OFFLINE (CCNet scores with a fixed LM; the bounded hashed table
+    // is that shape), every arriving document scores and buckets
+    // statelessly against the literals. The oracle recomputes the
+    // hashed model, per-doc surprisal, and cuts independently, so the
+    // STREAM output is itself hash-gated.
+    QueryDef(
+      "st_ccnet_score",
+      (s, dir) => {
+        val name = s"st_ccnet_${System.nanoTime()}"
+        val docs = Tables(s, dir).documents
+        val (counts, total) = graft.operators.TextAnalysis.ccnetHashedModel(docs)
+        val cuts = graft.streaming.CorpusStreaming
+          .ccnetHashedSurprisal(docs, counts, total)
+          .agg(expr("percentile(surprisal, 1.0D/3)"),
+               expr("percentile(surprisal, 2.0D/3)")).head()
+        val q = graft.streaming.CorpusStreaming
+          .ccnetScore(graft.streaming.CorpusStreaming.readDocumentStream(s, dir),
+            counts, total, cuts.getDouble(0), cuts.getDouble(1))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_ccnet_score timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+             |  FROM documents),
+             |b AS (SELECT doc_id, substring(md5(term), 1, 3) AS b FROM tk),
+             |cnt AS (SELECT b, COUNT(*) AS c FROM b GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+             |scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  ROUND(SUM(-log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) / COUNT(*), 4) AS surprisal
+             |  FROM b JOIN cnt USING (b) CROSS JOIN tot GROUP BY doc_id),
+             |cuts AS (SELECT quantile_cont(surprisal, 1.0/3) AS c1,
+             |  quantile_cont(surprisal, 2.0/3) AS c2 FROM scored)
+             |SELECT doc_id, n_tokens, surprisal,
+             |ROUND(c1, 4) AS cut_head, ROUND(c2, 4) AS cut_tail,
+             |CASE WHEN surprisal <= c1 THEN 'head'
+             |     WHEN surprisal <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+             |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin),
+    ),
     // streaming Gopher quality rules: arriving documents score as a
     // stateless per-row map (the literal batch t_gopher_rules
     // projection — shared code, no state store, no watermark),

@@ -557,6 +557,92 @@ object TextAnalysis extends QueryModule {
       |doc_id % 5 = 0 AS had_fragment
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Sitemap discovery over synthetic sitemaps.org fixtures — the REAL
+    * protocol parse path (functions.SitemapUrls) driven end to end per
+    * document: every 7th doc gets a `<sitemapindex>` (1–3 child maps,
+    * alternating lastmod), the rest a `<urlset>` (1–4 urls) whose
+    * entries cycle every protocol arm — absent / valid / INVALID
+    * changefreq (dropped to the default, not refused), in-range /
+    * out-of-range priority (clamped to the 0.5 default), absent /
+    * date-only / full-timestamp W3C lastmod — while the oracle
+    * recomputes every field closed-form from doc_id. A parser that
+    * refuses junk optional fields, mis-defaults, or loses the
+    * index/urlset distinction reds out. Stateless per-row flatMap.
+    */
+  private[graft] def sitemapUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val Vocab = Seq("always", "hourly", "daily", "weekly", "monthly", "yearly")
+    docs.select(col("doc_id")).as[Long].flatMap { d =>
+      val isIndex = d % 7 == 0
+      val n = (if (isIndex) d % 3 + 1 else d % 4 + 1).toInt
+      val xml = new StringBuilder
+      if (isIndex) {
+        xml.append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">")
+        for (i <- 0 until n) {
+          xml.append(s"<sitemap><loc> https://site${d % 5}.test/maps/$i.xml </loc>")
+          if ((d + i) % 2 == 0) xml.append(s"<lastmod>2025-0${(d + i) % 9 + 1}-15</lastmod>")
+          xml.append("</sitemap>")
+        }
+        xml.append("</sitemapindex>")
+      } else {
+        xml.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">")
+        for (i <- 0 until n) {
+          xml.append(s"<url><loc>https://site${d % 5}.test/page/$d/$i</loc>")
+          if ((d + i) % 3 != 0)
+            xml.append(if ((d + i) % 2 == 0) s"<lastmod>2025-04-0${(d + i) % 9 + 1}</lastmod>"
+                       else s"<lastmod>2025-04-0${(d + i) % 9 + 1}T08:30:0${(d + i) % 10}+00:00</lastmod>")
+          ((d + i) % 8).toInt match {
+            case 0 => // changefreq absent
+            case 7 => xml.append("<changefreq>sometimes</changefreq>") // invalid
+            case k => xml.append(s"<changefreq>${Vocab(k - 1)}</changefreq>")
+          }
+          if ((d + i) % 13 == 0) xml.append("<priority>1.5</priority>") // out of range
+          else xml.append(s"<priority>0.${(d + i) % 10}</priority>")
+          xml.append("</url>")
+        }
+        xml.append("</urlset>")
+      }
+      val sm = graft.functions.SitemapUrls.parse(xml.toString).get
+      sm.entries.zipWithIndex.map { case (e, i) =>
+        (d, sm.isIndex, i, e.loc, e.lastmod, e.changefreq, e.priority)
+      }
+    }.toDF("doc_id", "is_index", "entry_i", "loc", "lastmod", "changefreq", "priority")
+  }
+
+  private[graft] val SitemapUrlsSql: String =
+    """WITH n AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN doc_id % 3 + 1 ELSE doc_id % 4 + 1 END AS n
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM n)
+      |SELECT doc_id, doc_id % 7 = 0 AS is_index, CAST(i AS INT) AS entry_i,
+      |CASE WHEN doc_id % 7 = 0
+      |  THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.test/maps/' || CAST(i AS VARCHAR) || '.xml'
+      |  ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.test/page/' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+      |END AS loc,
+      |CASE WHEN doc_id % 7 = 0 THEN
+      |  CASE WHEN (doc_id + i) % 2 = 0
+      |    THEN '2025-0' || CAST((doc_id + i) % 9 + 1 AS VARCHAR) || '-15' END
+      |ELSE
+      |  CASE WHEN (doc_id + i) % 3 <> 0 THEN
+      |    CASE WHEN (doc_id + i) % 2 = 0
+      |      THEN '2025-04-0' || CAST((doc_id + i) % 9 + 1 AS VARCHAR)
+      |      ELSE '2025-04-0' || CAST((doc_id + i) % 9 + 1 AS VARCHAR)
+      |        || 'T08:30:0' || CAST((doc_id + i) % 10 AS VARCHAR) || '+00:00' END
+      |  END
+      |END AS lastmod,
+      |CASE WHEN doc_id % 7 = 0 THEN ''
+      |  ELSE CASE CAST((doc_id + i) % 8 AS INT)
+      |    WHEN 0 THEN '' WHEN 7 THEN ''
+      |    WHEN 1 THEN 'always' WHEN 2 THEN 'hourly' WHEN 3 THEN 'daily'
+      |    WHEN 4 THEN 'weekly' WHEN 5 THEN 'monthly' ELSE 'yearly' END
+      |END AS changefreq,
+      |CASE WHEN doc_id % 7 = 0 THEN 0.5
+      |  WHEN (doc_id + i) % 13 = 0 THEN 0.5
+      |  ELSE CAST((doc_id + i) % 10 AS DOUBLE) / 10.0
+      |END AS priority
+      |FROM e ORDER BY doc_id, entry_i""".stripMargin
+
   /** CCNet's head/middle/tail scoring + partition (see the
     * t_ccnet_buckets registry entry for the paper mapping and the
     * <=-stability argument): unigram-surprisal scoring, tercile cuts as
@@ -624,6 +710,49 @@ object TextAnalysis extends QueryModule {
        |  GROUP BY doc_id),
        |cuts AS (SELECT quantile_cont(surprisal, 1.0/3) AS c1,
        |  quantile_cont(surprisal, 2.0/3) AS c2 FROM scored)""".stripMargin
+
+  /** WIMBD-style corpus profile (t_wimbd_stats) — shared by the
+    * registry entry and WimbdStatsSpec's hand-checked crafted corpus
+    * so the spec cannot drift from the gate.
+    */
+  private[graft] def wimbdStats(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+    val termAgg = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val top = termAgg.orderBy(desc("c"), asc("term")).limit(1)
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    val tokStats = perDoc.agg(
+      sum("n_tokens").as("total_tokens"),
+      round(avg(col("n_tokens")), 4).as("mean_tokens"),
+      round(expr("percentile(n_tokens, 0.5D)"), 4).as("p50_tokens"),
+      round(expr("percentile(n_tokens, 0.9D)"), 4).as("p90_tokens"))
+    val vocab = termAgg.agg(count(lit(1)).as("vocab_size"), sum("c").as("vsum"))
+    base.crossJoin(tokStats).crossJoin(vocab).crossJoin(top)
+      .select(col("n_docs"), col("n_distinct_texts"), col("total_tokens"),
+        col("mean_tokens"), col("p50_tokens"), col("p90_tokens"),
+        col("vocab_size"), col("term").as("top_term"),
+        round(col("c").cast("double") / col("vsum"), 4).as("top_term_share"))
+  }
+
+  /** Offline-fit hashed CCNet scorer model: per-md5-bucket token
+    * counts (4096 slots, the dsirModelLogRatios convention) plus the
+    * corpus token total — the bounded stand-in for the exact term
+    * table a STREAMING scorer cannot hold (CCNet itself scores with a
+    * fixed offline LM; the hashed-bucket table is that shape). 4096
+    * longs + 1 — a fixed 32 KB model pull, not data movement.
+    */
+  private[graft] def ccnetHashedModel(d: org.apache.spark.sql.DataFrame): (Array[Long], Long) = {
+    val rows = d.select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+      .select(expr("substring(md5(term), 1, 3)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect()
+    val counts = new Array[Long](4096)
+    rows.foreach(r => counts(Integer.parseInt(r.getString(0), 16)) = r.getLong(1))
+    (counts, counts.sum)
+  }
 
   /** Sliding-window chunk projection shared by batch (t_chunk_overlap)
     * and streaming (st_chunk_overlap): 256-char windows at 192-char
@@ -1419,6 +1548,49 @@ object TextAnalysis extends QueryModule {
       "t_robots_rules",
       (s, dir) => robotsDecisions(Tables(s, dir).documents).orderBy("doc_id"),
       Some(RobotsRulesSql),
+    ),
+    // sitemaps.org URL discovery — the crawl front door's THIRD leg
+    // (robots decides, sitemaps discover, canonicalization keys),
+    // through the real protocol parser; closed-form oracled (see
+    // sitemapUrls scaladoc)
+    QueryDef(
+      "t_sitemap_urls",
+      (s, dir) => sitemapUrls(Tables(s, dir).documents).orderBy("doc_id", "entry_i"),
+      Some(SitemapUrlsSql),
+    ),
+    // WIMBD-style corpus profile (Elazar et al. 2024, "What's In My
+    // Big Data?" — the pre-training corpus audit every pipeline runs
+    // before committing compute): one row of corpus-level facts —
+    // doc/distinct-text counts (the exact-dup rate), token totals,
+    // mean/median/p90 document length, vocabulary size, and the most
+    // frequent term with its corpus share. Scale shape: two hash
+    // aggregates (per-term and per-doc, both map-side combined), four
+    // 1-row frames crossJoined at the end (broadcast nested loops of
+    // single rows — the TPC-H scalar-threshold shape); the top-term
+    // pick is a TakeOrdered(1), never a full sort. round(4) on every
+    // derived double; percentiles round both sides so engine
+    // interpolation-formula ulps can't red the gate.
+    QueryDef(
+      "t_wimbd_stats",
+      (s, dir) => wimbdStats(Tables(s, dir).documents),
+      Some("""WITH tk AS (SELECT doc_id,
+             |  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+             |  FROM documents),
+             |ta AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY 1),
+             |top AS (SELECT term, c FROM ta ORDER BY c DESC, term LIMIT 1),
+             |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+             |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts FROM documents),
+             |ts AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  ROUND(AVG(n_tokens), 4) AS mean_tokens,
+             |  ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+             |  ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens FROM pd),
+             |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             |  CAST(SUM(c) AS BIGINT) AS vsum FROM ta)
+             |SELECT n_docs, n_distinct_texts, total_tokens, mean_tokens,
+             |p50_tokens, p90_tokens, vocab_size, term AS top_term,
+             |ROUND(CAST(c AS DOUBLE) / vsum, 4) AS top_term_share
+             |FROM b CROSS JOIN ts CROSS JOIN v CROSS JOIN top""".stripMargin),
     ),
     QueryDef(
       "t_ccnet_buckets",

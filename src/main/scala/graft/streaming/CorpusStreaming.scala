@@ -162,4 +162,41 @@ object CorpusStreaming {
           |    CAST(conv(substring(md5(t), 1, 3), 16, 10) AS INT) + 1)),
           |4) AS logw_bits""".stripMargin)
       .filter(col("n_tokens") > 0)
+
+  /** Streaming CCNet scoring — the dsirScore deployment split applied
+    * to CCNet's quality partition (Wenzek et al. 2020 score with a
+    * FIXED offline LM — a bounded model by construction, which is what
+    * makes the streaming arm honest): the hashed-bucket token counts +
+    * total (TextAnalysis.ccnetHashedModel) and the two tercile cuts
+    * (fit offline over the same scored snapshot) ride the plan as
+    * LITERALS, so every arriving document scores and buckets
+    * statelessly — no join, no aggregation state, no watermark. Emits
+    * (doc_id, n_tokens, surprisal, cut_head, cut_tail, bucket), the
+    * t_ccnet_buckets frame shape on the hashed model; zero-token docs
+    * drop as in dsirScore. The same projection serves BATCH cut
+    * fitting (it is plain DataFrame ops), so stream rows equal batch
+    * rows by construction.
+    */
+  def ccnetHashedSurprisal(docs: DataFrame, counts: Array[Long], total: Long): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        typedlit(counts.toSeq).as("cnt_tab"))
+      .selectExpr("doc_id", "cnt_tab",
+        "filter(split(text, ' '), t -> t <> '') AS toks")
+      .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS n_tokens",
+        s"""round(aggregate(toks, CAST(0.0 AS DOUBLE), (acc, t) ->
+           |  acc + -log2(CAST(element_at(cnt_tab,
+           |    CAST(conv(substring(md5(t), 1, 3), 16, 10) AS INT) + 1) AS DOUBLE)
+           |    / CAST(${total}L AS DOUBLE)))
+           |  / size(toks), 4) AS surprisal""".stripMargin)
+      .filter(col("n_tokens") > 0)
+
+  def ccnetScore(docs: DataFrame, counts: Array[Long], total: Long,
+                 cutHead: Double, cutTail: Double): DataFrame =
+    ccnetHashedSurprisal(docs, counts, total)
+      .select(col("doc_id"), col("n_tokens"), col("surprisal"),
+        round(lit(cutHead), 4).as("cut_head"),
+        round(lit(cutTail), 4).as("cut_tail"),
+        when(col("surprisal") <= cutHead, "head")
+          .when(col("surprisal") <= cutTail, "middle")
+          .otherwise("tail").as("bucket"))
 }

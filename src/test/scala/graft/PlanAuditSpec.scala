@@ -162,7 +162,10 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row model-totals broadcast onto the token frame (DSIR)
       "t_dsir_weight", "t_dsir_sample",
       // 1-row node-count broadcast seeding the PageRank iteration
-      "d_link_authority")
+      "d_link_authority",
+      // four 1-row summary frames crossJoined into the corpus-profile
+      // row (the TPC-H scalar-threshold shape, bounded at any scale)
+      "t_wimbd_stats")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed).filterNot(streamingEntries).filterNot(eagerComposites)
     val offenders = sweepPlans(names).collect {
