@@ -635,6 +635,27 @@ object Streaming extends QueryModule {
       },
       Some(s"${graft.operators.TextAnalysis.UrlCanonicalizeSql}"),
     ),
+    // sitemaps.org parsing on the document STREAM: the batch
+    // t_sitemap_urls typed flatMap (shared code, stateless per-row, no
+    // state store, no watermark) discovering frontier URLs the moment
+    // a sitemap arrives, hash-gated to the batch entry's own
+    // closed-form oracle — the third crawl-gate stream twin beside
+    // st_robots_rules and st_url_canonicalize
+    QueryDef(
+      "st_sitemap_urls",
+      (s, dir) => {
+        val name = s"st_smap_${System.nanoTime()}"
+        val q = graft.operators.TextAnalysis
+          .sitemapUrls(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_sitemap_urls timed out")
+        s.table(name).orderBy("doc_id", "entry_i")
+      },
+      Some(s"${graft.operators.TextAnalysis.SitemapUrlsSql}"),
+    ),
     // continuous STILL-IMAGE intake: the m_tiff_pixels IFD walk applied
     // statelessly to .tiff files arriving in a MediaIntake drop
     // directory, carrying the batch entry's own closed-form oracle

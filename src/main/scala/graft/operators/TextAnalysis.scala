@@ -711,6 +711,179 @@ object TextAnalysis extends QueryModule {
        |cuts AS (SELECT quantile_cont(surprisal, 1.0/3) AS c1,
        |  quantile_cont(surprisal, 2.0/3) AS c2 FROM scored)""".stripMargin
 
+  /** One scored document of [[gopherRepetition]]. */
+  private[graft] final case class GopherRep(
+      doc_id: Long, n_tokens: Long, total_chars: Long,
+      top2_frac: Double, top3_frac: Double, top4_frac: Double,
+      dup5_frac: Double, dup6_frac: Double, dup7_frac: Double,
+      dup8_frac: Double, dup9_frac: Double, dup10_frac: Double)
+
+  /** Gopher's repetition-removal battery (Rae et al. 2021, Table A1 /
+    * Appendix A1.2 — the word-n-gram half; the line/paragraph half
+    * needs multi-line text and lives in t_fineweb_rules' duplicate-line
+    * rule and d_line_dedup):
+    *
+    *   - for n ∈ {2,3,4}: the fraction of characters contained in the
+    *     MOST FREQUENT n-gram — count × gram token-chars / total
+    *     token-chars (spaces uncounted on both sides; ties broken to
+    *     the lexicographically smallest gram, which cannot change the
+    *     fraction and makes the pick deterministic);
+    *   - for n ∈ {5..10}: the fraction of characters contained in
+    *     DUPLICATED n-grams — a token's characters count once if ANY
+    *     occurrence of ANY duplicated n-gram covers its position
+    *     (position marking, not count×len: overlapping duplicates must
+    *     not double-count, the published implementation's semantics).
+    *
+    * Thresholds (paper Table A1) apply to the 4dp-ROUNDED fraction in
+    * both engines (the ratios are divisions of exact BIGINTs, so the
+    * rounded doubles are bit-identical cross-engine): top {0.20, 0.18,
+    * 0.16}, dup {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}.
+    *
+    * Shape: the scan is a typed mapPartitions — per-doc hash-count +
+    * position-mark loops, O(tokens·n) work that interpreted SQL
+    * lambdas would pay ~10× for (the d_winnow_dedup lesson) — so the
+    * operator is row-local and partitions embarrassingly; the oracle
+    * recomputes everything SET-BASED (unnest → group → range join),
+    * which is the cheap formulation for a single-node gate but would
+    * shuffle the corpus nine times at scale.
+    */
+  private[graft] def gopherRepetition(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          val m = toks.length
+          val totalChars = toks.iterator.map(_.length.toLong).sum
+          val denom = math.max(totalChars, 1L).toDouble
+          def grams(n: Int): Array[String] =
+            if (m < n) Array.empty
+            else Array.tabulate(m - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+          def counts(gs: Array[String]): java.util.HashMap[String, Int] = {
+            val c = new java.util.HashMap[String, Int](gs.length * 2)
+            gs.foreach(g => c.merge(g, 1, Integer.sum))
+            c
+          }
+          def topFrac(n: Int): Double = {
+            val gs = grams(n)
+            if (gs.isEmpty) 0.0
+            else {
+              val c = counts(gs)
+              var bestG: String = null
+              var bestC = 0
+              c.forEach { (g, k) =>
+                if (k > bestC || (k == bestC && g < bestG)) { bestG = g; bestC = k }
+              }
+              val gchars = (bestG.length - (n - 1)).toLong
+              bestC.toLong * gchars / denom
+            }
+          }
+          def dupFrac(n: Int): Double = {
+            val gs = grams(n)
+            if (gs.isEmpty) 0.0
+            else {
+              val c = counts(gs)
+              val marked = new Array[Boolean](m)
+              var i = 0
+              while (i < gs.length) {
+                if (c.get(gs(i)) > 1) {
+                  var j = i
+                  while (j < i + n) { marked(j) = true; j += 1 }
+                }
+                i += 1
+              }
+              var dchars = 0L
+              var j = 0
+              while (j < m) { if (marked(j)) dchars += toks(j).length; j += 1 }
+              dchars / denom
+            }
+          }
+          GopherRep(id, m.toLong, totalChars,
+            topFrac(2), topFrac(3), topFrac(4),
+            dupFrac(5), dupFrac(6), dupFrac(7),
+            dupFrac(8), dupFrac(9), dupFrac(10))
+        }
+      }
+      .toDF()
+      .select(
+        Seq(col("doc_id"), col("n_tokens"), col("total_chars")) ++
+          GopherRepCols.map { case (c, _) => round(col(c), 4).as(c) } ++
+          GopherRepCols.map { case (c, thr) =>
+            (round(col(c), 4) <= thr).as(s"pass_${c.stripSuffix("_frac")}")
+          } :+
+          GopherRepCols.map { case (c, thr) => round(col(c), 4) <= thr }
+            .reduce(_ && _).as("pass"): _*)
+  }
+
+  /** (column, paper threshold) for each A1.2 word-n-gram rule. */
+  private[graft] val GopherRepCols: Seq[(String, Double)] = Seq(
+    "top2_frac" -> 0.20, "top3_frac" -> 0.18, "top4_frac" -> 0.16,
+    "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
+    "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
+
+  /** DuckDB twin of [[gopherRepetition]] — SET-BASED (unnest → count →
+    * argmax window → position-marking range join), the cheap
+    * single-node formulation of the same semantics; generated from
+    * [[GopherRepCols]] so thresholds cannot drift from the Spark side.
+    */
+  private[graft] val GopherRepetitionSql: String = {
+    def frac(col: String) =
+      s"ROUND(CAST(COALESCE($col, 0) AS DOUBLE) / GREATEST(b.total_chars, 1), 4)"
+    val tp = Seq(2, 3, 4).map(n =>
+      s"MAX(CASE WHEN n = $n THEN cnt * gchars END) AS t$n").mkString(",\n  ")
+    val dp = (5 to 10).map(n =>
+      s"MAX(CASE WHEN n = $n THEN dchars END) AS d$n").mkString(",\n  ")
+    val fracCols = GopherRepCols.map { case (c, _) =>
+      val src = if (c.startsWith("top")) s"t${c(3)}" else s"d${c.drop(3).stripSuffix("_frac")}"
+      s"${frac(src)} AS $c"
+    }.mkString(",\n")
+    val passCols = GopherRepCols.map { case (c, thr) =>
+      val src = if (c.startsWith("top")) s"t${c(3)}" else s"d${c.drop(3).stripSuffix("_frac")}"
+      s"${frac(src)} <= CAST($thr AS DOUBLE) AS pass_${c.stripSuffix("_frac")}"
+    }.mkString(",\n")
+    val passAll = GopherRepCols.map { case (c, thr) =>
+      val src = if (c.startsWith("top")) s"t${c(3)}" else s"d${c.drop(3).stripSuffix("_frac")}"
+      s"${frac(src)} <= CAST($thr AS DOUBLE)"
+    }.mkString("(", ")\n  AND (", ")")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS m,
+       |  CAST(coalesce(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS total_chars
+       |  FROM t),
+       |tok AS (SELECT doc_id, i AS j, CAST(length(toks[i + 1]) AS BIGINT) AS wlen
+       |  FROM base, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) s),
+       |g AS (SELECT doc_id, n, i,
+       |    array_to_string(list_slice(toks, i + 1, i + n), ' ') AS gram
+       |  FROM base,
+       |    LATERAL (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n) ns,
+       |    LATERAL (SELECT unnest(generate_series(0, m - n)) AS i) gi
+       |  WHERE m >= n),
+       |c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2, 3),
+       |top AS (SELECT doc_id, n, cnt, CAST(length(gram) - (n - 1) AS BIGINT) AS gchars
+       |  FROM (SELECT doc_id, n, gram, cnt,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+       |    FROM c) WHERE rn = 1 AND n <= 4),
+       |duppos AS (SELECT g.doc_id, g.n, g.i FROM g
+       |  JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
+       |  WHERE c.cnt > 1 AND g.n >= 5),
+       |mk AS (SELECT DISTINCT d.doc_id, d.n, t2.j, t2.wlen FROM duppos d
+       |  JOIN tok t2 ON t2.doc_id = d.doc_id AND t2.j BETWEEN d.i AND d.i + d.n - 1),
+       |mc AS (SELECT doc_id, n, CAST(SUM(wlen) AS BIGINT) AS dchars FROM mk GROUP BY 1, 2),
+       |tp AS (SELECT doc_id,
+       |  $tp
+       |  FROM top GROUP BY 1),
+       |dp AS (SELECT doc_id,
+       |  $dp
+       |  FROM mc GROUP BY 1)
+       |SELECT b.doc_id, b.m AS n_tokens, b.total_chars,
+       |$fracCols,
+       |$passCols,
+       |$passAll AS pass
+       |FROM base b LEFT JOIN tp USING (doc_id) LEFT JOIN dp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** WIMBD-style corpus profile (t_wimbd_stats) — shared by the
     * registry entry and WimbdStatsSpec's hand-checked crafted corpus
     * so the spec cannot drift from the gate.
@@ -1557,6 +1730,71 @@ object TextAnalysis extends QueryModule {
       "t_sitemap_urls",
       (s, dir) => sitemapUrls(Tables(s, dir).documents).orderBy("doc_id", "entry_i"),
       Some(SitemapUrlsSql),
+    ),
+    // Gopher A1.2 repetition battery — the word-n-gram half of the
+    // published repetition-removal rules (see gopherRepetition
+    // scaladoc for the semantics, the position-marking duplicate rule,
+    // and the mapPartitions-vs-set-based engine split)
+    QueryDef(
+      "t_gopher_repetition",
+      (s, dir) => gopherRepetition(Tables(s, dir).documents).orderBy("doc_id"),
+      Some(GopherRepetitionSql),
+    ),
+    // Crawl-frontier scheduling — the integration the three crawl-gate
+    // legs exist for: sitemap-DISCOVERED urls (t_sitemap_urls's
+    // urlset fixture), gated by the RFC 9309 robots decision
+    // (t_robots_rules's fixture, carrying its crawl_delay politeness
+    // budget), ranked per HOST by sitemap priority into a top-50
+    // fetch queue. The per-host top-k runs as the TopKByScore
+    // bounded-heap PARTIAL aggregate (each map partition ships ≤ k
+    // entries per host — never a corpus-wide window sort; same
+    // deterministic score-desc/id-asc tiebreak as a row_number
+    // window, which is exactly what the oracle recomputes), then the
+    // ≤ 50·hosts winners broadcast-join their url rows back. Hosts
+    // number in the millions on a real crawl, so per-host groups are
+    // naturally bounded; the gate corpus's 5 synthetic hosts just
+    // concentrate the fixture.
+    QueryDef(
+      "t_crawl_frontier",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir).documents
+        val urls = sitemapUrls(d).filter(!col("is_index"))
+        val robots = robotsDecisions(d.select(col("doc_id")))
+          .filter(col("allowed")).select(col("doc_id"), col("crawl_delay"))
+        val cand = urls.join(robots, "doc_id")
+          .withColumn("item", col("doc_id") * 8 + col("entry_i"))
+        val top = cand
+          .select((col("doc_id") % 5).as("h"), col("item"), col("priority"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .agg(new graft.functions.TopKByScore(50).toColumn)
+          .flatMap { case (_, hits) =>
+            hits.zipWithIndex.map { case ((item, _), r) => (item, r + 1) }
+          }
+          .toDF("item", "crawl_rank")
+        broadcast(top).join(cand, "item")
+          .select(
+            concat(lit("site"), (col("doc_id") % 5).cast("string"), lit(".test")).as("host"),
+            col("crawl_rank"), col("loc"), col("priority"), col("crawl_delay"))
+          .orderBy("host", "crawl_rank")
+      },
+      Some(s"""WITH n AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents
+             |  WHERE doc_id % 7 <> 0),
+             |e AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM n),
+             |a AS (SELECT doc_id, i FROM e WHERE $RobotsAllowedSql),
+             |f AS (SELECT doc_id, i,
+             |  'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.test/page/'
+             |    || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS loc,
+             |  CASE WHEN (doc_id + i) % 13 = 0 THEN 0.5
+             |       ELSE CAST((doc_id + i) % 10 AS DOUBLE) / 10.0 END AS priority,
+             |  CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 9 + 1 END AS INT) AS crawl_delay
+             |  FROM a),
+             |r AS (SELECT f.*, ROW_NUMBER() OVER (PARTITION BY doc_id % 5
+             |  ORDER BY priority DESC, doc_id * 8 + i) AS rnk FROM f)
+             |SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+             |CAST(rnk AS INT) AS crawl_rank, loc, priority, crawl_delay
+             |FROM r WHERE rnk <= 50 ORDER BY host, crawl_rank""".stripMargin),
     ),
     // WIMBD-style corpus profile (Elazar et al. 2024, "What's In My
     // Big Data?" — the pre-training corpus audit every pipeline runs
