@@ -241,11 +241,20 @@ object TrainingData {
       val gophered = stage("filter_gopher",
         urlDeduped.join(gopherKeep, Seq("doc_id"), "left_semi"))
 
+      // Gopher's OTHER half — the A1.2 repetition battery on the same
+      // extracted text (word-n-gram rules; the line/paragraph rules
+      // live in the FineWeb stage's duplicate-line cap)
+      val repKeep = TextAnalysis.gopherRepetition(
+          gophered.select(col("doc_id"), col("text")))
+        .filter(col("pass")).select("doc_id")
+      val reped = stage("filter_gopher_rep",
+        gophered.join(repKeep, Seq("doc_id"), "left_semi"))
+
       val c4Keep = TextAnalysis.c4Rules(
-          TextAnalysis.c4PageTable(gophered.select(col("doc_id"), col("text"))))
+          TextAnalysis.c4PageTable(reped.select(col("doc_id"), col("text"))))
         .filter(col("pass")).select("doc_id")
       val c4ed = stage("filter_c4",
-        gophered.join(c4Keep, Seq("doc_id"), "left_semi"))
+        reped.join(c4Keep, Seq("doc_id"), "left_semi"))
 
       val fwKeep = TextAnalysis.finewebRules(
           TextAnalysis.fwPageTable(c4ed.select(col("doc_id"), col("text"))))

@@ -446,6 +446,26 @@ object Streaming extends QueryModule {
              |     WHEN surprisal <= c2 THEN 'middle' ELSE 'tail' END AS bucket
              |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin),
     ),
+    // streaming Gopher A1.2 repetition battery: the batch
+    // t_gopher_repetition typed mapPartitions (shared code — per-doc
+    // hash-count + position-mark loops are row-local, so the map is
+    // stateless on a stream: no state store, no watermark), hash-gated
+    // to the batch entry's own set-based DuckDB oracle.
+    QueryDef(
+      "st_gopher_repetition",
+      (s, dir) => {
+        val name = s"st_grep_${System.nanoTime()}"
+        val q = graft.operators.TextAnalysis
+          .gopherRepetition(graft.streaming.CorpusStreaming.readDocumentStream(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_gopher_repetition timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.operators.TextAnalysis.GopherRepetitionSql),
+    ),
     // streaming Gopher quality rules: arriving documents score as a
     // stateless per-row map (the literal batch t_gopher_rules
     // projection — shared code, no state store, no watermark),

@@ -822,64 +822,83 @@ object TextAnalysis extends QueryModule {
     "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
     "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
 
-  /** DuckDB twin of [[gopherRepetition]] — SET-BASED (unnest → count →
-    * argmax window → position-marking range join), the cheap
-    * single-node formulation of the same semantics; generated from
-    * [[GopherRepCols]] so thresholds cannot drift from the Spark side.
+  private def gopherRepSrcCol(c: String): String =
+    if (c.startsWith("top")) s"t${c(3)}" else s"d${c.drop(3).stripSuffix("_frac")}"
+
+  private def gopherRepFrac(col: String): String =
+    s"ROUND(CAST(COALESCE($col, 0) AS DOUBLE) / GREATEST(b.total_chars, 1), 4)"
+
+  /** The A1.2 pass conjunction over the pivoted tp/dp columns —
+    * generated from [[GopherRepCols]] (shared by the standalone oracle
+    * and d_web_pipeline's stage CTE).
     */
-  private[graft] val GopherRepetitionSql: String = {
-    def frac(col: String) =
-      s"ROUND(CAST(COALESCE($col, 0) AS DOUBLE) / GREATEST(b.total_chars, 1), 4)"
+  private[graft] val GopherRepPassCondSql: String =
+    GopherRepCols.map { case (c, thr) =>
+      s"${gopherRepFrac(gopherRepSrcCol(c))} <= CAST($thr AS DOUBLE)"
+    }.mkString("(", ")\n  AND (", ")")
+
+  /** DuckDB CTE chain of [[gopherRepetition]]'s metrics over a source
+    * relation, SET-BASED (unnest → count → argmax window →
+    * position-marking range join) — the cheap single-node formulation
+    * of the same semantics. CTE names carry `prefix` so composites can
+    * embed the chain without colliding with their own CTEs. Ends in
+    * `${prefix}base` / `${prefix}tp` / `${prefix}dp` — callers select
+    * fractions (or the pass condition) by aliasing base as `b`.
+    */
+  private[graft] def gopherRepCtesSql(src: String, prefix: String = ""): String = {
+    val P = prefix
     val tp = Seq(2, 3, 4).map(n =>
       s"MAX(CASE WHEN n = $n THEN cnt * gchars END) AS t$n").mkString(",\n  ")
     val dp = (5 to 10).map(n =>
       s"MAX(CASE WHEN n = $n THEN dchars END) AS d$n").mkString(",\n  ")
-    val fracCols = GopherRepCols.map { case (c, _) =>
-      val src = if (c.startsWith("top")) s"t${c(3)}" else s"d${c.drop(3).stripSuffix("_frac")}"
-      s"${frac(src)} AS $c"
-    }.mkString(",\n")
-    val passCols = GopherRepCols.map { case (c, thr) =>
-      val src = if (c.startsWith("top")) s"t${c(3)}" else s"d${c.drop(3).stripSuffix("_frac")}"
-      s"${frac(src)} <= CAST($thr AS DOUBLE) AS pass_${c.stripSuffix("_frac")}"
-    }.mkString(",\n")
-    val passAll = GopherRepCols.map { case (c, thr) =>
-      val src = if (c.startsWith("top")) s"t${c(3)}" else s"d${c.drop(3).stripSuffix("_frac")}"
-      s"${frac(src)} <= CAST($thr AS DOUBLE)"
-    }.mkString("(", ")\n  AND (", ")")
-    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-       |  FROM documents),
-       |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS m,
+    s"""${P}t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM $src),
+       |${P}base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS m,
        |  CAST(coalesce(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS total_chars
-       |  FROM t),
-       |tok AS (SELECT doc_id, i AS j, CAST(length(toks[i + 1]) AS BIGINT) AS wlen
-       |  FROM base, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) s),
-       |g AS (SELECT doc_id, n, i,
+       |  FROM ${P}t),
+       |${P}tok AS (SELECT doc_id, i AS j, CAST(length(toks[i + 1]) AS BIGINT) AS wlen
+       |  FROM ${P}base, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) s),
+       |${P}g AS (SELECT doc_id, n, i,
        |    array_to_string(list_slice(toks, i + 1, i + n), ' ') AS gram
-       |  FROM base,
+       |  FROM ${P}base,
        |    LATERAL (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n) ns,
        |    LATERAL (SELECT unnest(generate_series(0, m - n)) AS i) gi
        |  WHERE m >= n),
-       |c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2, 3),
-       |top AS (SELECT doc_id, n, cnt, CAST(length(gram) - (n - 1) AS BIGINT) AS gchars
+       |${P}c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM ${P}g GROUP BY 1, 2, 3),
+       |${P}top AS (SELECT doc_id, n, cnt, CAST(length(gram) - (n - 1) AS BIGINT) AS gchars
        |  FROM (SELECT doc_id, n, gram, cnt,
        |      ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
-       |    FROM c) WHERE rn = 1 AND n <= 4),
-       |duppos AS (SELECT g.doc_id, g.n, g.i FROM g
-       |  JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
+       |    FROM ${P}c) WHERE rn = 1 AND n <= 4),
+       |${P}duppos AS (SELECT g.doc_id, g.n, g.i FROM ${P}g g
+       |  JOIN ${P}c c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
        |  WHERE c.cnt > 1 AND g.n >= 5),
-       |mk AS (SELECT DISTINCT d.doc_id, d.n, t2.j, t2.wlen FROM duppos d
-       |  JOIN tok t2 ON t2.doc_id = d.doc_id AND t2.j BETWEEN d.i AND d.i + d.n - 1),
-       |mc AS (SELECT doc_id, n, CAST(SUM(wlen) AS BIGINT) AS dchars FROM mk GROUP BY 1, 2),
-       |tp AS (SELECT doc_id,
+       |${P}mk AS (SELECT DISTINCT d.doc_id, d.n, t2.j, t2.wlen FROM ${P}duppos d
+       |  JOIN ${P}tok t2 ON t2.doc_id = d.doc_id AND t2.j BETWEEN d.i AND d.i + d.n - 1),
+       |${P}mc AS (SELECT doc_id, n, CAST(SUM(wlen) AS BIGINT) AS dchars FROM ${P}mk GROUP BY 1, 2),
+       |${P}tp AS (SELECT doc_id,
        |  $tp
-       |  FROM top GROUP BY 1),
-       |dp AS (SELECT doc_id,
+       |  FROM ${P}top GROUP BY 1),
+       |${P}dp AS (SELECT doc_id,
        |  $dp
-       |  FROM mc GROUP BY 1)
+       |  FROM ${P}mc GROUP BY 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[gopherRepetition]] — assembled from
+    * [[gopherRepCtesSql]] + [[GopherRepPassCondSql]] so the standalone
+    * entry and the d_web_pipeline stage share one rule text.
+    */
+  private[graft] val GopherRepetitionSql: String = {
+    val fracCols = GopherRepCols.map { case (c, _) =>
+      s"${gopherRepFrac(gopherRepSrcCol(c))} AS $c"
+    }.mkString(",\n")
+    val passCols = GopherRepCols.map { case (c, thr) =>
+      s"${gopherRepFrac(gopherRepSrcCol(c))} <= CAST($thr AS DOUBLE) AS pass_${c.stripSuffix("_frac")}"
+    }.mkString(",\n")
+    s"""WITH ${gopherRepCtesSql("documents")}
        |SELECT b.doc_id, b.m AS n_tokens, b.total_chars,
        |$fracCols,
        |$passCols,
-       |$passAll AS pass
+       |$GopherRepPassCondSql AS pass
        |FROM base b LEFT JOIN tp USING (doc_id) LEFT JOIN dp USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }

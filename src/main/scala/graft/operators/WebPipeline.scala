@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *   chain) → robots_gate (RobotsAllowedSql) → url_dedup (closed-form
   *   RFC 3986 canonical keys, min-id keeper) → filter_gopher
   *   (GopherMetricColsSql + gopherPassCondSql(1) — the stopword floor
-  *   re-thresholded, see prepareWeb's scaladoc) → filter_c4
+  *   re-thresholded, see prepareWeb's scaladoc) → filter_gopher_rep
+  *   (gopherRepCtesSql + GopherRepPassCondSql — the A1.2 repetition
+  *   battery) → filter_c4
   *   (C4PageSqlExpr + C4MetricColsSql + C4PassCondSql) →
   *   filter_fineweb (FwPageSqlExpr + FwMetricColsSql + FwPassCondSql)
   *   → exact_dedup (md5 min-id) → neardup_keepbest (Dedup.candSql's
@@ -41,8 +43,8 @@ object WebPipeline extends QueryModule {
     */
   private[graft] val StageNames: Seq[String] = Seq(
     "raw", "warc_fetch", "robots_gate", "url_dedup", "filter_gopher",
-    "filter_c4", "filter_fineweb", "exact_dedup", "neardup_keepbest",
-    "ccnet_keep", "final")
+    "filter_gopher_rep", "filter_c4", "filter_fineweb", "exact_dedup",
+    "neardup_keepbest", "ccnet_keep", "final")
 
   /** Closed-form canonical URL of the doc_id-derived raw variant
     * prepareWeb feeds through functions.UrlCanonical: scheme/host case
@@ -64,6 +66,7 @@ object WebPipeline extends QueryModule {
         case "robots_gate" => "robots"
         case "url_dedup" => "urldedup"
         case "filter_gopher" => "gkeep"
+        case "filter_gopher_rep" => "grkeep"
         case "filter_c4" => "c4keep"
         case "filter_fineweb" => "fwkeep"
         case "exact_dedup" => "exdedup"
@@ -87,7 +90,12 @@ object WebPipeline extends QueryModule {
        |  FROM urldedup),
        |gkeep AS MATERIALIZED (SELECT doc_id, text FROM gm
        |  WHERE ${T.gopherPassCondSql(1)}),
-       |c4p AS MATERIALIZED (SELECT doc_id, text AS orig_text, ${T.C4PageSqlExpr} AS text FROM gkeep),
+       |${materialize(T.gopherRepCtesSql("gkeep", "gr"))},
+       |grkeep AS MATERIALIZED (SELECT b.doc_id, k.text FROM grbase b
+       |  LEFT JOIN grtp USING (doc_id) LEFT JOIN grdp USING (doc_id)
+       |  JOIN gkeep k USING (doc_id)
+       |  WHERE ${T.GopherRepPassCondSql}),
+       |c4p AS MATERIALIZED (SELECT doc_id, text AS orig_text, ${T.C4PageSqlExpr} AS text FROM grkeep),
        |c4m AS MATERIALIZED (SELECT doc_id, orig_text,
        |  ${T.C4MetricColsSql}
        |  FROM c4p),

@@ -41,7 +41,8 @@ class WebPipelineSpec extends SparkSpec {
     assert(drop("warc_fetch", "robots_gate") > 0, "robots gate idle")
     assert(drop("robots_gate", "url_dedup") > 0, "url dedup idle")
     assert(drop("url_dedup", "filter_gopher") > 0, "gopher idle")
-    assert(drop("filter_gopher", "filter_c4") > 0, "c4 idle")
+    assert(drop("filter_gopher", "filter_gopher_rep") > 0, "repetition battery idle")
+    assert(drop("filter_gopher_rep", "filter_c4") > 0, "c4 idle")
     assert(drop("filter_c4", "filter_fineweb") > 0, "fineweb idle")
     assert(drop("exact_dedup", "neardup_keepbest") > 0, "near-dup keeper idle")
     assert(drop("neardup_keepbest", "ccnet_keep") > 0, "ccnet cut idle")
