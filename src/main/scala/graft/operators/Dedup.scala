@@ -305,6 +305,51 @@ object Dedup extends QueryModule {
     materialized(out, bands, sh)
   }
 
+  /** Containment-COMPLETE candidate generation for SHORT documents —
+    * the dedicated variant [[containmentPairs]]'s scaladoc documents as
+    * the banded path's limit: an excerpt fully embedded in a long doc
+    * has containment ≈ 1 but Jaccard below the LSH collision knee, so
+    * banded candidates miss it with probability 1−(1−j^r)^b. The
+    * prefix-filtering observation (Bayardo et al., WWW'07 "Scaling Up
+    * All Pairs Similarity Search") fixes recall for short probes: any
+    * pair with containment ≥ τ > 0 shares at least ONE shingle, so
+    * probing a corpus shingle INDEX with every shingle of a short doc
+    * is a COMPLETE candidate set — recall 1 by construction, subject
+    * only to the shared hot-shingle cap (boilerplate grams dropped on
+    * BOTH sides, documented like every capBuckets user).
+    *
+    * Cost shape: the probe side is bounded by the size threshold (≤
+    * `maxShingles` keys per probe doc); the index side is the same
+    * (doc, shingle) explode every dedup pipeline already materializes,
+    * capped so no key joins more than `maxBucket` docs. Verification
+    * is the exact ASYMMETRIC containment |A∩B| / |A| (A the probe) on
+    * candidates only. Long docs keep the banded path: for them the
+    * probe join would fan out by document length, which is exactly
+    * what the threshold excludes.
+    */
+  def containmentProbePairs(docs: DataFrame, tau: Double = 0.5,
+                            maxShingles: Int = 20,
+                            maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = shingles(docs).persist()
+    val idx = capBuckets(sh.select(col("doc_id"), explode(col("sh")).as("g")),
+      Seq("g"), maxBucket)
+    val probes = idx.join(
+      sh.filter(size(col("sh")) <= maxShingles).select(col("doc_id").as("doc_a")),
+      col("doc_id") === col("doc_a"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val cand = probes.join(idx.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val out = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")), 4).as("containment"))
+      .filter(col("containment") >= tau)
+    materialized(out, sh)
+  }
+
   /** Chunk-level (C4/RefinedWeb "line-level") dedup: split each doc into
     * fixed `chunkTokens`-token chunks, keep each distinct chunk only in
     * its earliest-doc_id occurrence (first position within that doc),
@@ -786,6 +831,27 @@ object Dedup extends QueryModule {
              |WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
              |  / LEAST(len(sa.sh), len(sb.sh)), 4) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    // containment-COMPLETE probe for short docs (prefix filtering):
+    // recall 1 by construction for the excerpt pairs the banded path's
+    // collision knee misses — see containmentProbePairs' scaladoc
+    QueryDef(
+      "d_containment_probe",
+      (s, dir) => containmentProbePairs(Tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+             |idx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |hot AS (SELECT g FROM idx GROUP BY 1 HAVING COUNT(*) > $MaxBucket),
+             |okidx AS (SELECT idx.* FROM idx ANTI JOIN hot USING (g)),
+             |probes AS (SELECT o.doc_id AS doc_a, o.g FROM okidx o
+             |  JOIN sh ON sh.doc_id = o.doc_id WHERE len(sh.sh) <= 20),
+             |cand AS (SELECT DISTINCT doc_a, i.doc_id AS doc_b
+             |  FROM probes JOIN okidx i USING (g) WHERE doc_a <> i.doc_id),
+             |v AS (SELECT doc_a, doc_b,
+             |  ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh), 4) AS containment
+             |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+             |SELECT doc_a, doc_b, containment FROM v
+             |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
     ),
     // Bloom-prefiltered cross-corpus dedup: which candidate docs
     // (doc_id % 10 >= 3) repeat a bag-of-words fingerprint from the
