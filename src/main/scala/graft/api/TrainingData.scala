@@ -276,7 +276,10 @@ object TrainingData {
       val deduped = stage("neardup_keepbest",
         DedupPipeline.dedupKeepBest(exact.join(quality, "doc_id"), pairs, quality))
 
-      // CCNet bucketing over the SURVIVOR corpus; tail tercile dropped
+      // CCNet bucketing over the SURVIVOR corpus; tail tercile dropped.
+      // ccnetBuckets is conf-aware: setting spark.graft.ccnet.approxCuts
+      // swaps the exact tercile cuts for the bounded GK sketch here too
+      // (the 100 TB arm), with the gate running the exact default.
       val cc = TextAnalysis.ccnetBuckets(deduped.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("n_tokens"), col("surprisal"), col("bucket"))
       val bucketed = stage("ccnet_keep",
