@@ -83,6 +83,15 @@ object ScaleDemo {
         graft.operators.Dedup.minhashLsh64(docs.select(col("doc_id"), col("text"))),
         docs.select(col("doc_id"),
           graft.operators.TextAnalysis.qualityCol.as("quality")))
+    }),
+    // the full web composite on its PRODUCTION xxhash64 LSH path
+    // (prepareWeb's default; the registry entry pins oracleHash=true
+    // for the DuckDB gate — stage-count parity is WebPipelineSpec's)
+    "d_web_pipeline_fast" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.TrainingData.prepareWeb(Tables(s, dir).documents)
+        .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
+        .toDF("stage_idx", "stage", "n_docs")
     }))
 
   /** Content fingerprint of the base corpus: path plus (size, mtime) of
