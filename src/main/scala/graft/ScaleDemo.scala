@@ -232,6 +232,9 @@ object ScaleDemo {
           .map { case (r, ck, cv) => (r, Some(ck -> cv)) }
           .getOrElse((q, None))
         confOverride.foreach { case (ck, cv) => spark.conf.set(ck, cv) }
+        // finally, not success-path-only: a throwing cell must not leak
+        // its conf arm into every later cell of an error-tolerant sweep
+        val (sec, rows, nested) = try {
         val t0 = System.nanoTime()
         val df = CustomCells.getOrElse(regName, queries(regName))(spark, dir)
         // count() on a PROJECTION-ONLY plan (no filter/join/agg between
@@ -255,8 +258,9 @@ object ScaleDemo {
         val sec = (System.nanoTime() - t0) / 1e9
         val plan = df.queryExecution.executedPlan.toString
         val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+        (sec, rows, nested)
+        } finally confOverride.foreach { case (ck, _) => spark.conf.unset(ck) }
         val degraded = nested && !IntendedNested(regName)
-        confOverride.foreach { case (ck, _) => spark.conf.unset(ck) }
         val line =
           s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested,"degraded":$degraded}"""
         println(s"GRAFT_SCALE_JSON $line")

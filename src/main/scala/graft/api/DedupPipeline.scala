@@ -70,11 +70,15 @@ object DedupPipeline {
     */
   def dedupKeepBest(corpus: DataFrame, pairs: DataFrame, quality: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
+    // LEFT join + nulls-LAST ordering: a clustered doc missing a quality
+    // row must still enter the per-cluster ranking (as the worst member,
+    // never silently exempt from dedup) — an inner join would drop it
+    // from the window and it could never lose to its duplicates
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("quality").desc, col(idCol))
+      .partitionBy("cluster_id").orderBy(col("quality").desc_nulls_last, col(idCol))
     val losers = clusters(pairs)
       .withColumnRenamed("doc_id", idCol)
-      .join(quality, idCol)
+      .join(quality, Seq(idCol), "left")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") > 1)
       .select(col(idCol))

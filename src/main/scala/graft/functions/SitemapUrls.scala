@@ -36,9 +36,34 @@ object SitemapUrls {
 
   val MaxEntries = 50000
 
+  /** The protocol's 50 MB uncompressed-sitemap bound, applied to the
+    * in-memory char count BEFORE parsing (chars ≤ UTF-8 bytes, so any
+    * input over the byte bound is also over this one): crawl input is
+    * untrusted, and the size gate runs before the parser ever sees it.
+    */
+  val MaxChars = 50 * 1024 * 1024
+
+  /** Explicitly hardened SAX parser for untrusted crawl XML: DOCTYPE
+    * declarations are REFUSED outright (no entity expansion surface at
+    * all, rather than relying on the JDK's secure-processing expansion
+    * limits), and external general/parameter entities are disabled.
+    * Factory + parser are per-call: neither is thread-safe, and the
+    * executor-side cost is microseconds against a network fetch.
+    */
+  private def secureLoader() = {
+    val f = javax.xml.parsers.SAXParserFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.setXIncludeAware(false)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    scala.xml.XML.withSAXParser(f.newSAXParser())
+  }
+
   def parse(xml: String): Option[Sitemap] = {
+    if (xml.length > MaxChars) return None
     val root =
-      try scala.xml.XML.loadString(xml)
+      try secureLoader().loadString(xml)
       catch { case scala.util.control.NonFatal(_) => return None }
     root.label match {
       case "urlset" =>

@@ -323,31 +323,49 @@ object Dedup extends QueryModule {
     * (doc, shingle) explode every dedup pipeline already materializes,
     * capped so no key joins more than `maxBucket` docs. Verification
     * is the exact ASYMMETRIC containment |A∩B| / |A| (A the probe) on
-    * candidates only. Long docs keep the banded path: for them the
-    * probe join would fan out by document length, which is exactly
-    * what the threshold excludes.
+    * candidates only — computed FROM the already-exploded (doc_id, g)
+    * frame, never by re-materializing either side's shingle ARRAY:
+    * the candidate pairs fan out by the probe's own grams (≤
+    * `maxShingles` rows each), each (doc_b, g) membership-checks
+    * against the exploded corpus with a semi join, and the survivor
+    * count IS |A∩B| because shingle sets are distinct. The only
+    * persisted frame is the narrow exploded one; the wide
+    * array-carrying frame the old formulation held on BOTH verify
+    * sides (the 48 GiB stretch-heap cell at 100×) never exists. Long
+    * docs keep the banded path: for them the probe join would fan out
+    * by document length, which is exactly what the threshold excludes.
     */
   def containmentProbePairs(docs: DataFrame, tau: Double = 0.5,
                             maxShingles: Int = 20,
                             maxBucket: Int = MaxBucket): DataFrame = {
-    val sh = shingles(docs).persist()
-    val idx = capBuckets(sh.select(col("doc_id"), explode(col("sh")).as("g")),
-      Seq("g"), maxBucket)
-    val probes = idx.join(
-      sh.filter(size(col("sh")) <= maxShingles).select(col("doc_id").as("doc_a")),
-      col("doc_id") === col("doc_a"), "left_semi")
+    val exploded = shingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("g")).persist()
+    // full (uncapped) distinct-shingle count per doc — the |A| divisor
+    // and the probe-selection predicate (same value as size(sh))
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val probeIds = sizes.filter(col("nsh") <= maxShingles)
+    val idx = capBuckets(exploded, Seq("g"), maxBucket)
+    val probes = idx
+      .join(probeIds.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("g"))
     val cand = probes.join(idx.select(col("doc_id").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val out = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // |A∩B| per candidate: probe grams are UNCAPPED here (verification
+    // is exact even for grams the candidate index dropped as hot)
+    val probeAllGrams = exploded
+      .join(probeIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val inter = cand.join(probeAllGrams, "doc_a")
+      .join(exploded.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(probeIds.select(col("doc_id").as("doc_a"), col("nsh")), "doc_a")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")), 4).as("containment"))
+        round(col("inter").cast("double") / col("nsh"), 4).as("containment"))
       .filter(col("containment") >= tau)
-    materialized(out, sh)
+    materialized(out, exploded)
   }
 
   /** Chunk-level (C4/RefinedWeb "line-level") dedup: split each doc into
@@ -834,12 +852,28 @@ object Dedup extends QueryModule {
     ),
     // containment-COMPLETE probe for short docs (prefix filtering):
     // recall 1 by construction for the excerpt pairs the banded path's
-    // collision knee misses — see containmentProbePairs' scaladoc
+    // collision knee misses — see containmentProbePairs' scaladoc.
+    // The gate corpus carries few natural short docs (2 pairs at
+    // sf0.01), so the fixture MINTS an embedded excerpt per 50th doc
+    // (its first 20 words under a fresh id) — exactly the short-doc-
+    // inside-long-doc shape the operator exists for, ≥10 gate pairs at
+    // sf0.01, oracle-reproduced from the same formula
     QueryDef(
       "d_containment_probe",
-      (s, dir) => containmentProbePairs(Tables(s, dir).documents)
-        .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM documents),
+      (s, dir) => {
+        val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        val minted = d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            expr("array_join(slice(split(text, ' '), 1, 20), ' ')").as("text"))
+        containmentProbePairs(d.unionByName(minted))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000,
+             |    array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+             |  FROM documents WHERE doc_id % 50 = 0),
+             |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM src),
              |idx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
              |hot AS (SELECT g FROM idx GROUP BY 1 HAVING COUNT(*) > $MaxBucket),
              |okidx AS (SELECT idx.* FROM idx ANTI JOIN hot USING (g)),

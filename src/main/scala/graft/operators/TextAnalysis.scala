@@ -726,8 +726,12 @@ object TextAnalysis extends QueryModule {
     *   - for n ∈ {2,3,4}: the fraction of characters contained in the
     *     MOST FREQUENT n-gram — count × gram token-chars / total
     *     token-chars (spaces uncounted on both sides; ties broken to
-    *     the lexicographically smallest gram, which cannot change the
-    *     fraction and makes the pick deterministic);
+    *     the smallest gram in UTF-8 BYTE order — NOT fraction-neutral,
+    *     since tied-count grams of different character length yield
+    *     different fractions, but deterministic and mirrored exactly
+    *     by the oracle's `ORDER BY cnt DESC, gram` under DuckDB's
+    *     binary collation: the Scala side compares UTF-8 bytes rather
+    *     than UTF-16 code units so non-ASCII grams cannot diverge);
     *   - for n ∈ {5..10}: the fraction of characters contained in
     *     DUPLICATED n-grams — a token's characters count once if ANY
     *     occurrence of ANY duplicated n-gram covers its position
@@ -765,6 +769,13 @@ object TextAnalysis extends QueryModule {
             gs.foreach(g => c.merge(g, 1, Integer.sum))
             c
           }
+          // UTF-8 byte order — DuckDB's binary collation, so the argmax
+          // tiebreak below picks the same gram both engines even on
+          // non-ASCII (astral) grams where UTF-16 code-unit order flips
+          def utf8Less(a: String, b: String): Boolean =
+            java.util.Arrays.compareUnsigned(
+              a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
           def topFrac(n: Int): Double = {
             val gs = grams(n)
             if (gs.isEmpty) 0.0
@@ -773,7 +784,7 @@ object TextAnalysis extends QueryModule {
               var bestG: String = null
               var bestC = 0
               c.forEach { (g, k) =>
-                if (k > bestC || (k == bestC && g < bestG)) { bestG = g; bestC = k }
+                if (k > bestC || (k == bestC && utf8Less(g, bestG))) { bestG = g; bestC = k }
               }
               val gchars = (bestG.length - (n - 1)).toLong
               bestC.toLong * gchars / denom

@@ -30,4 +30,23 @@ class DedupPipelineSpec extends SparkSpec {
     val survivingClustered = deduped.join(cl, "doc_id").count()
     assert(survivingClustered == reps)
   }
+
+  test("dedupKeepBest: docs missing a quality row still lose — partial coverage cannot exempt near-dups") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // quality covers only doc 2: docs 1 and 3 must rank AFTER it
+    // (nulls last) and be dropped, never silently retained
+    val quality = Seq((2L, 0.1)).toDF("doc_id", "quality")
+    val kept = DedupPipeline.dedupKeepBest(corpus, pairs, quality)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+    // a cluster with NO quality rows still keeps exactly one member
+    // (smallest id on the all-null tie)
+    val keptNone = DedupPipeline.dedupKeepBest(
+      corpus, pairs, Seq.empty[(Long, Double)].toDF("doc_id", "quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNone == Set(1L, 9L))
+  }
 }
