@@ -138,9 +138,11 @@ object TrainingData {
     *   WARC fetch (real record parse + HTML boilerplate strip) →
     *   RFC 9309 robots gate → RFC 3986 URL-canonicalization dedup →
     *   Gopher + C4 + FineWeb published-filter battery → exact dedup →
-    *   banded-LSH near-dup dedup with the QUALITY-AWARE keep-best
-    *   keeper → CCNet head/middle bucketing (tail dropped) →
-    *   deterministic hash split + context-window packing plan
+    *   near-dup dedup (banded LSH UNION the containment-complete
+    *   short-doc probe — embedded excerpts the LSH collision knee
+    *   misses) with the QUALITY-AWARE keep-best keeper → CCNet
+    *   head/middle bucketing (tail dropped) → deterministic hash
+    *   split + context-window packing plan
     *
     * with [[prepare]]'s per-stage attrition accounting: stages are
     * strictly NESTED filters over doc_id, so every dropped document is
@@ -176,7 +178,9 @@ object TrainingData {
     */
   def prepareWeb(docs: DataFrame, oracleHash: Boolean = false,
                  trainPct: Int = 80, valPct: Int = 10,
-                 binTokens: Int = 2048): PreparedWeb = {
+                 binTokens: Int = 2048,
+                 probeMaxShingles: Int =
+                   graft.operators.WebPipeline.ProbeMaxShingles): PreparedWeb = {
     import graft.operators.TextAnalysis
     val spark = docs.sparkSession
     import spark.implicits._
@@ -268,10 +272,30 @@ object TrainingData {
       val exact = stage("exact_dedup",
         fwed.join(exKeepers, Seq("doc_id"), "left_semi"))
 
-      // near-dup dedup with the quality-aware keep-best keeper
-      val pairs =
+      // near-dup dedup with the quality-aware keep-best keeper. TWO
+      // candidate arms, unioned: banded LSH for the bulk of the corpus,
+      // plus the containment-COMPLETE short-doc probe — an excerpt
+      // embedded in a long doc has containment ≈ 1 but Jaccard below
+      // the banded collision knee, so LSH alone provably misses it
+      // (Dedup.containmentProbePairs' scaladoc derives the miss
+      // probability; WebPipelineSpec pins an excerpt the banded arm
+      // keeps and this arm dedups). The probe threshold is wider here
+      // than the standalone entry's 20: the Gopher word floor already
+      // guarantees survivors carry ≥ ~48 shingles, so "short" means
+      // short RELATIVE to the corpus — up to `probeMaxShingles`
+      // shingles (~102 words), each probing the gram index with a
+      // bounded number of keys. Both arms are exact-gram verified, so
+      // the union is hash-path independent (identical under md5 and
+      // xxhash64 LSH signatures).
+      val lshPairs =
         if (oracleHash) graft.operators.Dedup.minhashLsh(exact.select(col("doc_id"), col("text")))
         else graft.operators.Dedup.minhashLsh64(exact.select(col("doc_id"), col("text")))
+      val probePairs = graft.operators.Dedup.containmentProbePairs(
+          exact.select(col("doc_id"), col("text")), maxShingles = probeMaxShingles)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      val pairs = lshPairs.select(col("doc_a"), col("doc_b"))
+        .union(probePairs).distinct()
       val quality = exact.select(col("doc_id"), TextAnalysis.qualityCol.as("quality"))
       val deduped = stage("neardup_keepbest",
         DedupPipeline.dedupKeepBest(exact.join(quality, "doc_id"), pairs, quality))

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *   (C4PageSqlExpr + C4MetricColsSql + C4PassCondSql) →
   *   filter_fineweb (FwPageSqlExpr + FwMetricColsSql + FwPassCondSql)
   *   → exact_dedup (md5 min-id) → neardup_keepbest (Dedup.candSql's
-  *   banded-LSH chain + recursive-CTE closure + the d_keep_best
-  *   quality argmax) → ccnet_keep (ccnetScoredCtesSql, tail tercile
-  *   dropped) → final (split/pack adds columns, drops nothing).
+  *   banded-LSH chain UNION the containment-probe chain over the same
+  *   `sh` CTE — the short-doc arm, [[ProbeMaxShingles]] — then the
+  *   recursive-CTE closure + the d_keep_best quality argmax) →
+  *   ccnet_keep (ccnetScoredCtesSql, tail tercile dropped) → final
+  *   (split/pack adds columns, drops nothing).
   *
   * Every non-recursive CTE is MATERIALIZED: the stage-count UNION ALL
   * reads each stage once instead of re-inlining the whole upstream
@@ -52,6 +54,12 @@ object WebPipeline extends QueryModule {
     * remove, the #frag strips — and every 10th doc (doc_id % 10 = 7)
     * keys onto its predecessor's URL, the collision the dedup acts on.
     */
+  /** prepareWeb's short-doc probe threshold (its `probeMaxShingles`
+    * default) — shared with the oracle's probe CTE chain so the two
+    * cannot drift.
+    */
+  private[graft] val ProbeMaxShingles = 100
+
   private val urlKeySql =
     "(doc_id - CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END)"
   private val canonUrlSql =
@@ -122,8 +130,21 @@ object WebPipeline extends QueryModule {
        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
-       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |pidx AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |phot AS MATERIALIZED (SELECT g FROM pidx GROUP BY 1 HAVING COUNT(*) > ${Dedup.MaxBucket}),
+       |pok AS MATERIALIZED (SELECT pidx.* FROM pidx ANTI JOIN phot USING (g)),
+       |pprobe AS MATERIALIZED (SELECT o.doc_id AS doc_a, o.g FROM pok o
+       |  JOIN sh ON sh.doc_id = o.doc_id WHERE len(sh.sh) <= $ProbeMaxShingles),
+       |pcand AS MATERIALIZED (SELECT DISTINCT doc_a, i.doc_id AS doc_b
+       |  FROM pprobe JOIN pok i USING (g) WHERE doc_a <> i.doc_id),
+       |pv AS MATERIALIZED (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
+       |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh), 4) AS c
+       |  FROM pcand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |  WHERE c >= 0.5),
+       |allpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT LEAST(doc_a, doc_b), GREATEST(doc_a, doc_b) FROM pv),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM allpairs
+       |          UNION SELECT doc_b, doc_a FROM allpairs),
        |reach AS (SELECT a AS src, b AS dst FROM edges
        |          UNION
        |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),

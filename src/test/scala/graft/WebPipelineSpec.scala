@@ -111,6 +111,75 @@ class WebPipelineSpec extends SparkSpec {
     assert(overfull.isEmpty, "a bin was already full before its last doc")
   }
 
+  test("an embedded short excerpt below the banded knee is deduped by the probe arm") {
+    val s = spark
+    import s.implicits._
+    // candidate sources: long survivors of the baseline run whose first
+    // 50 raw words contain 'the' (the re-thresholded Gopher floor needs
+    // one stopword in the excerpt too)
+    val rawById = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val survivors = prepared.corpus.select("doc_id").as[Long].collect().toSet
+    val candidates = rawById.collect { case (id, t)
+      if survivors(id) && {
+        val w = t.split(" ").filter(_.nonEmpty)
+        w.length >= 99 && w.take(50).contains("the")
+      } => id
+    }.toSeq.sorted
+    assert(candidates.nonEmpty, "no excerpt-able survivor in the gate corpus")
+    // mirror of the fetch chain's closed form (HtmlTextOutSql): the
+    // extractor emits the non-empty raw words plus the fixed tail
+    def extracted(t: String): String =
+      (t.split(" ").filter(_.nonEmpty) ++ Seq("Tail", "&", "@", "<end>")).mkString(" ")
+    def shingleSet(t: String): Set[String] =
+      graft.operators.Dedup.shingles(Seq((0L, t)).toDF("doc_id", "text"))
+        .select("sh").as[Seq[String]].head().toSet
+    // STRUCTURAL selection, not recall luck: exact Jaccard below
+    // minhashLsh's verification tau (so the banded arm CANNOT emit the
+    // pair no matter how the bands collide) while exact containment
+    // clears the probe's — precisely the recall hole the probe closes
+    val chosen = candidates.iterator.map { id =>
+      val excRaw = rawById(id).split(" ").filter(_.nonEmpty).take(50).mkString(" ")
+      val (shS, shE) = (shingleSet(extracted(rawById(id))), shingleSet(extracted(excRaw)))
+      val inter = (shS & shE).size.toDouble
+      (id, excRaw, inter / (shS.size + shE.size - inter), inter / shE.size)
+    }.find { case (_, _, j, c) => j < 0.5 && c >= 0.5 }
+    assert(chosen.nonEmpty, "corpus shape changed: no sub-knee excerpt constructible")
+    val (srcId, excRaw, _, _) = chosen.get
+    // the robots / C4-page / FineWeb-page fixtures all key off doc_id
+    // residues, so pick a fresh id whose fixture arms pass every gate
+    // (probed against the SAME gate predicates prepareWeb applies);
+    // % 10 != 7 keeps its canonical URL collision-free
+    val mintedId = {
+      val ids = (20000001L to 20000400L).filter(_ % 10 != 7)
+      val candX = ids.map(d => (d, extracted(excRaw))).toDF("doc_id", "text")
+      def passing(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").as[Long].collect().toSet
+      val rob = passing(TextAnalysis.robotsDecisions(candX.select("doc_id"))
+        .filter(col("allowed")))
+      val gop = passing(TextAnalysis.gopherRules(candX)
+        .filter(col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
+          col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+          col("stop_hits") >= 1))
+      val rep = passing(TextAnalysis.gopherRepetition(candX).filter(col("pass")))
+      val c4 = passing(TextAnalysis.c4Rules(TextAnalysis.c4PageTable(candX))
+        .filter(col("pass")))
+      val fw = passing(TextAnalysis.finewebRules(TextAnalysis.fwPageTable(candX))
+        .filter(col("pass")))
+      val ok = ids.filter(d => rob(d) && gop(d) && rep(d) && c4(d) && fw(d))
+      assert(ok.nonEmpty, "no fixture-passing id in the probe window")
+      ok.head
+    }
+    val docs2 = docs.select("doc_id", "text")
+      .unionByName(Seq((mintedId, excRaw)).toDF("doc_id", "text"))
+    val p2 = TrainingData.prepareWeb(docs2, oracleHash = true)
+    assert(p2.pairs.filter(col("doc_a") === srcId && col("doc_b") === mintedId)
+      .count() == 1, "probe arm failed to pair the embedded excerpt")
+    val kept = p2.corpus.filter(col("doc_id").isin(srcId, mintedId))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size <= 1, "keep-best kept both sides of the excerpt pair")
+  }
+
   test("production-hash path (xxhash64) reproduces the oracle path's stage counts") {
     // independent LSH samplings each have ~1-(1-j^r)^b recall, so pair
     // SETS can differ in principle; on the gate corpus they agree
