@@ -99,11 +99,14 @@ object TrainingData {
           val thr = if (thrRow.isNullAt(0)) Double.NegativeInfinity
                     else thrRow.getDouble(0)
           val filtered = scored.filter(col("quality") >= lit(thr))
-          stages += "quality_filter" -> filtered.count()
 
           // deterministic split + packing plan (train only): running
-          // token total per hash bucket — 32 independent timelines,
+          // token total per hash bucket — independent timelines
+          // (packBucketCount: conf dial + corpus-derived default),
           // never a corpus-wide cumulative sum
+          val nFiltered = filtered.count()
+          stages += "quality_filter" -> nFiltered
+          val buckets = TextAnalysis.packBucketCount(docs.sparkSession, nFiltered)
           val split = filtered.withColumn("split",
             when(pctBucket < trainPct, "train")
               .when(pctBucket < trainPct + valPct, "val")
@@ -111,7 +114,7 @@ object TrainingData {
             .withColumn("n_tokens", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
           val w = Window.partitionBy("bucket").orderBy("doc_id")
           val packed = split
-            .withColumn("bucket", pmod(col("doc_id"), lit(32)))
+            .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
             // only train tokens advance the bin timeline — val/test rows
             // in the same bucket must not inflate train bins
             .withColumn("train_tokens",
@@ -180,7 +183,8 @@ object TrainingData {
                  trainPct: Int = 80, valPct: Int = 10,
                  binTokens: Int = 2048,
                  probeMaxShingles: Int =
-                   graft.operators.WebPipeline.ProbeMaxShingles): PreparedWeb = {
+                   graft.operators.WebPipeline.ProbeMaxShingles,
+                 packByBpe: Boolean = false): PreparedWeb = {
     import graft.operators.TextAnalysis
     val spark = docs.sparkSession
     import spark.implicits._
@@ -194,9 +198,11 @@ object TrainingData {
     // keeps the plan linear in stage size; the storage cost is the same
     // persist the count already paid for, and checkpoint blocks are
     // GC-released by the context cleaner when the stage frame drops.
+    var lastCount = 0L
     def stage(name: String, df: DataFrame): DataFrame = {
       val p = df.localCheckpoint(true)
-      stages += name -> p.count()
+      lastCount = p.count()
+      stages += name -> lastCount
       p
     }
     locally {
@@ -309,24 +315,42 @@ object TrainingData {
       val bucketed = stage("ccnet_keep",
         deduped.join(cc.filter(col("bucket") =!= "tail"), "doc_id"))
 
-      // deterministic split + packing plan — prepare()'s tail, fed by
-      // ccnet's n_tokens (identical to the split-count on this text
-      // shape: extraction leaves no empty tokens)
-      val split = bucketed.withColumn("split",
+      // deterministic split + packing plan — prepare()'s tail. Bin
+      // budgets are whitespace n_tokens by default (the gate oracle's
+      // arithmetic) or REAL tokenizer tokens under packByBpe: the BPE
+      // vocabulary trains on the SURVIVOR corpus (the tokens the model
+      // will actually see), the rank table broadcasts in the encode
+      // closure, and only the bin arithmetic changes — packing drops
+      // nothing either way. Bucket count comes from packBucketCount
+      // (conf dial; corpus-derived default off the ccnet survivor
+      // count, so the parallelism ceiling scales with the corpus
+      // instead of pinning 32 timelines at any size).
+      val buckets = TextAnalysis.packBucketCount(spark, lastCount)
+      val packTokens =
+        if (!packByBpe) bucketed.withColumn("pack_tokens", col("n_tokens"))
+        else {
+          val ranks = graft.functions.BpeTokenizer.rankTable(
+            TextAnalysis.learnBpeFrom(bucketed.select(col("doc_id"), col("text"))))
+          bucketed.join(
+            TextAnalysis.bpeEncoded(bucketed.select(col("doc_id"), col("text")), ranks)
+              .select(col("doc_id"), col("n_bpe_tokens").as("pack_tokens")),
+            "doc_id")
+        }
+      val split = packTokens.withColumn("split",
         when(pctBucket < trainPct, "train")
           .when(pctBucket < trainPct + valPct, "val")
           .otherwise("test"))
       val w = Window.partitionBy("pack_bucket").orderBy("doc_id")
       val packed = split
-        .withColumn("pack_bucket", pmod(col("doc_id"), lit(32)))
+        .withColumn("pack_bucket", pmod(col("doc_id"), lit(buckets.toLong)))
         .withColumn("train_tokens",
-          when(col("split") === "train", col("n_tokens")).otherwise(0L))
+          when(col("split") === "train", col("pack_tokens")).otherwise(0L))
         .withColumn("bin",
           when(col("split") === "train",
             concat_ws("_", col("pack_bucket"),
-              ((sum("train_tokens").over(w) - col("n_tokens")) / binTokens)
+              ((sum("train_tokens").over(w) - col("pack_tokens")) / binTokens)
                 .cast("bigint"))))
-        .drop("pack_bucket", "train_tokens")
+        .drop("pack_bucket", "train_tokens", "pack_tokens")
       val out = packed.localCheckpoint()
       stages += "final" -> out.count()
       PreparedWeb(out, pairs, stages.result())

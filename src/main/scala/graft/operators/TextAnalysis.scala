@@ -24,6 +24,26 @@ object TextAnalysis extends QueryModule {
     */
   private[graft] val CcnetSketchAccuracy = 10000
 
+  /** Docs-per-bucket target of [[packBucketCount]]'s derived default. */
+  private[graft] val PackDocsPerBucket = 4096L
+
+  /** Packing-bucket count shared by t_sequence_pack, t_bpe_pack and
+    * TrainingData.prepare/prepareWeb — the PARALLELISM DIAL of the
+    * packing stage: the running-token cumulative sum runs one
+    * independent timeline per bucket, so the bucket count is the
+    * stage's maximum parallelism AND its per-window state bound (a
+    * fixed count at 100 TB would sort ~corpus/32 tokens of window
+    * state per timeline). `spark.graft.pack.buckets` overrides; the
+    * default derives one bucket per ~4096 docs with a floor of 32, so
+    * gate corpora keep the historical 32 while a 10B-doc corpus gets
+    * ~2.4M bounded timelines. Bins are independent across buckets —
+    * more buckets cost nothing in packing quality.
+    */
+  private[graft] def packBucketCount(spark: org.apache.spark.sql.SparkSession,
+                                     nDocs: Long): Int =
+    spark.conf.getOption("spark.graft.pack.buckets").map(_.toInt)
+      .getOrElse(math.max(32L, (nDocs + PackDocsPerBucket - 1) / PackDocsPerBucket).toInt)
+
   /** The t_quality_score scalar, reused by the global-threshold filter:
     * length-capped token share + stopword ratio + alpha density, rounded
     * to 4dp so both engines compare identical doubles.
@@ -1455,17 +1475,19 @@ object TextAnalysis extends QueryModule {
     // belongs to the bin it started in — greedy packing semantics; the
     // padding/truncation decision is the trainer's, the ENGINE's job is
     // the deterministic bin assignment and fill accounting. The bucket
-    // count is the parallelism dial: 32 fits the gate corpus; at
-    // cluster scale set it ~ executor-core count (bins are independent
-    // across buckets, so more buckets = more parallel timelines, at no
-    // cost to packing quality).
+    // count is the parallelism dial — packBucketCount: conf-overridable
+    // (spark.graft.pack.buckets), corpus-derived default (one bucket
+    // per ~4096 docs, floor 32 — so the gate SFs keep the historical
+    // 32 the oracle hardcodes, and a 100 TB corpus gets millions of
+    // bounded timelines instead of 32 corpus-sized ones).
     QueryDef(
       "t_sequence_pack",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val d = Tables(s, dir).documents
+        val buckets = packBucketCount(s, d.count())
         val w = Window.partitionBy("bucket").orderBy("doc_id")
-        d.select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("bucket"),
+        d.select(col("doc_id"), pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
                  expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
           .withColumn("bin",
             expr("CAST((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens) div 2048 AS BIGINT)"))
@@ -1942,6 +1964,52 @@ object TextAnalysis extends QueryModule {
       },
       Some(graft.api.ParseSnapshots.sfPinnedSql("t_bpe_encode")),
     ),
+    // Context-window packing budgeted in REAL tokenizer tokens —
+    // t_sequence_pack's plan with t_bpe_encode's counts: a context
+    // window is a BPE budget in every real pretraining run, and
+    // whitespace counts mis-budget it by the corpus's pretoken/BPE
+    // ratio (on THIS punctuation-free word-soup gate corpus the two
+    // happen to coincide doc-by-doc — the semantic pin that the counts
+    // really come from the trained tokenizer is BpePackSpec's
+    // hand-tokenized recomputation, and prepareWeb's packByBpe arm
+    // exercises punctuated text where they genuinely diverge). A
+    // 512-token budget so the gate corpus actually FILLS bins (~3 per
+    // bucket) instead of one bin per timeline. Same bounded-timeline
+    // shape (bucketed running sum, packBucketCount dial); the encode
+    // rides the same broadcast rank table as t_bpe_encode. The oracle
+    // chains the committed t_bpe_encode snapshot (the only
+    // non-SQL-expressible step) through an INDEPENDENT SQL
+    // recomputation of the packing, so bin arithmetic is recomputed,
+    // not pinned.
+    QueryDef(
+      "t_bpe_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, dir)
+        val ranks = graft.functions.BpeTokenizer.rankTable(learnBpe(t))
+        val buckets = packBucketCount(s, t.documents.count())
+        val w = Window.partitionBy("bucket").orderBy("doc_id")
+        bpeEncoded(t.documents, ranks)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+                  col("n_bpe_tokens").as("n_tokens"))
+          .withColumn("bin",
+            expr("CAST((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens) div 512 AS BIGINT)"))
+          .groupBy("bucket", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy("bucket", "bin")
+      },
+      Some {
+        val snap = graft.api.ParseSnapshots.sfPinnedSql("t_bpe_encode")
+        s"""WITH bpe AS ($snap),
+           |p AS (SELECT doc_id, doc_id % 32 AS bucket,
+           |  CAST(n_bpe_tokens AS BIGINT) AS n_tokens FROM bpe),
+           |b AS (SELECT bucket, doc_id, n_tokens,
+           |  CAST((CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) - n_tokens) // 512 AS BIGINT) AS bin
+           |  FROM p)
+           |SELECT bucket, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+           |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
+    ),
     // BIGRAM-LM cross-entropy scoring (the CCNet/KenLM quality signal
     // one order up from t_unigram_surprisal): train an add-k-smoothed
     // bigram model on the corpus itself, score every document by
@@ -2354,8 +2422,14 @@ object TextAnalysis extends QueryModule {
   private[graft] val BpePretokenRegex = BpePretokenPattern.r
 
   /** Corpus → word histogram → 200 BPE merges (see t_bpe_train). */
-  private[graft] def learnBpe(t: Tables): Seq[graft.functions.BpeTokenizer.Merge] = {
-    val words = t.documents
+  private[graft] def learnBpe(t: Tables): Seq[graft.functions.BpeTokenizer.Merge] =
+    learnBpeFrom(t.documents)
+
+  /** [[learnBpe]] over any (doc_id, text) frame — prepareWeb trains on
+    * its own survivor corpus rather than the raw table.
+    */
+  private[graft] def learnBpeFrom(docs: org.apache.spark.sql.DataFrame): Seq[graft.functions.BpeTokenizer.Merge] = {
+    val words = docs
       .select(explode(expr(
         s"regexp_extract_all(text, '$BpePretokenPattern', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
