@@ -66,7 +66,12 @@ object ScaleDemo {
     */
   val Variants: Map[String, (String, String, String)] = Map(
     "t_ccnet_buckets_approx" ->
-      (("t_ccnet_buckets", "spark.graft.ccnet.approxCuts", "true")))
+      (("t_ccnet_buckets", "spark.graft.ccnet.approxCuts", "true")),
+    // one host owns ~60% of discovered urls — the adversarial shape
+    // the bounded-heap partial aggregate exists for (a window sort
+    // would ship the giant host's every url to one partition)
+    "t_crawl_frontier_skew" ->
+      (("t_crawl_frontier", "spark.graft.frontier.skewHost", "true")))
 
   /** Custom cells: production compositions with no registry entry of
     * their own (their correctness lives in a parity spec, not an

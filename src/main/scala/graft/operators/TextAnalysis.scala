@@ -977,6 +977,78 @@ object TextAnalysis extends QueryModule {
     (counts, counts.sum)
   }
 
+  /** Model-based quality scoring (the FineWeb-Edu pattern — the third
+    * leg beside the rule batteries and the perplexity scorers): a
+    * logistic-regression classifier over the 4096-bucket hashed
+    * unigram features (the dsirModelLogRatios / ccnetHashedModel
+    * convention, md5 3-hex-char buckets + a bias slot), trained by
+    * `steps` unrolled FULL-BATCH gradient-descent steps with weak
+    * labels from the Gopher rule battery (stop floor 1, prepareWeb's
+    * gate). Deterministic by construction — no sampling, no seed — so
+    * the DuckDB oracle recomputes the identical training as chained
+    * CTEs exactly like d_link_authority's power iterations; per-step
+    * sums of doubles are summation-order dependent cross-engine, so
+    * the output carries that entry's round(6) contract.
+    *
+    * Scale shape: the (doc_id, bucket, x) feature frame is persisted
+    * once and each step is two map-side-combined hash aggregates over
+    * it (margins by doc, gradient by bucket) with the ≤4097-row
+    * weight table broadcast back — the standard distributed
+    * full-batch GD shape; the only driver-side values are the weight
+    * table itself (the ccnetHashedModel bounded-collect convention —
+    * a fixed ≤32 KB model pull per step, never data movement) and the
+    * one corpus count that normalizes the gradient.
+    */
+  private[graft] val QualityModelLr = 10.0
+  private[graft] def qualityModel(docs: org.apache.spark.sql.DataFrame,
+                                  steps: Int = 3,
+                                  lr: Double = QualityModelLr): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+    val counts = toks
+      .select(col("doc_id"), expr("substring(md5(term), 1, 3)").as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val nTok = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    // relative term-frequency features + a bias slot (every doc has the
+    // bias row, so margins cover the full corpus) + a capped-length
+    // slot: relative frequencies NORMALIZE length away, yet document
+    // length is the dominant signal of every rule battery (the Gopher
+    // word floor) — without it the classifier can only see vocabulary
+    val feat = counts.join(nTok, "doc_id")
+      .select(col("doc_id"), col("b"),
+        (col("c").cast("double") / col("nt").cast("double")).as("x"))
+      .unionByName(docs.select(col("doc_id"), lit("bias").as("b"), lit(1.0).as("x")))
+      .unionByName(nTok.select(col("doc_id"), lit("len").as("b"),
+        (least(col("nt"), lit(200L)).cast("double") / 200.0).as("x")))
+    val y = gopherRules(docs).select(col("doc_id"),
+      when(col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
+        col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+        col("stop_hits") >= 1, 1.0).otherwise(0.0).as("y"))
+    val fl = feat.join(y, "doc_id").persist()
+    val n = docs.count().toDouble
+    var w: Map[String, Double] = Map.empty // all-zero weights
+    for (_ <- 1 to steps) {
+      val margins =
+        if (w.isEmpty) docs.select(col("doc_id"), lit(0.0).as("m"))
+        else fl.join(broadcast(w.toSeq.toDF("b", "wv")), "b")
+          .groupBy("doc_id").agg(sum(col("wv") * col("x")).as("m"))
+      val grad = fl.join(margins, "doc_id")
+        .select(col("b"),
+          ((lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")) * col("x")).as("g"))
+        .groupBy("b").agg(sum(col("g")).as("gs"))
+        .as[(String, Double)].collect() // ≤ 4097 rows by construction
+      w = grad.map { case (b, gs) => b -> (w.getOrElse(b, 0.0) - lr * gs / n) }.toMap
+    }
+    val out = fl.join(broadcast(w.toSeq.toDF("b", "wv")), "b")
+      .groupBy("doc_id")
+      .agg(max(col("y")).as("y"), sum(col("wv") * col("x")).as("m"))
+      .select(col("doc_id"), (col("y") === 1.0).as("label"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("score"))
+    Materialize(out, fl)
+  }
+
   /** Sliding-window chunk projection shared by batch (t_chunk_overlap)
     * and streaming (st_chunk_overlap): 256-char windows at 192-char
     * stride, md5-content-addressed. STATELESS sequence+explode+substring
@@ -1805,11 +1877,26 @@ object TextAnalysis extends QueryModule {
     // ≤ 50·hosts winners broadcast-join their url rows back. Hosts
     // number in the millions on a real crawl, so per-host groups are
     // naturally bounded; the gate corpus's 5 synthetic hosts just
-    // concentrate the fixture.
+    // concentrate the fixture. The ADVERSARIAL shape the bounded heap
+    // exists for is host skew — one host owning half the crawl — and
+    // `spark.graft.frontier.skewHost` selects exactly that fixture
+    // (every even doc lands on host 0, ~60% of urls): the heap's
+    // ≤ k-per-host-per-partition contract is what keeps the exchange
+    // O(hosts·k) there, where a window sort would ship the giant
+    // host's every url to one partition. The scale sweep measures the
+    // arm as t_crawl_frontier_skew; the driver gate runs the default
+    // (the oracle recomputes the 5-host fixture), and
+    // CrawlFrontierSpec pins heap≡window parity UNDER skew plus the
+    // per-partition heap-state bound itself.
     QueryDef(
       "t_crawl_frontier",
       (s, dir) => {
         import s.implicits._
+        val skew = s.conf.getOption("spark.graft.frontier.skewHost").exists(_.toBoolean)
+        val host =
+          if (skew) when(pmod(col("doc_id"), lit(2L)) === 0L, lit(0L))
+            .otherwise(pmod(col("doc_id"), lit(5L)))
+          else pmod(col("doc_id"), lit(5L))
         val d = Tables(s, dir).documents
         val urls = sitemapUrls(d).filter(!col("is_index"))
         val robots = robotsDecisions(d.select(col("doc_id")))
@@ -1817,7 +1904,7 @@ object TextAnalysis extends QueryModule {
         val cand = urls.join(robots, "doc_id")
           .withColumn("item", col("doc_id") * 8 + col("entry_i"))
         val top = cand
-          .select((col("doc_id") % 5).as("h"), col("item"), col("priority"))
+          .select(host.as("h"), col("item"), col("priority"))
           .as[(Long, Long, Double)]
           .groupByKey(_._1)
           .agg(new graft.functions.TopKByScore(50).toColumn)
@@ -1827,7 +1914,7 @@ object TextAnalysis extends QueryModule {
           .toDF("item", "crawl_rank")
         broadcast(top).join(cand, "item")
           .select(
-            concat(lit("site"), (col("doc_id") % 5).cast("string"), lit(".test")).as("host"),
+            concat(lit("site"), host.cast("string"), lit(".test")).as("host"),
             col("crawl_rank"), col("loc"), col("priority"), col("crawl_delay"))
           .orderBy("host", "crawl_rank")
       },
@@ -1881,6 +1968,57 @@ object TextAnalysis extends QueryModule {
              |p50_tokens, p90_tokens, vocab_size, term AS top_term,
              |ROUND(CAST(c AS DOUBLE) / vsum, 4) AS top_term_share
              |FROM b CROSS JOIN ts CROSS JOIN v CROSS JOIN top""".stripMargin),
+    ),
+    // Model-based quality scoring (see qualityModel's scaladoc): 3
+    // unrolled full-batch GD steps of a logistic classifier over the
+    // 4096-bucket hashed features, gopher-pass weak labels, the
+    // d_link_authority chained-CTE oracle pattern — each step is one
+    // margins CTE (join weights, sum by doc) and one gradient CTE
+    // (join margins, sum by bucket), exactly the two hash aggregates
+    // the Spark side runs. round(6) on the score: per-step double
+    // sums are summation-order dependent cross-engine.
+    QueryDef(
+      "t_quality_model",
+      (s, dir) => qualityModel(Tables(s, dir).documents).orderBy("doc_id"),
+      Some {
+        val steps = (2 to 3).map { k =>
+          s"""m$k AS MATERIALIZED (SELECT doc_id, SUM(w * x) AS m
+             |  FROM fl JOIN w${k - 1} USING (b) GROUP BY 1),
+             |g$k AS MATERIALIZED (SELECT fl.b, SUM((1.0 / (1.0 + exp(-m)) - y) * x) AS gs
+             |  FROM fl JOIN m$k USING (doc_id) GROUP BY 1),
+             |w$k AS MATERIALIZED (SELECT b, w - $QualityModelLr * gs / n AS w
+             |  FROM w${k - 1} JOIN g$k USING (b) CROSS JOIN nn),""".stripMargin
+        }.mkString("\n")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+           |cnt AS (SELECT doc_id, substr(md5(term), 1, 3) AS b,
+           |  CAST(COUNT(*) AS BIGINT) AS c FROM t2 GROUP BY 1, 2),
+           |ntk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM t2 GROUP BY 1),
+           |feat AS MATERIALIZED (
+           |  SELECT doc_id, b, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS x
+           |  FROM cnt JOIN ntk USING (doc_id)
+           |  UNION ALL
+           |  SELECT doc_id, 'bias' AS b, CAST(1.0 AS DOUBLE) AS x FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, 'len' AS b, CAST(LEAST(nt, 200) AS DOUBLE) / 200.0 AS x FROM ntk),
+           |gm AS (SELECT doc_id,
+           |  $GopherMetricColsSql
+           |  FROM documents),
+           |lab AS MATERIALIZED (SELECT doc_id,
+           |  CASE WHEN ${gopherPassCondSql(1)}
+           |  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y FROM gm),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+           |fl AS MATERIALIZED (SELECT f.doc_id, f.b, f.x, l.y
+           |  FROM feat f JOIN lab l USING (doc_id)),
+           |g1 AS MATERIALIZED (SELECT b, SUM((0.5 - y) * x) AS gs FROM fl GROUP BY 1),
+           |w1 AS MATERIALIZED (SELECT b, 0.0 - $QualityModelLr * gs / n AS w FROM g1 CROSS JOIN nn),
+           |$steps
+           |mf AS MATERIALIZED (SELECT doc_id, SUM(w * x) AS m
+           |  FROM fl JOIN w3 USING (b) GROUP BY 1)
+           |SELECT l.doc_id, l.y = 1.0 AS label,
+           |ROUND(1.0 / (1.0 + exp(-m)), 6) AS score
+           |FROM lab l JOIN mf USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
     ),
     QueryDef(
       "t_ccnet_buckets",

@@ -58,4 +58,52 @@ class CrawlFrontierSpec extends SparkSpec {
         col("crawl_rank"), col("loc"), col("priority"), col("crawl_delay"))
     assert(frontier.except(viaWindow).isEmpty && viaWindow.except(frontier).isEmpty)
   }
+
+  test("SKEWED hosts (one host ~60% of urls): heap still equals the window rank") {
+    // the adversarial shape the bounded heap exists for — the
+    // spark.graft.frontier.skewHost arm the scale sweep measures as
+    // t_crawl_frontier_skew
+    spark.conf.set("spark.graft.frontier.skewHost", "true")
+    val skewed =
+      try SparkEntry.queries("t_crawl_frontier")(spark, sfDir).cache()
+      finally spark.conf.unset("spark.graft.frontier.skewHost")
+    val d = Tables(spark, sfDir).documents
+    val urls = graft.operators.TextAnalysis.sitemapUrls(d).filter(!col("is_index"))
+    val robots = graft.operators.TextAnalysis
+      .robotsDecisions(d.select(col("doc_id")))
+      .filter(col("allowed")).select(col("doc_id"), col("crawl_delay"))
+    val host = when(pmod(col("doc_id"), lit(2L)) === 0L, lit(0L))
+      .otherwise(pmod(col("doc_id"), lit(5L)))
+    val w = Window.partitionBy(host)
+      .orderBy(col("priority").desc, col("doc_id") * 8 + col("entry_i"))
+    val viaWindow = urls.join(robots, "doc_id")
+      .withColumn("crawl_rank", row_number().over(w))
+      .filter(col("crawl_rank") <= 50)
+      .select(concat(lit("site"), host.cast("string"), lit(".test")).as("host"),
+        col("crawl_rank"), col("loc"), col("priority"), col("crawl_delay"))
+    // the fixture is genuinely skewed: host 0 holds over half the urls
+    val byHost = urls.join(robots, "doc_id").groupBy(host.as("h")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHost(0L).toDouble / byHost.values.sum > 0.5)
+    assert(skewed.except(viaWindow).isEmpty && viaWindow.except(skewed).isEmpty)
+  }
+
+  test("the heap's partial state never exceeds k, whatever one partition feeds it") {
+    // the contract that bounds the exchange at O(hosts · k) under any
+    // skew: reduce/merge keep at most k entries no matter how many
+    // rows a giant host pushes through one map partition
+    val agg = new graft.functions.TopKByScore(50)
+    var buf = agg.zero
+    (0 until 10000).foreach { i =>
+      buf = agg.reduce(buf, (0L, i.toLong, (i * 37 % 1000) / 1000.0))
+      assert(buf.size <= 50)
+    }
+    val merged = agg.merge(buf, buf)
+    assert(merged.size <= 50)
+    // and what survives is the true top-50 (score desc, id asc)
+    val expected = (0 until 10000)
+      .map(i => (i.toLong, (i * 37 % 1000) / 1000.0))
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+    assert(agg.finish(buf) == expected)
+  }
 }
