@@ -329,8 +329,10 @@ object Dedup extends QueryModule {
     * `maxShingles` rows each), each (doc_b, g) membership-checks
     * against the exploded corpus with a semi join, and the survivor
     * count IS |A∩B| because shingle sets are distinct. The only
-    * persisted frame is the narrow exploded one; the wide
-    * array-carrying frame the old formulation held on BOTH verify
+    * persisted frame is the COMPACT shingle-array one (explodes derive
+    * from it lazily per use — row-form caching measured ~3× the array
+    * footprint and OOMed the single-JVM heap at 1000×); the wide
+    * per-pair array re-join the old formulation ran on BOTH verify
     * sides (the 48 GiB stretch-heap cell at 100×) never exists. Long
     * docs keep the banded path: for them the probe join would fan out
     * by document length, which is exactly what the threshold excludes.
@@ -338,34 +340,114 @@ object Dedup extends QueryModule {
   def containmentProbePairs(docs: DataFrame, tau: Double = 0.5,
                             maxShingles: Int = 20,
                             maxBucket: Int = MaxBucket): DataFrame = {
-    val exploded = shingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("g")).persist()
-    // full (uncapped) distinct-shingle count per doc — the |A| divisor
-    // and the probe-selection predicate (same value as size(sh))
-    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val probeIds = sizes.filter(col("nsh") <= maxShingles)
-    val idx = capBuckets(exploded, Seq("g"), maxBucket)
+    // cache ONLY the probe slice — bounded by the short-doc contract.
+    // Caching the corpus-side shingles in ANY form was measured to kill
+    // the 8 GiB single-JVM heap at 1000×: the exploded row form is ~3×
+    // the arrays' footprint, the array form's protected storage floor
+    // starves the joins' execution memory, and even DISK_ONLY dies in
+    // the columnar batch build. The corpus instead pays two extra
+    // STREAMING shingle passes (the `relevant` restriction and the
+    // `bGrams` verify slice below — both reduce to small frames
+    // immediately), which is linear scan work that needs no memory at
+    // any scale; shingling here is a zip_with over the token array, not
+    // the md5 chain the LSH family caches to avoid recomputing.
+    val sh = shingles(docs)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val probeSh = sh.filter(size(col("sh")) <= maxShingles).persist()
+    // restrict the corpus to the PROBE GRAM SET before anything wide:
+    // only grams that can ever meet a probe matter to candidate
+    // generation OR to the hot-gram cap (a capped gram that never joins
+    // a probe is irrelevant, and restriction by gram VALUE keeps every
+    // occurrence of a surviving gram, so its global count — the cap's
+    // input — is exact). The restriction is a BROADCAST semi join on
+    // the probes' distinct gram HASHES (64-bit longs — ~16× lighter to
+    // broadcast than the gram strings; a hash collision only admits
+    // extra rows that the exact equi-joins below ignore): without it,
+    // both the cap's groupBy and the candidate join shuffle the FULL
+    // exploded corpus (~25 GB of spill each at 1000×, measured to
+    // exhaust the sweep host's disk); with it they shuffle only the
+    // probe-relevant slice. The broadcast is bounded by probes ×
+    // maxShingles — the short-doc contract — and is SKIPPED when the
+    // probe set approaches the corpus itself (prepareWeb's wide
+    // threshold over an all-short gate corpus): in that regime the
+    // restriction cannot shrink anything, so the plain exploded frame
+    // flows to the (then inherently corpus-wide) index build instead
+    // of a corpus-sized broadcast.
+    val nProbes = probeSh.count()
+    // EAGERLY checkpointed: `relevant` feeds capBuckets (whose
+    // oversized-key broadcast subquery re-instantiates its input), the
+    // candidate join's BOTH sides, and the verify chain — without the
+    // lineage cut, every one of those re-derives the corpus scan plus
+    // its widening Exchange (measured: 25 copies of the raw-corpus
+    // shuffle in one plan, ~70 GB of shuffle spill at 1000× — a disk
+    // failure no heap size fixes). With it the corpus is scanned
+    // exactly three times (probe slice, this restriction, the verify
+    // slice), each written once. DISK_ONLY checkpoint storage: the
+    // default MEMORY_AND_DISK unroll buffers (~7 GB of deserialized
+    // rows at 1000×) race the concurrently-materializing AQE stages'
+    // aggregation state for the same unified region (measured:
+    // AGGREGATE_OUT_OF_MEMORY at 1000× on the default heap), while the
+    // disk form streams out serialized and re-reads at scan speed.
+    val relevant =
+      (if (nProbes * maxShingles <= 4L * 1000 * 1000) {
+        val probeGramHashes = probeSh.select(explode(col("sh")).as("pg"))
+          .select(xxhash64(col("pg")).as("gh")).distinct()
+        exploded.withColumn("gh", xxhash64(col("g")))
+          .join(broadcast(probeGramHashes), Seq("gh"), "left_semi")
+          .drop("gh")
+      } else exploded).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val idx = capBuckets(relevant, Seq("g"), maxBucket)
     val probes = idx
-      .join(probeIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(probeSh.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("g"))
-    val cand = probes.join(idx.select(col("doc_id").as("doc_b"), col("g")), "g")
+    // PPJoin-style COUNT filter (Xiao et al., WWW'08, the standard
+    // companion to Bayardo's prefix filter): the candidate join emits
+    // one row per shared UNCAPPED gram, so its per-pair count is
+    // exactly |A_uncapped ∩ B| — capping drops a hot gram's rows from
+    // BOTH sides, so a B-side occurrence of an uncapped gram always
+    // survives. |A∩B| can exceed that count only by A's own capped
+    // grams (nsh − a_capped of them), giving a sound upper bound to
+    // prune on: on a vocabulary-dense corpus almost every probe shares
+    // SOME gram with thousands of docs (measured: the unpruned
+    // candidate doc_b set reached ~60 % of the corpus at 1000× and its
+    // verification sort spilled ~75 GB), but pairs that can still
+    // reach tau are ~the true near-dups.
+    val candCounts = probes
+      .join(idx.select(col("doc_id").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") =!= col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // |A∩B| per candidate: probe grams are UNCAPPED here (verification
-    // is exact even for grams the candidate index dropped as hot)
-    val probeAllGrams = exploded
-      .join(probeIds.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("doc_a"), col("g"))
-    val inter = cand.join(probeAllGrams, "doc_a")
-      .join(exploded.select(col("doc_id").as("doc_b"), col("g")),
-        Seq("doc_b", "g"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(probeIds.select(col("doc_id").as("doc_a"), col("nsh")), "doc_a")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_capped"))
+    val aStats = probes.groupBy("doc_a").agg(count(lit(1)).as("a_capped"))
+      .join(probeSh.select(col("doc_id").as("doc_a"),
+        size(col("sh")).cast("bigint").as("nsh")), "doc_a")
+    val plausible = candCounts.join(aStats, "doc_a")
+      .filter((col("c_capped") + (col("nsh") - col("a_capped"))).cast("double")
+        / col("nsh") >= tau)
+    // exact residual — only A's HOT (capped) grams are uncounted, and
+    // only for probes that lost grams to the cap at all: membership-
+    // check those few (pair, gram) rows against the corpus slice of
+    // the plausible doc_bs (a broadcast semi — the corpus never
+    // shuffles). For the common fully-uncapped probe, c_hot is null
+    // and c_capped already IS |A∩B|.
+    val hotA = probeSh
+      .select(col("doc_id").as("doc_a"), explode(col("sh")).as("g"))
+      .join(probes, Seq("doc_a", "g"), "left_anti")
+    val hotPairs = plausible
+      .join(aStats.filter(col("a_capped") < col("nsh")).select("doc_a"),
+        Seq("doc_a"), "left_semi")
+    val bGramsHot = exploded.select(col("doc_id").as("doc_b"), col("g"))
+      .join(broadcast(hotPairs.select("doc_b").distinct()), Seq("doc_b"), "left_semi")
+    val hotShared = hotPairs.select("doc_a", "doc_b")
+      .join(hotA, "doc_a")
+      .join(bGramsHot, Seq("doc_b", "g"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_hot"))
+    val out = plausible
+      .join(hotShared, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("nsh"), 4).as("containment"))
+        round((col("c_capped") + coalesce(col("c_hot"), lit(0L))).cast("double")
+          / col("nsh"), 4).as("containment"))
       .filter(col("containment") >= tau)
-    materialized(out, exploded)
+    materialized(out, probeSh)
   }
 
   /** Chunk-level (C4/RefinedWeb "line-level") dedup: split each doc into
@@ -863,14 +945,14 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
         val minted = d.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"),
+          .select((col("doc_id") + 100000000000L).as("doc_id"),
             expr("array_join(slice(split(text, ' '), 1, 20), ' ')").as("text"))
         containmentProbePairs(d.unionByName(minted))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH src AS (SELECT doc_id, text FROM documents
              |  UNION ALL
-             |  SELECT doc_id + 10000000,
+             |  SELECT doc_id + 100000000000,
              |    array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
              |  FROM documents WHERE doc_id % 50 = 0),
              |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM src),
