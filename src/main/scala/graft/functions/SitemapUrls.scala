@@ -47,18 +47,28 @@ object SitemapUrls {
     * declarations are REFUSED outright (no entity expansion surface at
     * all, rather than relying on the JDK's secure-processing expansion
     * limits), and external general/parameter entities are disabled.
-    * Factory + parser are per-call: neither is thread-safe, and the
-    * executor-side cost is microseconds against a network fetch.
+    * The FACTORY is cached per thread — SAXParserFactory.newInstance
+    * does an SPI service lookup every call (measured 6× on the
+    * crawl-frontier scale cell when created per document) and the
+    * class is not thread-safe, so ThreadLocal gives each executor task
+    * thread its own; the parser itself is per-call (cheap from a
+    * configured factory, and parser instances are stateful).
     */
-  private def secureLoader() = {
-    val f = javax.xml.parsers.SAXParserFactory.newInstance()
-    f.setNamespaceAware(false)
-    f.setXIncludeAware(false)
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-    scala.xml.XML.withSAXParser(f.newSAXParser())
-  }
+  private val secureFactory =
+    new ThreadLocal[javax.xml.parsers.SAXParserFactory] {
+      override def initialValue(): javax.xml.parsers.SAXParserFactory = {
+        val f = javax.xml.parsers.SAXParserFactory.newInstance()
+        f.setNamespaceAware(false)
+        f.setXIncludeAware(false)
+        f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+        f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+        f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+        f
+      }
+    }
+
+  private def secureLoader() =
+    scala.xml.XML.withSAXParser(secureFactory.get().newSAXParser())
 
   def parse(xml: String): Option[Sitemap] = {
     if (xml.length > MaxChars) return None
