@@ -28,8 +28,14 @@ object Bench {
     "q_band_join_auto", "q_skew_join_salted",
   )
 
+  /** r12 added the two surfaces above; r14 adds the two heaviest r13
+    * operators (t_quality_model, d_containment_probe) so they get
+    * round-over-round tracking like d_web_pipeline got in r12.
+    * legacy_total stays the frozen 11-query subset.
+    */
   val Headline: Seq[String] =
-    LegacyHeadline ++ Seq("d_web_pipeline", "m_jpeg_pixels")
+    LegacyHeadline ++ Seq("d_web_pipeline", "m_jpeg_pixels",
+      "t_quality_model", "d_containment_probe")
 
   /** Single-thread CPU canary: a fixed, data-independent integer-mix
     * loop (xxhash-style avalanche over 1 << 22 iterations) timed on one
@@ -101,8 +107,12 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
     val (steal0, total0) = statTicks()
     val maxLoad = sys.env.get("GRAFT_BENCH_MAX_LOAD").flatMap(_.toDoubleOption).getOrElse(8.0)
-    val BasePasses = 3
-    val MaxPasses = 5
+    // 5 base passes always (was 3 + up to 2 load-gated extras): r13's
+    // 3-pass mins ran 6–17% over r12's 5-pass mins on UNTOUCHED code —
+    // min-of-5 is the stable cross-round statistic, so take 5
+    // unconditionally and keep 2 extra load-gated passes on top
+    val BasePasses = 5
+    val MaxPasses = 7
     val samples = Array.fill(Headline.size)(Vector.empty[Double])
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     var p = 0

@@ -71,7 +71,12 @@ object ScaleDemo {
     // the bounded-heap partial aggregate exists for (a window sort
     // would ship the giant host's every url to one partition)
     "t_crawl_frontier_skew" ->
-      (("t_crawl_frontier", "spark.graft.frontier.skewHost", "true")))
+      (("t_crawl_frontier", "spark.graft.frontier.skewHost", "true")),
+    // the probe WITHOUT the gram-set restriction semi-join (the skip
+    // path forced) — measured against the default cell, this is the
+    // restriction's win as a number instead of a design claim
+    "d_containment_probe_norestrict" ->
+      (("d_containment_probe", "spark.graft.probe.noRestrict", "true")))
 
   /** Custom cells: production compositions with no registry entry of
     * their own (their correctness lives in a parity spec, not an
@@ -95,6 +100,28 @@ object ScaleDemo {
     "d_web_pipeline_fast" -> ((s, dir) => {
       import s.implicits._
       graft.api.TrainingData.prepareWeb(Tables(s, dir).documents)
+        .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
+        .toDF("stage_idx", "stage", "n_docs")
+    }),
+    // the composite with a TRUE-MINORITY probe threshold (20 shingles
+    // — the standalone entry's default) alongside the corpus-derived
+    // decile cell: the two rows bound the probe arm's cost across its
+    // regimes (the gate entry itself refuses the conf override, so
+    // this is an explicit-argument custom cell)
+    "d_web_pipeline_probe20" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.TrainingData.prepareWeb(Tables(s, dir).documents,
+          probeMaxShingles = 20)
+        .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
+        .toDF("stage_idx", "stage", "n_docs")
+    }),
+    // the model-quality arm at scale (trains the classifier on the
+    // url-deduped corpus, scores the ccnet survivors — the
+    // d_web_pipeline_model gate entry's production-hash twin)
+    "d_web_pipeline_model_fast" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.TrainingData.prepareWeb(Tables(s, dir).documents,
+          modelQuality = true)
         .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
         .toDF("stage_idx", "stage", "n_docs")
     }))

@@ -178,13 +178,22 @@ object TrainingData {
     *                   the d_web_pipeline gate entry); false = the
     *                   xxhash64 production path (default, same banding
     *                   and verification, several times faster hashing)
+    * @param probeMaxShingles explicit short-doc probe threshold; ≤ 0
+    *                   (default) derives it from the corpus — the
+    *                   smallest shingle count covering the bottom
+    *                   decile of battery survivors — with
+    *                   `spark.graft.probe.maxShingles` overriding both
+    * @param modelQuality add the model-quality filter stage
+    *                   (`model_keep`): train t_quality_model's
+    *                   classifier on the url-deduped corpus, score the
+    *                   ccnet survivors, keep the top ~90% by score
     */
   def prepareWeb(docs: DataFrame, oracleHash: Boolean = false,
                  trainPct: Int = 80, valPct: Int = 10,
                  binTokens: Int = 2048,
-                 probeMaxShingles: Int =
-                   graft.operators.WebPipeline.ProbeMaxShingles,
-                 packByBpe: Boolean = false): PreparedWeb = {
+                 probeMaxShingles: Int = 0,
+                 packByBpe: Boolean = false,
+                 modelQuality: Boolean = false): PreparedWeb = {
     import graft.operators.TextAnalysis
     val spark = docs.sparkSession
     import spark.implicits._
@@ -244,9 +253,7 @@ object TrainingData {
       // published-filter battery, one attrition stage per filter
       val texts = urlDeduped.select(col("doc_id"), col("text"))
       val gopherKeep = TextAnalysis.gopherRules(texts)
-        .filter(col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
-          col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
-          col("stop_hits") >= 1)
+        .filter(TextAnalysis.gopherWeakPassCond)
         .select("doc_id")
       val gophered = stage("filter_gopher",
         urlDeduped.join(gopherKeep, Seq("doc_id"), "left_semi"))
@@ -285,19 +292,39 @@ object TrainingData {
       // the banded collision knee, so LSH alone provably misses it
       // (Dedup.containmentProbePairs' scaladoc derives the miss
       // probability; WebPipelineSpec pins an excerpt the banded arm
-      // keeps and this arm dedups). The probe threshold is wider here
-      // than the standalone entry's 20: the Gopher word floor already
-      // guarantees survivors carry ≥ ~48 shingles, so "short" means
-      // short RELATIVE to the corpus — up to `probeMaxShingles`
-      // shingles (~102 words), each probing the gram index with a
-      // bounded number of keys. Both arms are exact-gram verified, so
-      // the union is hash-path independent (identical under md5 and
-      // xxhash64 LSH signatures).
+      // keeps and this arm dedups). "Short" is CORPUS-RELATIVE, not a
+      // constant: the threshold is the smallest shingle count covering
+      // the bottom decile of the battery survivors (round 13's fixed
+      // 100 happened to span most of the gate corpus's survivor
+      // lengths, so the probe arm ran as a second corpus-wide pass and
+      // the bounded-broadcast restriction path never fired in the
+      // product). The derivation is pure integer arithmetic
+      // (ceil(n/10) rank into a cumulative count over DISTINCT sizes —
+      // a relation bounded by max document length, never corpus size;
+      // a float quantile's interpolation is not integer-stable
+      // cross-engine). `spark.graft.probe.maxShingles` overrides, then
+      // an explicit probeMaxShingles argument, then the derivation.
+      // Both arms are exact-gram verified, so the union is hash-path
+      // independent (identical under md5 and xxhash64 LSH signatures).
+      val exTexts = exact.select(col("doc_id"), col("text"))
+      val probeThr: Int = spark.conf.getOption("spark.graft.probe.maxShingles")
+        .map(_.toInt)
+        .orElse(if (probeMaxShingles > 0) Some(probeMaxShingles) else None)
+        .getOrElse {
+          val need = (lastCount + 9L) / 10L
+          val wCum = Window.orderBy("nsh")
+          graft.operators.Dedup.shingles(exTexts)
+            .select(size(col("sh")).cast("bigint").as("nsh"))
+            .groupBy("nsh").agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum("c").over(wCum))
+            .filter(col("cum") >= need)
+            .agg(min("nsh")).head().getLong(0).toInt
+        }
       val lshPairs =
         if (oracleHash) graft.operators.Dedup.minhashLsh(exact.select(col("doc_id"), col("text")))
         else graft.operators.Dedup.minhashLsh64(exact.select(col("doc_id"), col("text")))
       val probePairs = graft.operators.Dedup.containmentProbePairs(
-          exact.select(col("doc_id"), col("text")), maxShingles = probeMaxShingles)
+          exTexts, maxShingles = probeThr)
         .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       val pairs = lshPairs.select(col("doc_a"), col("doc_b"))
@@ -312,8 +339,36 @@ object TrainingData {
       // (the 100 TB arm), with the gate running the exact default.
       val cc = TextAnalysis.ccnetBuckets(deduped.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("n_tokens"), col("surprisal"), col("bucket"))
-      val bucketed = stage("ccnet_keep",
+      val ccKept = stage("ccnet_keep",
         deduped.join(cc.filter(col("bucket") =!= "tail"), "doc_id"))
+
+      // model-quality filter arm — the FineWeb-Edu deployment of
+      // t_quality_model as a pipeline stage with its own attrition
+      // row. The classifier TRAINS on the url-deduped corpus, where
+      // the gopher weak labels still carry both classes (training on
+      // battery survivors would see only positives — every survivor
+      // passed the gopher gate by construction), and SCORES the ccnet
+      // survivors; the keep floor is the survivors' own bottom score
+      // decile (the ccnet-cut convention: one exact-percentile scalar
+      // reaches the filter as a literal; swap for a GK sketch at
+      // 100 TB exactly as ccnetBuckets documents). Training cost is
+      // the already-audited t_quality_model shape: 3 GD steps of two
+      // map-side-combined hash aggregates each over the persisted
+      // feature frame, a ≤32 KB weight pull per step.
+      val bucketed =
+        if (!modelQuality) ccKept
+        else {
+          val weights = TextAnalysis.qualityModelWeights(
+            urlDeduped.select(col("doc_id"), col("text")))
+          val scored = TextAnalysis.qualityModelScores(
+            ccKept.select(col("doc_id"), col("text")), weights)
+          val thrRow = scored.agg(expr("percentile(score, 0.1D)")).head()
+          val thr = if (thrRow.isNullAt(0)) Double.NegativeInfinity
+                    else thrRow.getDouble(0)
+          stage("model_keep",
+            ccKept.join(scored.filter(col("score") >= lit(thr)).select("doc_id"),
+              Seq("doc_id"), "left_semi"))
+        }
 
       // deterministic split + packing plan — prepare()'s tail. Bin
       // budgets are whitespace n_tokens by default (the gate oracle's

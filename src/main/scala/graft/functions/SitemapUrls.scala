@@ -36,12 +36,31 @@ object SitemapUrls {
 
   val MaxEntries = 50000
 
-  /** The protocol's 50 MB uncompressed-sitemap bound, applied to the
-    * in-memory char count BEFORE parsing (chars ≤ UTF-8 bytes, so any
-    * input over the byte bound is also over this one): crawl input is
-    * untrusted, and the size gate runs before the parser ever sees it.
+  /** The protocol's 50 MB uncompressed-sitemap bound. The cheap first
+    * gate is the in-memory CHAR count — note the direction: chars ≤
+    * UTF-8 bytes, so a char-count cap alone UNDER-enforces the byte
+    * bound (a multibyte sitemap of ≤ 50M chars can encode to up to
+    * ~200 MB of UTF-8). Memory is already bounded (the string is in
+    * hand), but the protocol bound is on BYTES, so inputs past the
+    * chars-can't-exceed-it floor (MaxBytes/3 — BMP chars encode to ≤ 3
+    * bytes, and a 4-byte supplementary code point spends 2 chars)
+    * additionally pay one exact encoded-length scan before parsing.
     */
+  val MaxBytes = 50 * 1024 * 1024
   val MaxChars = 50 * 1024 * 1024
+
+  /** Exact UTF-8 encoded length without materializing the bytes. */
+  private def utf8Length(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+      i += 1
+    }
+    // a surrogate pair counted 3+3 above actually encodes to 4
+    n - 2 * s.codePoints().filter(_ > 0xFFFF).count()
+  }
 
   /** Explicitly hardened SAX parser for untrusted crawl XML: DOCTYPE
     * declarations are REFUSED outright (no entity expansion surface at
@@ -72,6 +91,7 @@ object SitemapUrls {
 
   def parse(xml: String): Option[Sitemap] = {
     if (xml.length > MaxChars) return None
+    if (xml.length > MaxBytes / 3 && utf8Length(xml) > MaxBytes) return None
     val root =
       try secureLoader().loadString(xml)
       catch { case scala.util.control.NonFatal(_) => return None }

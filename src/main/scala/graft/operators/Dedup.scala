@@ -374,6 +374,26 @@ object Dedup extends QueryModule {
     // flows to the (then inherently corpus-wide) index build instead
     // of a corpus-sized broadcast.
     val nProbes = probeSh.count()
+    // Per-task shuffle state is the 1000× single-JVM ceiling: the
+    // candidate join + PPJoin count aggregate sort/aggregate the
+    // restricted exploded corpus, and at the default 32 shuffle
+    // partitions each of the 32 concurrent tasks holds ~1/32 of a
+    // ~450M-row frame in the ONE shared 8 GiB unified region
+    // (measured: the r13 cell needed a 48g stretch heap). Raising the
+    // INITIAL shuffle partition count shrinks per-task state
+    // proportionally while AQE coalesces small post-shuffle reads
+    // back, so small corpora pay nothing; partitioning is
+    // semantics-free, so the gate hash is untouched. Scaled by the
+    // probe count (the corpus-side explode grows with the probe set
+    // it is restricted to), capped — a real cluster sizes this by
+    // executor count instead.
+    val spark = docs.sparkSession
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevInit = spark.conf.getOption(initKey)
+    val probeParts = math.min(4096L,
+      math.max(spark.sessionState.conf.numShufflePartitions.toLong, nProbes / 64))
+    spark.conf.set(initKey, probeParts.toString)
+    try {
     // EAGERLY checkpointed: `relevant` feeds capBuckets (whose
     // oversized-key broadcast subquery re-instantiates its input), the
     // candidate join's BOTH sides, and the verify chain — without the
@@ -388,8 +408,16 @@ object Dedup extends QueryModule {
     // aggregation state for the same unified region (measured:
     // AGGREGATE_OUT_OF_MEMORY at 1000× on the default heap), while the
     // disk form streams out serialized and re-reads at scan speed.
+    // spark.graft.probe.noRestrict=true forces the skip path — a
+    // MEASUREMENT arm only (ScaleDemo's d_containment_probe_norestrict
+    // cell), so the restriction's claimed win is a measured number
+    // instead of a design assertion; results are identical either way
+    // (the restriction only removes rows the candidate equi-joins
+    // would ignore).
+    val noRestrict = spark.conf.getOption("spark.graft.probe.noRestrict")
+      .exists(_.toBoolean)
     val relevant =
-      (if (nProbes * maxShingles <= 4L * 1000 * 1000) {
+      (if (!noRestrict && nProbes * maxShingles <= 4L * 1000 * 1000) {
         val probeGramHashes = probeSh.select(explode(col("sh")).as("pg"))
           .select(xxhash64(col("pg")).as("gh")).distinct()
         exploded.withColumn("gh", xxhash64(col("g")))
@@ -420,23 +448,35 @@ object Dedup extends QueryModule {
     val aStats = probes.groupBy("doc_a").agg(count(lit(1)).as("a_capped"))
       .join(probeSh.select(col("doc_id").as("doc_a"),
         size(col("sh")).cast("bigint").as("nsh")), "doc_a")
+    // EAGER checkpoint, like `relevant`: the plausible pair list is
+    // read by BOTH the hot-residual chain and the final projection —
+    // without the cut the heavy candidate join + PPJoin aggregate
+    // re-derive twice — and its (small, post-prune) size is what the
+    // residual's broadcast decision below is made from.
     val plausible = candCounts.join(aStats, "doc_a")
       .filter((col("c_capped") + (col("nsh") - col("a_capped"))).cast("double")
         / col("nsh") >= tau)
+      .localCheckpoint(true)
     // exact residual — only A's HOT (capped) grams are uncounted, and
     // only for probes that lost grams to the cap at all: membership-
     // check those few (pair, gram) rows against the corpus slice of
-    // the plausible doc_bs (a broadcast semi — the corpus never
-    // shuffles). For the common fully-uncapped probe, c_hot is null
-    // and c_capped already IS |A∩B|.
+    // the plausible doc_bs. That slice restriction is a broadcast
+    // semi (the corpus never shuffles) ONLY while the plausible
+    // doc_b set is bounded — the same guard as the probe-gram
+    // broadcast above: a pathological corpus where most plausible
+    // pairs involve capped probe grams would otherwise push a
+    // corpus-scale doc_b set through a broadcast, so past the bound
+    // the restriction falls back to a shuffle semi join. For the
+    // common fully-uncapped probe, c_hot is null and c_capped
+    // already IS |A∩B|.
     val hotA = probeSh
       .select(col("doc_id").as("doc_a"), explode(col("sh")).as("g"))
       .join(probes, Seq("doc_a", "g"), "left_anti")
-    val hotPairs = plausible
-      .join(aStats.filter(col("a_capped") < col("nsh")).select("doc_a"),
-        Seq("doc_a"), "left_semi")
+    val hotPairs = plausible.filter(col("a_capped") < col("nsh"))
+    val hotB = hotPairs.select("doc_b").distinct()
+    val hotBBounded = hotB.count() <= 4L * 1000 * 1000
     val bGramsHot = exploded.select(col("doc_id").as("doc_b"), col("g"))
-      .join(broadcast(hotPairs.select("doc_b").distinct()), Seq("doc_b"), "left_semi")
+      .join(if (hotBBounded) broadcast(hotB) else hotB, Seq("doc_b"), "left_semi")
     val hotShared = hotPairs.select("doc_a", "doc_b")
       .join(hotA, "doc_a")
       .join(bGramsHot, Seq("doc_b", "g"), "left_semi")
@@ -448,6 +488,12 @@ object Dedup extends QueryModule {
           / col("nsh"), 4).as("containment"))
       .filter(col("containment") >= tau)
     materialized(out, probeSh)
+    } finally {
+      prevInit match {
+        case Some(v) => spark.conf.set(initKey, v)
+        case None => spark.conf.unset(initKey)
+      }
+    }
   }
 
   /** Chunk-level (C4/RefinedWeb "line-level") dedup: split each doc into

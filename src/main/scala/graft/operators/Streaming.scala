@@ -446,6 +446,31 @@ object Streaming extends QueryModule {
              |     WHEN surprisal <= c2 THEN 'middle' ELSE 'tail' END AS bucket
              |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin),
     ),
+    // streaming model-quality scoring — the st_ccnet_score deployment
+    // split applied to t_quality_model: the logistic classifier fits
+    // OFFLINE (the batch 3-step GD trainer), its ≤4098-slot weight
+    // table rides the plan as literals, and every arriving document
+    // scores + weak-labels statelessly (no state store, no
+    // watermark). Shares the batch entry's full training-recomputation
+    // oracle, so the STREAM output is itself hash-gated row-for-row
+    // to the independently recomputed training.
+    QueryDef(
+      "st_quality_model",
+      (s, dir) => {
+        val name = s"st_qmodel_${System.nanoTime()}"
+        val w = graft.operators.TextAnalysis
+          .qualityModelWeights(Tables(s, dir).documents)
+        val q = graft.streaming.CorpusStreaming
+          .qualityModelScore(graft.streaming.CorpusStreaming.readDocumentStream(s, dir), w)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_quality_model timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some(graft.operators.TextAnalysis.QualityModelSql),
+    ),
     // streaming Gopher A1.2 repetition battery: the batch
     // t_gopher_repetition typed mapPartitions (shared code — per-doc
     // hash-count + position-mark loops are row-local, so the map is

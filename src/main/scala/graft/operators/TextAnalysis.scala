@@ -84,10 +84,16 @@ object TextAnalysis extends QueryModule {
     * streaming twin (st_gopher_rules). Tokenization is the corpus
     * convention (single-space split) used by every t_* entry.
     */
-  private[graft] def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def gopherRules(docs: org.apache.spark.sql.DataFrame,
+                                 carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    // `carry` columns pass through untouched (default none, so every
+    // existing entry's frame is unchanged) — a STREAMING caller cannot
+    // re-join the battery output to its own other projections without
+    // a stream-stream join, so it threads its columns through instead
     val gopherStop = "('the','be','to','of','and','that','have','with')"
-    docs.select(col("doc_id"), col("text"))
-      .select(
+    val carryCols = carry.map(col)
+    docs.select(col("doc_id") +: col("text") +: carryCols: _*)
+      .select(Seq(
         col("doc_id"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
         // sum of token lengths == chars minus separators (empty tokens
@@ -104,8 +110,8 @@ object TextAnalysis extends QueryModule {
         expr("CAST(size(filter(split(text, '\\n'), l -> startswith(l, '- ') OR startswith(l, '* ') OR startswith(l, '• '))) AS BIGINT)")
           .as("n_bullet"),
         expr("CAST(size(filter(split(text, '\\n'), l -> endswith(l, '...'))) AS BIGINT)")
-          .as("n_ell_end"))
-      .select(
+          .as("n_ell_end")) ++ carryCols: _*)
+      .select(Seq(
         col("doc_id"), col("n_words"),
         round(col("word_chars").cast("double") / col("n_words"), 4).as("mean_word_len"),
         round((col("n_hash") + col("n_ellipsis")).cast("double") / col("n_words"), 4)
@@ -122,7 +128,7 @@ object TextAnalysis extends QueryModule {
         (col("n_bullet").cast("double") / col("n_lines") <= 0.9).as("pass_bullet"),
         (col("n_ell_end").cast("double") / col("n_lines") <= 0.3).as("pass_ellipsis"),
         (col("n_alpha_words").cast("double") / col("n_words") >= 0.8).as("pass_alpha"),
-        (col("stop_hits") >= 2L).as("pass_stop"))
+        (col("stop_hits") >= 2L).as("pass_stop")) ++ carryCols: _*)
       .withColumn("pass",
         col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
           col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
@@ -1000,33 +1006,61 @@ object TextAnalysis extends QueryModule {
     * one corpus count that normalizes the gradient.
     */
   private[graft] val QualityModelLr = 10.0
-  private[graft] def qualityModel(docs: org.apache.spark.sql.DataFrame,
-                                  steps: Int = 3,
-                                  lr: Double = QualityModelLr): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+
+  /** Hashed feature frame (doc_id, b, x) of a (doc_id, text) corpus —
+    * relative term-frequency per 4096-slot md5 bucket + a bias slot
+    * (every doc has the bias row, so margins cover the full corpus) +
+    * a capped-length slot: relative frequencies NORMALIZE length
+    * away, yet document length is the dominant signal of every rule
+    * battery (the Gopher word floor) — without it the classifier can
+    * only see vocabulary. Shared by training, batch/stream scoring,
+    * and the oracle twins.
+    */
+  private[graft] def qualityModelFeatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
     val counts = toks
       .select(col("doc_id"), expr("substring(md5(term), 1, 3)").as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
     val nTok = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-    // relative term-frequency features + a bias slot (every doc has the
-    // bias row, so margins cover the full corpus) + a capped-length
-    // slot: relative frequencies NORMALIZE length away, yet document
-    // length is the dominant signal of every rule battery (the Gopher
-    // word floor) — without it the classifier can only see vocabulary
-    val feat = counts.join(nTok, "doc_id")
+    counts.join(nTok, "doc_id")
       .select(col("doc_id"), col("b"),
         (col("c").cast("double") / col("nt").cast("double")).as("x"))
       .unionByName(docs.select(col("doc_id"), lit("bias").as("b"), lit(1.0).as("x")))
       .unionByName(nTok.select(col("doc_id"), lit("len").as("b"),
         (least(col("nt"), lit(200L)).cast("double") / 200.0).as("x")))
-    val y = gopherRules(docs).select(col("doc_id"),
-      when(col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
-        col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
-        col("stop_hits") >= 1, 1.0).otherwise(0.0).as("y"))
-    val fl = feat.join(y, "doc_id").persist()
+  }
+
+  /** prepareWeb's re-thresholded Gopher pass (stop floor 1) as a
+    * predicate over [[gopherRules]]' output columns — shared by the
+    * weak labels, prepareWeb's filter_gopher stage, and the stream
+    * scorer so the gate cannot drift between them.
+    */
+  private[graft] def gopherWeakPassCond: org.apache.spark.sql.Column =
+    col("pass_words") && col("pass_mean_len") && col("pass_symbol") &&
+      col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+      col("stop_hits") >= 1
+
+  /** Gopher-pass weak labels (doc_id, y) — prepareWeb's re-thresholded
+    * gate (stop floor 1), the classifier's training signal.
+    */
+  private[graft] def qualityModelLabels(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    gopherRules(docs).select(col("doc_id"),
+      when(gopherWeakPassCond, 1.0).otherwise(0.0).as("y"))
+
+  /** `steps` unrolled full-batch GD steps over a PERSISTED
+    * (doc_id, b, x, y) frame. Each step's weights ROUND to 12 decimal
+    * places — the shared cross-engine contract (the DuckDB oracle
+    * rounds identically), so per-step double-sum summation-order
+    * divergence collapses at every step instead of compounding
+    * through the weight vector; Scala BigDecimal HALF_UP is the same
+    * convention Spark SQL's round applies.
+    */
+  private def fitQualityWeights(fl: org.apache.spark.sql.DataFrame,
+                                docs: org.apache.spark.sql.DataFrame,
+                                steps: Int, lr: Double): Map[String, Double] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val n = docs.count().toDouble
     var w: Map[String, Double] = Map.empty // all-zero weights
     for (_ <- 1 to steps) {
@@ -1039,8 +1073,51 @@ object TextAnalysis extends QueryModule {
           ((lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")) * col("x")).as("g"))
         .groupBy("b").agg(sum(col("g")).as("gs"))
         .as[(String, Double)].collect() // ≤ 4097 rows by construction
-      w = grad.map { case (b, gs) => b -> (w.getOrElse(b, 0.0) - lr * gs / n) }.toMap
+      w = grad.map { case (b, gs) =>
+        b -> BigDecimal.valueOf(w.getOrElse(b, 0.0) - lr * gs / n)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
     }
+    w
+  }
+
+  /** Fit the quality-model weights over a (doc_id, text) corpus —
+    * the offline half of the deployment split: prepareWeb's model arm
+    * and the st_quality_model stream twin train here, then score a
+    * different (or arriving) frame with [[qualityModelScores]].
+    */
+  private[graft] def qualityModelWeights(docs: org.apache.spark.sql.DataFrame,
+                                         steps: Int = 3,
+                                         lr: Double = QualityModelLr): Map[String, Double] = {
+    val fl = qualityModelFeatures(docs).join(qualityModelLabels(docs), "doc_id").persist()
+    try fitQualityWeights(fl, docs, steps, lr) finally fl.unpersist(false)
+  }
+
+  /** Score a (doc_id, text) frame against fitted weights →
+    * (doc_id, score). Sound for any frame whose vocabulary buckets
+    * appear in the training corpus (prepareWeb scores a SUBSET of its
+    * training frame, so the inner weight join drops nothing); a
+    * bucket absent from training carries weight 0 there and is
+    * dropped here — the same contribution.
+    */
+  private[graft] def qualityModelScores(docs: org.apache.spark.sql.DataFrame,
+                                        w: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    qualityModelFeatures(docs)
+      .join(broadcast(w.toSeq.toDF("b", "wv")), "b")
+      .groupBy("doc_id").agg(sum(col("wv") * col("x")).as("m"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("score"))
+  }
+
+  private[graft] def qualityModel(docs: org.apache.spark.sql.DataFrame,
+                                  steps: Int = 3,
+                                  lr: Double = QualityModelLr): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fl = qualityModelFeatures(docs).join(qualityModelLabels(docs), "doc_id").persist()
+    val w = fitQualityWeights(fl, docs, steps, lr)
     val out = fl.join(broadcast(w.toSeq.toDF("b", "wv")), "b")
       .groupBy("doc_id")
       .agg(max(col("y")).as("y"), sum(col("wv") * col("x")).as("m"))
@@ -1048,6 +1125,101 @@ object TextAnalysis extends QueryModule {
         round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("score"))
     Materialize(out, fl)
   }
+
+  /** DuckDB twin of [[qualityModelWeights]] as composable CTEs over
+    * `src` (doc_id, text), every name `$p`-prefixed: defines
+    * `${p}lab` (the weak labels), `${p}fl` (features + labels) and
+    * `${p}w3` (the final weight table), rounding each step's weights
+    * to 12 decimals — the shared contract fitQualityWeights applies.
+    * Shared by the t_quality_model / st_quality_model gates and the
+    * d_web_pipeline_model composite so the training recomputation
+    * cannot drift between them.
+    */
+  private[graft] def qualityModelWeightsCtesSql(src: String, p: String): String = {
+    val steps = (2 to 3).map { k =>
+      s"""${p}m$k AS MATERIALIZED (SELECT doc_id, SUM(w * x) AS m
+         |  FROM ${p}fl JOIN ${p}w${k - 1} USING (b) GROUP BY 1),
+         |${p}g$k AS MATERIALIZED (SELECT ${p}fl.b, SUM((1.0 / (1.0 + exp(-m)) - y) * x) AS gs
+         |  FROM ${p}fl JOIN ${p}m$k USING (doc_id) GROUP BY 1),
+         |${p}w$k AS MATERIALIZED (SELECT b, ROUND(w - $QualityModelLr * gs / n, 12) AS w
+         |  FROM ${p}w${k - 1} JOIN ${p}g$k USING (b) CROSS JOIN ${p}nn),""".stripMargin
+    }.mkString("\n")
+    s"""${p}toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $src),
+       |${p}t2 AS (SELECT doc_id, term FROM ${p}toks WHERE term <> ''),
+       |${p}cnt AS (SELECT doc_id, substr(md5(term), 1, 3) AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS c FROM ${p}t2 GROUP BY 1, 2),
+       |${p}ntk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM ${p}t2 GROUP BY 1),
+       |${p}feat AS MATERIALIZED (
+       |  SELECT doc_id, b, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS x
+       |  FROM ${p}cnt JOIN ${p}ntk USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, 'bias' AS b, CAST(1.0 AS DOUBLE) AS x FROM $src
+       |  UNION ALL
+       |  SELECT doc_id, 'len' AS b, CAST(LEAST(nt, 200) AS DOUBLE) / 200.0 AS x FROM ${p}ntk),
+       |${p}gm AS (SELECT doc_id,
+       |  $GopherMetricColsSql
+       |  FROM $src),
+       |${p}lab AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN ${gopherPassCondSql(1)}
+       |  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y FROM ${p}gm),
+       |${p}nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM $src),
+       |${p}fl AS MATERIALIZED (SELECT f.doc_id, f.b, f.x, l.y
+       |  FROM ${p}feat f JOIN ${p}lab l USING (doc_id)),
+       |${p}g1 AS MATERIALIZED (SELECT b, SUM((0.5 - y) * x) AS gs FROM ${p}fl GROUP BY 1),
+       |${p}w1 AS MATERIALIZED (SELECT b, ROUND(0.0 - $QualityModelLr * gs / n, 12) AS w
+       |  FROM ${p}g1 CROSS JOIN ${p}nn),
+       |$steps
+       |${p}w3x AS (SELECT * FROM ${p}w3)""".stripMargin
+  }
+
+  /** Full t_quality_model oracle (train + score + label over the
+    * documents table) — shared verbatim by the st_quality_model
+    * stream twin's gate, so the STREAM output is itself hash-gated
+    * against the independent DuckDB training recomputation.
+    */
+  private[graft] lazy val QualityModelSql: String =
+    s"""WITH ${qualityModelWeightsCtesSql("documents", "qm")},
+       |mf AS MATERIALIZED (SELECT doc_id, SUM(w * x) AS m
+       |  FROM qmfl JOIN qmw3 USING (b) GROUP BY 1)
+       |SELECT l.doc_id, l.y = 1.0 AS label,
+       |ROUND(1.0 / (1.0 + exp(-m)), 6) AS score
+       |FROM qmlab l JOIN mf USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[qualityModelScores]]: scores `src` (doc_id,
+    * text) against the `${wp}w3` weight table fitted by
+    * [[qualityModelWeightsCtesSql]] (prefix `wp`); defines
+    * `${p}scored` (doc_id, score).
+    */
+  private[graft] def qualityModelScoreCtesSql(src: String, wp: String, p: String): String =
+    s"""${p}stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $src),
+       |${p}st2 AS (SELECT doc_id, term FROM ${p}stoks WHERE term <> ''),
+       |${p}scnt AS (SELECT doc_id, substr(md5(term), 1, 3) AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS c FROM ${p}st2 GROUP BY 1, 2),
+       |${p}sntk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM ${p}st2 GROUP BY 1),
+       |${p}sfeat AS MATERIALIZED (
+       |  SELECT doc_id, b, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS x
+       |  FROM ${p}scnt JOIN ${p}sntk USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, 'bias' AS b, CAST(1.0 AS DOUBLE) AS x FROM $src
+       |  UNION ALL
+       |  SELECT doc_id, 'len' AS b, CAST(LEAST(nt, 200) AS DOUBLE) / 200.0 AS x FROM ${p}sntk),
+       |${p}scored AS MATERIALIZED (SELECT doc_id,
+       |  ROUND(1.0 / (1.0 + exp(-m)), 6) AS score
+       |  FROM (SELECT doc_id, SUM(w * x) AS m
+       |        FROM ${p}sfeat JOIN ${wp}w3 USING (b) GROUP BY 1))""".stripMargin
+
+  /** t_sequence_pack's plan body, parameterized by the bucket dial
+    * (the entry passes the derived/guarded count; PackBucketsSpec
+    * drives other dials through here).
+    */
+  private[graft] def sequencePack(docs: org.apache.spark.sql.DataFrame,
+                                  buckets: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+      .withColumn("bin",
+        expr("CAST((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens) div 2048 AS BIGINT)"))
+      .groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
 
   /** Sliding-window chunk projection shared by batch (t_chunk_overlap)
     * and streaming (st_chunk_overlap): 256-char windows at 192-char
@@ -1555,17 +1727,19 @@ object TextAnalysis extends QueryModule {
     QueryDef(
       "t_sequence_pack",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = Tables(s, dir).documents
         val buckets = packBucketCount(s, d.count())
-        val w = Window.partitionBy("bucket").orderBy("doc_id")
-        d.select(col("doc_id"), pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
-                 expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
-          .withColumn("bin",
-            expr("CAST((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens) div 2048 AS BIGINT)"))
-          .groupBy("bucket", "bin")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
-          .orderBy("bucket", "bin")
+        // GATE guard, not a product constraint: this entry's DuckDB
+        // oracle hardcodes the 32-bucket historical default, so a conf
+        // override or a gate corpus past the derived floor must fail
+        // LOUDLY here instead of hash-mismatching obscurely downstream
+        // (PackBucketsSpec drives the dial through sequencePack
+        // directly — the product paths, prepare/prepareWeb, stay
+        // conf-dialable)
+        require(s.conf.getOption("spark.graft.pack.buckets").isEmpty && buckets == 32,
+          s"t_sequence_pack's oracle pins 32 pack buckets; live value is $buckets " +
+            "(unset spark.graft.pack.buckets / gate corpora stay under 32*4096 docs)")
+        sequencePack(d, buckets).orderBy("bucket", "bin")
       },
       Some("""WITH t AS (SELECT doc_id, doc_id % 32 AS bucket,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
@@ -1975,50 +2149,14 @@ object TextAnalysis extends QueryModule {
     // d_link_authority chained-CTE oracle pattern — each step is one
     // margins CTE (join weights, sum by doc) and one gradient CTE
     // (join margins, sum by bucket), exactly the two hash aggregates
-    // the Spark side runs. round(6) on the score: per-step double
-    // sums are summation-order dependent cross-engine.
+    // the Spark side runs. Per-step weights round to 12 decimals on
+    // BOTH engines (the shared contract — summation-order ulp
+    // divergence must not compound through the weight vector across
+    // steps); round(6) on the score for the same reason.
     QueryDef(
       "t_quality_model",
       (s, dir) => qualityModel(Tables(s, dir).documents).orderBy("doc_id"),
-      Some {
-        val steps = (2 to 3).map { k =>
-          s"""m$k AS MATERIALIZED (SELECT doc_id, SUM(w * x) AS m
-             |  FROM fl JOIN w${k - 1} USING (b) GROUP BY 1),
-             |g$k AS MATERIALIZED (SELECT fl.b, SUM((1.0 / (1.0 + exp(-m)) - y) * x) AS gs
-             |  FROM fl JOIN m$k USING (doc_id) GROUP BY 1),
-             |w$k AS MATERIALIZED (SELECT b, w - $QualityModelLr * gs / n AS w
-             |  FROM w${k - 1} JOIN g$k USING (b) CROSS JOIN nn),""".stripMargin
-        }.mkString("\n")
-        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-           |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-           |cnt AS (SELECT doc_id, substr(md5(term), 1, 3) AS b,
-           |  CAST(COUNT(*) AS BIGINT) AS c FROM t2 GROUP BY 1, 2),
-           |ntk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM t2 GROUP BY 1),
-           |feat AS MATERIALIZED (
-           |  SELECT doc_id, b, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS x
-           |  FROM cnt JOIN ntk USING (doc_id)
-           |  UNION ALL
-           |  SELECT doc_id, 'bias' AS b, CAST(1.0 AS DOUBLE) AS x FROM documents
-           |  UNION ALL
-           |  SELECT doc_id, 'len' AS b, CAST(LEAST(nt, 200) AS DOUBLE) / 200.0 AS x FROM ntk),
-           |gm AS (SELECT doc_id,
-           |  $GopherMetricColsSql
-           |  FROM documents),
-           |lab AS MATERIALIZED (SELECT doc_id,
-           |  CASE WHEN ${gopherPassCondSql(1)}
-           |  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y FROM gm),
-           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-           |fl AS MATERIALIZED (SELECT f.doc_id, f.b, f.x, l.y
-           |  FROM feat f JOIN lab l USING (doc_id)),
-           |g1 AS MATERIALIZED (SELECT b, SUM((0.5 - y) * x) AS gs FROM fl GROUP BY 1),
-           |w1 AS MATERIALIZED (SELECT b, 0.0 - $QualityModelLr * gs / n AS w FROM g1 CROSS JOIN nn),
-           |$steps
-           |mf AS MATERIALIZED (SELECT doc_id, SUM(w * x) AS m
-           |  FROM fl JOIN w3 USING (b) GROUP BY 1)
-           |SELECT l.doc_id, l.y = 1.0 AS label,
-           |ROUND(1.0 / (1.0 + exp(-m)), 6) AS score
-           |FROM lab l JOIN mf USING (doc_id) ORDER BY doc_id""".stripMargin
-      },
+      Some(QualityModelSql),
     ),
     QueryDef(
       "t_ccnet_buckets",
@@ -2126,6 +2264,11 @@ object TextAnalysis extends QueryModule {
         val t = Tables(s, dir)
         val ranks = graft.functions.BpeTokenizer.rankTable(learnBpe(t))
         val buckets = packBucketCount(s, t.documents.count())
+        // same GATE guard as t_sequence_pack: the oracle below
+        // hardcodes doc_id % 32
+        require(s.conf.getOption("spark.graft.pack.buckets").isEmpty && buckets == 32,
+          s"t_bpe_pack's oracle pins 32 pack buckets; live value is $buckets " +
+            "(unset spark.graft.pack.buckets / gate corpora stay under 32*4096 docs)")
         val w = Window.partitionBy("bucket").orderBy("doc_id")
         bpeEncoded(t.documents, ranks)
           .select(col("doc_id"), pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),

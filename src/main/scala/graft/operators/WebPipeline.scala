@@ -21,10 +21,14 @@ import org.apache.spark.sql.functions._
   *   filter_fineweb (FwPageSqlExpr + FwMetricColsSql + FwPassCondSql)
   *   → exact_dedup (md5 min-id) → neardup_keepbest (Dedup.candSql's
   *   banded-LSH chain UNION the containment-probe chain over the same
-  *   `sh` CTE — the short-doc arm, [[ProbeMaxShingles]] — then the
-  *   recursive-CTE closure + the d_keep_best quality argmax) →
-  *   ccnet_keep (ccnetScoredCtesSql, tail tercile dropped) → final
-  *   (split/pack adds columns, drops nothing).
+  *   `sh` CTE — the short-doc arm, its threshold corpus-derived by
+  *   the pthr integer-rank CTE — then the recursive-CTE closure + the
+  *   d_keep_best quality argmax) → ccnet_keep (ccnetScoredCtesSql,
+  *   tail tercile dropped) → [model_keep (the d_web_pipeline_model
+  *   arm: qualityModelWeightsCtesSql training over urldedup +
+  *   qualityModelScoreCtesSql over the ccnet survivors, bottom score
+  *   decile dropped)] → final (split/pack adds columns, drops
+  *   nothing).
   *
   * Every non-recursive CTE is MATERIALIZED: the stage-count UNION ALL
   * reads each stage once instead of re-inlining the whole upstream
@@ -48,26 +52,36 @@ object WebPipeline extends QueryModule {
     "filter_gopher_rep", "filter_c4", "filter_fineweb", "exact_dedup",
     "neardup_keepbest", "ccnet_keep", "final")
 
+  /** Stage names with the model-quality arm on (d_web_pipeline_model):
+    * the t_quality_model filter stage lands between the ccnet cut and
+    * the split/pack tail.
+    */
+  private[graft] val StageNamesModel: Seq[String] =
+    StageNames.init :+ "model_keep" :+ "final"
+
   /** Closed-form canonical URL of the doc_id-derived raw variant
     * prepareWeb feeds through functions.UrlCanonical: scheme/host case
     * folds, the explicit :443 default port drops, /d/../ dot-segments
     * remove, the #frag strips — and every 10th doc (doc_id % 10 = 7)
     * keys onto its predecessor's URL, the collision the dedup acts on.
     */
-  /** prepareWeb's short-doc probe threshold (its `probeMaxShingles`
-    * default) — shared with the oracle's probe CTE chain so the two
-    * cannot drift.
+  /** prepareWeb's short-doc probe threshold is CORPUS-DERIVED (the
+    * smallest shingle count covering the bottom decile of battery
+    * survivors — see prepareWeb's in-body comment; round 13's fixed
+    * 100 spanned most of the gate corpus's survivor lengths, so the
+    * probe arm ran as a second corpus-wide pass). The oracle's
+    * pthr CTE recomputes the identical integer-rank derivation.
     */
-  private[graft] val ProbeMaxShingles = 100
 
   private val urlKeySql =
     "(doc_id - CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END)"
   private val canonUrlSql =
     s"'https://site' || CAST($urlKeySql % 5 AS VARCHAR) || '.test/doc/' || CAST($urlKeySql AS VARCHAR)"
 
-  private def oracleSql: String = {
+  private def oracleSql(model: Boolean): String = {
     val T = TextAnalysis
-    val stageCounts = StageNames.zipWithIndex.map { case (s, i) =>
+    val names = if (model) StageNamesModel else StageNames
+    val stageCounts = names.zipWithIndex.map { case (s, i) =>
       val rel = s match {
         case "raw" => "documents"
         case "warc_fetch" => "fetched"
@@ -80,12 +94,24 @@ object WebPipeline extends QueryModule {
         case "exact_dedup" => "exdedup"
         case "neardup_keepbest" => "neardup"
         case "ccnet_keep" => "ccnet"
+        case "model_keep" => "modelkeep"
         case "final" => "finalout"
       }
       if (i == 0)
         s"SELECT $i AS stage_idx, '$s' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM $rel"
       else s"SELECT $i, '$s', COUNT(*) FROM $rel"
     }.mkString("\n  UNION ALL ")
+    // the model arm: train over urldedup (labels still carry both
+    // classes there), score the ccnet survivors, keep score ≥ their
+    // bottom-decile cut (quantile_cont — the ccnet-cut convention)
+    val modelCtes = if (!model) "" else
+      s"""${materialize(T.qualityModelWeightsCtesSql("urldedup", "qm"))},
+         |${materialize(T.qualityModelScoreCtesSql("ccnet", "qm", "qs"))},
+         |qthr AS MATERIALIZED (SELECT quantile_cont(score, 0.10) AS thr FROM qsscored),
+         |modelkeep AS MATERIALIZED (SELECT c.doc_id, c.text FROM ccnet c
+         |  JOIN qsscored s USING (doc_id) CROSS JOIN qthr WHERE s.score >= qthr.thr),
+         |""".stripMargin
+    val finalSrc = if (model) "modelkeep" else "ccnet"
     s"""WITH RECURSIVE
        |fetched AS MATERIALIZED (SELECT doc_id, ${T.HtmlTextOutSql} AS text FROM documents),
        |robots AS MATERIALIZED (SELECT doc_id, text FROM fetched WHERE ${T.RobotsAllowedSql}),
@@ -133,8 +159,15 @@ object WebPipeline extends QueryModule {
        |pidx AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
        |phot AS MATERIALIZED (SELECT g FROM pidx GROUP BY 1 HAVING COUNT(*) > ${Dedup.MaxBucket}),
        |pok AS MATERIALIZED (SELECT pidx.* FROM pidx ANTI JOIN phot USING (g)),
+       |psz AS MATERIALIZED (SELECT len(sh) AS nsh FROM sh),
+       |pneed AS (SELECT (COUNT(*) + 9) // 10 AS need FROM psz),
+       |pcum AS MATERIALIZED (SELECT nsh, SUM(COUNT(*)) OVER (ORDER BY nsh) AS cum
+       |  FROM psz GROUP BY nsh),
+       |pthr AS MATERIALIZED (SELECT MIN(nsh) AS thr FROM pcum CROSS JOIN pneed
+       |  WHERE cum >= need),
        |pprobe AS MATERIALIZED (SELECT o.doc_id AS doc_a, o.g FROM pok o
-       |  JOIN sh ON sh.doc_id = o.doc_id WHERE len(sh.sh) <= $ProbeMaxShingles),
+       |  JOIN sh ON sh.doc_id = o.doc_id
+       |  WHERE len(sh.sh) <= (SELECT thr FROM pthr)),
        |pcand AS MATERIALIZED (SELECT DISTINCT doc_a, i.doc_id AS doc_b
        |  FROM pprobe JOIN pok i USING (g) WHERE doc_a <> i.doc_id),
        |pv AS MATERIALIZED (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
@@ -160,7 +193,7 @@ object WebPipeline extends QueryModule {
        |${materialize(T.ccnetScoredCtesSql("neardup"))},
        |ccnet AS MATERIALIZED (SELECT n.doc_id, n.text FROM neardup n JOIN scored s USING (doc_id)
        |  CROSS JOIN cuts WHERE s.surprisal <= cuts.c2),
-       |finalout AS MATERIALIZED (SELECT doc_id FROM ccnet)
+       |${modelCtes}finalout AS MATERIALIZED (SELECT doc_id FROM $finalSrc)
        |SELECT * FROM (
        |  $stageCounts
        |) ORDER BY stage_idx""".stripMargin
@@ -174,11 +207,21 @@ object WebPipeline extends QueryModule {
   private def materialize(ctes: String): String =
     ctes.replaceAll("(?m)^(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 
+  /** GATE guard (not a product constraint): both oracles recompute the
+    * corpus-derived probe threshold, so a conf override must fail
+    * loudly instead of hash-mismatching obscurely.
+    */
+  private def requireGateConf(s: org.apache.spark.sql.SparkSession, entry: String): Unit =
+    require(s.conf.getOption("spark.graft.probe.maxShingles").isEmpty,
+      s"$entry's oracle derives the probe threshold from the corpus; " +
+        "unset spark.graft.probe.maxShingles for the gate")
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "d_web_pipeline",
       (s, dir) => {
         import s.implicits._
+        requireGateConf(s, "d_web_pipeline")
         val p = graft.api.TrainingData.prepareWeb(
           Tables(s, dir).documents, oracleHash = true)
         p.stages.zipWithIndex
@@ -186,7 +229,27 @@ object WebPipeline extends QueryModule {
           .toDF("stage_idx", "stage", "n_docs")
           .orderBy("stage_idx")
       },
-      Some(oracleSql),
+      Some(oracleSql(model = false)),
+    ),
+    // the model-quality arm (FineWeb-Edu deployment): same composite
+    // with the t_quality_model classifier as a 13th attrition stage —
+    // trained over the url-deduped corpus, scoring the ccnet
+    // survivors, bottom score decile dropped. The oracle recomputes
+    // the ENTIRE training (3 GD steps, 12-dp weight contract) and
+    // scoring as chained CTEs on top of the base pipeline chain.
+    QueryDef(
+      "d_web_pipeline_model",
+      (s, dir) => {
+        import s.implicits._
+        requireGateConf(s, "d_web_pipeline_model")
+        val p = graft.api.TrainingData.prepareWeb(
+          Tables(s, dir).documents, oracleHash = true, modelQuality = true)
+        p.stages.zipWithIndex
+          .map { case ((st, n), i) => (i, st, n) }
+          .toDF("stage_idx", "stage", "n_docs")
+          .orderBy("stage_idx")
+      },
+      Some(oracleSql(model = true)),
     ),
   )
 }

@@ -190,6 +190,53 @@ object CorpusStreaming {
            |  / size(toks), 4) AS surprisal""".stripMargin)
       .filter(col("n_tokens") > 0)
 
+  /** Streaming model-quality scoring — the dsirScore/ccnetScore
+    * deployment split applied to t_quality_model (the FineWeb-Edu
+    * pattern trains its classifier ONCE on an annotated snapshot and
+    * scores the crawl with it): the fitted weight table
+    * (TextAnalysis.qualityModelWeights — 4096 hashed-bucket slots +
+    * bias + capped-length) rides the plan as an array<double> literal
+    * plus two scalar literals, so every arriving document scores AND
+    * weak-labels statelessly — no join, no aggregation state, no
+    * watermark. Emits the batch t_quality_model frame (doc_id, label,
+    * score).
+    *
+    * Arithmetic parity with the batch scorer: the per-row margin sums
+    * w_b · (c_b / nt) over the doc's DISTINCT buckets — the identical
+    * per-bucket products the batch (doc, bucket)-row aggregate sums,
+    * so the two sides differ only in double summation ORDER, which
+    * the round(6) score contract absorbs (the same bridge every
+    * hashed-model stream twin carries). A zero-token doc scores
+    * sigmoid(w_bias) exactly as in batch (its only feature row is the
+    * bias slot). The label threads through the REAL gopherRules
+    * battery (carry column), not a re-implementation.
+    */
+  def qualityModelScore(docs: DataFrame, w: Map[String, Double]): DataFrame = {
+    val wtab = Array.tabulate(4096)(i => w.getOrElse(f"$i%03x", 0.0))
+    val wBias = w.getOrElse("bias", 0.0)
+    val wLen = w.getOrElse("len", 0.0)
+    val scored = docs.select(col("doc_id"), col("text"),
+        typedlit(wtab.toSeq).as("w_tab"))
+      .selectExpr("doc_id", "text", "w_tab",
+        "filter(split(text, ' '), t -> t <> '') AS toks")
+      .selectExpr("doc_id", "text",
+        "CAST(size(toks) AS BIGINT) AS nt", "w_tab",
+        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 3), 16, 10) AS INT)) AS bks")
+      .selectExpr("doc_id", "text",
+        s"""round(1.0 / (1.0 + exp(-(
+           |  aggregate(array_distinct(bks), CAST(0.0 AS DOUBLE), (acc, b) ->
+           |    acc + element_at(w_tab, b + 1) *
+           |      (CAST(size(filter(bks, x -> x = b)) AS DOUBLE) / CAST(nt AS DOUBLE)))
+           |  + CAST($wBias AS DOUBLE)
+           |  + CASE WHEN nt > 0
+           |         THEN CAST($wLen AS DOUBLE) * (CAST(LEAST(nt, 200L) AS DOUBLE) / 200.0)
+           |         ELSE CAST(0.0 AS DOUBLE) END))), 6) AS score""".stripMargin)
+    graft.operators.TextAnalysis.gopherRules(scored, carry = Seq("score"))
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.gopherWeakPassCond.as("label"),
+        col("score"))
+  }
+
   def ccnetScore(docs: DataFrame, counts: Array[Long], total: Long,
                  cutHead: Double, cutTail: Double): DataFrame =
     ccnetHashedSurprisal(docs, counts, total)

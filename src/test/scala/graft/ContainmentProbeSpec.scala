@@ -57,6 +57,16 @@ class ContainmentProbeSpec extends SparkSpec {
       "banded path caught every excerpt - the fixture no longer shows the knee")
   }
 
+  test("the forced no-restriction arm (scale-measurement conf) is result-identical") {
+    val docs = Tables(spark, sfDir).documents
+    def pairs() = Dedup.containmentProbePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = pairs()
+    spark.conf.set("spark.graft.probe.noRestrict", "true")
+    try assert(pairs() === base)
+    finally spark.conf.unset("spark.graft.probe.noRestrict")
+  }
+
   test("hot-shingle cap drops boilerplate keys on BOTH sides, not just the index") {
     // 65 docs sharing one boilerplate shingle exceed MaxBucket=64: the
     // key must vanish from probe and index alike — no pair from it

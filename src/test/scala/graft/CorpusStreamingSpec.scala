@@ -120,6 +120,19 @@ class CorpusStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming quality-model scores match the batch t_quality_model row for row") {
+    // offline-fit weights as plan literals, per-row distinct-bucket
+    // margin — must reproduce the batch trainer+scorer's (doc_id,
+    // label, score) exactly (round(6) bridges summation order)
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_quality_model").get.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2))).sorted.toSeq
+    val batch = SparkEntry.queries("t_quality_model")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming chunk fan-out matches the batch t_chunk_overlap row for row") {
     val streamed = graft.operators.Streaming.entries
       .find(_.name == "st_chunk_overlap").get.fn(spark, sfDir)

@@ -28,12 +28,28 @@ class PackBucketsSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.pack.buckets")
   }
 
-  test("t_sequence_pack honors the dial: 8 buckets, driver-recomputed bin layout") {
+  test("the GATE entries refuse a conf override loudly (their oracles pin 32 buckets)") {
+    spark.conf.set("spark.graft.pack.buckets", "8")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("t_sequence_pack")(spark, sfDir).collect()
+      }
+      assert(e.getMessage.contains("32 pack buckets"))
+      val e2 = intercept[IllegalArgumentException] {
+        SparkEntry.queries("t_bpe_pack")(spark, sfDir).collect()
+      }
+      assert(e2.getMessage.contains("32 pack buckets"))
+    } finally spark.conf.unset("spark.graft.pack.buckets")
+  }
+
+  test("the packing plan honors the dial: 8 buckets, driver-recomputed bin layout") {
     val s = spark
     import s.implicits._
     spark.conf.set("spark.graft.pack.buckets", "8")
     try {
-      val out = SparkEntry.queries("t_sequence_pack")(spark, sfDir)
+      val out = TextAnalysis
+        .sequencePack(Tables(spark, sfDir).documents,
+          TextAnalysis.packBucketCount(spark, 10_000L))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
         .toMap
       assert(out.keys.map(_._1).toSet == (0L until 8L).toSet)

@@ -108,7 +108,7 @@ class PlanAuditSpec extends SparkSpec {
   // for a plan sweep to audit; their constituent stages (Corpus.clean,
   // minhashLsh64, DedupPipeline, quality filter, sequence pack) are all
   // swept through their own registry entries
-  private val eagerComposites = Set("d_training_prepare", "d_web_pipeline", "w_zorder", "w_upsert", "w_rollup_refresh", "st_upsert_apply", "w_retention")
+  private val eagerComposites = Set("d_training_prepare", "d_web_pipeline", "d_web_pipeline_model", "w_zorder", "w_upsert", "w_rollup_refresh", "st_upsert_apply", "w_retention")
 
   /** Registry plans with pipeline materialization DISABLED — entries
     * that localCheckpoint (dedup/ANN pipelines) otherwise truncate to a

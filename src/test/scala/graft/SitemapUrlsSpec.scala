@@ -86,6 +86,13 @@ class SitemapUrlsSpec extends AnyFunSuite {
     // even though its XML is well-formed
     val pad = "<!--" + "x" * SitemapUrls.MaxChars + "-->"
     assert(SitemapUrls.parse(s"<urlset $ns>$pad<url><loc>u</loc></url></urlset>").isEmpty)
+    // ...and the bound is on BYTES, not chars: a multibyte document
+    // under the char cap but over 50 MB of encoded UTF-8 is refused
+    // (chars ≤ bytes, so a char gate alone under-enforces the
+    // protocol bound — 'é' encodes to 2 bytes per char)
+    val mbPad = "<!--" + "é" * (SitemapUrls.MaxBytes / 2) + "-->"
+    assert(mbPad.length <= SitemapUrls.MaxChars)
+    assert(SitemapUrls.parse(s"<urlset $ns>$mbPad<url><loc>u</loc></url></urlset>").isEmpty)
     // and an ordinary DOCTYPE-free document still parses
     assert(SitemapUrls.parse(s"<urlset $ns><url><loc>u</loc></url></urlset>").nonEmpty)
   }

@@ -180,6 +180,31 @@ class WebPipelineSpec extends SparkSpec {
     assert(kept.size <= 1, "keep-best kept both sides of the excerpt pair")
   }
 
+  test("the model-quality arm drops rule-passing docs that survive without it") {
+    val s = spark
+    import s.implicits._
+    val m = TrainingData.prepareWeb(docs, oracleHash = true, modelQuality = true)
+    assert(m.stages.map(_._1) == WebPipeline.StageNamesModel)
+    // the shared 11-stage prefix is IDENTICAL — the arm only adds its
+    // own attrition row before final
+    assert(m.stages.take(11) == prepared.stages.take(11))
+    val byM = m.stages.toMap
+    assert(byM("model_keep") < byM("ccnet_keep"), "model filter idle")
+    assert(byM("model_keep") == byM("final"))
+    // every model-dropped doc passed the WHOLE rule battery + dedup +
+    // ccnet cut (it is a baseline-final survivor) and survives the run
+    // without the arm — the recall cost is attributable to the model
+    // stage alone
+    val baseIds = prepared.corpus.select("doc_id").as[Long].collect().toSet
+    val modelIds = m.corpus.select("doc_id").as[Long].collect().toSet
+    assert(modelIds.subsetOf(baseIds))
+    val dropped = baseIds -- modelIds
+    assert(dropped.nonEmpty, "arm dropped nothing")
+    // the cut is the survivors' bottom score decile — roughly 10%
+    assert(dropped.size <= math.ceil(0.25 * baseIds.size),
+      s"model cut dropped ${dropped.size} of ${baseIds.size} — not a decile cut")
+  }
+
   test("production-hash path (xxhash64) reproduces the oracle path's stage counts") {
     // independent LSH samplings each have ~1-(1-j^r)^b recall, so pair
     // SETS can differ in principle; on the gate corpus they agree
