@@ -266,7 +266,7 @@ object ScaleDemo {
         confOverride.foreach { case (ck, cv) => spark.conf.set(ck, cv) }
         // finally, not success-path-only: a throwing cell must not leak
         // its conf arm into every later cell of an error-tolerant sweep
-        val (sec, rows, nested) = try {
+        val cell = try { Right {
         val t0 = System.nanoTime()
         val df = CustomCells.getOrElse(regName, queries(regName))(spark, dir)
         // count() on a PROJECTION-ONLY plan (no filter/join/agg between
@@ -291,10 +291,21 @@ object ScaleDemo {
         val plan = df.queryExecution.executedPlan.toString
         val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
         (sec, rows, nested)
+        }} catch {
+          // record the failing cell as an artifact row and keep
+          // sweeping — one OOM/abort must not discard every other
+          // cell's measurement (a failed cell IS a scale data point)
+          case e: Throwable =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300))
         } finally confOverride.foreach { case (ck, _) => spark.conf.unset(ck) }
-        val degraded = nested && !IntendedNested(regName)
-        val line =
-          s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested,"degraded":$degraded}"""
+        val line = cell match {
+          case Right((sec, rows, nested)) =>
+            val degraded = nested && !IntendedNested(regName)
+            s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested,"degraded":$degraded}"""
+          case Left(err) =>
+            s"""{"scale":$k,"query":"$q","error":"$err"}"""
+        }
         println(s"GRAFT_SCALE_JSON $line")
         out.append(line).append('\n')
       }

@@ -387,12 +387,26 @@ object Dedup extends QueryModule {
     // probe count (the corpus-side explode grows with the probe set
     // it is restricted to), capped — a real cluster sizes this by
     // executor count instead.
+    // ...but more initial partitions alone are NOT enough on one JVM:
+    // AQE coalesces shuffle partitions by COMPRESSED size, and the
+    // exploded (doc_id, gram) relation is repetitive text that lz4
+    // squeezes ~30× — a "64 MB" coalesced partition is a ~30M-row
+    // sort (measured: the default-advisory run coalesced the
+    // candidate-join exchange to 14 tasks whose pointer arrays alone
+    // wanted 256 MB pages, and the 8 GiB heap returned "got 0"). The
+    // advisory size is scoped down so a coalesced partition's RAW
+    // sort state stays task-sized; on a real cluster per-executor
+    // regions make the default fine, which is why this is scoped to
+    // the operator instead of the session.
     val spark = docs.sparkSession
     val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val advKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prevInit = spark.conf.getOption(initKey)
+    val prevAdv = spark.conf.getOption(advKey)
     val probeParts = math.min(4096L,
       math.max(spark.sessionState.conf.numShufflePartitions.toLong, nProbes / 64))
     spark.conf.set(initKey, probeParts.toString)
+    if (probeParts > 64) spark.conf.set(advKey, "4m")
     try {
     // EAGERLY checkpointed: `relevant` feeds capBuckets (whose
     // oversized-key broadcast subquery re-instantiates its input), the
@@ -492,6 +506,10 @@ object Dedup extends QueryModule {
       prevInit match {
         case Some(v) => spark.conf.set(initKey, v)
         case None => spark.conf.unset(initKey)
+      }
+      prevAdv match {
+        case Some(v) => spark.conf.set(advKey, v)
+        case None => spark.conf.unset(advKey)
       }
     }
   }
