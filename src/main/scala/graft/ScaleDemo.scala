@@ -297,7 +297,8 @@ object ScaleDemo {
           // cell's measurement (a failed cell IS a scale data point)
           case e: Throwable =>
             Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300))
+              .map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c)
+              .take(300))
         } finally confOverride.foreach { case (ck, _) => spark.conf.unset(ck) }
         val line = cell match {
           case Right((sec, rows, nested)) =>

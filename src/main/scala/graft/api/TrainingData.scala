@@ -313,12 +313,14 @@ object TrainingData {
         .getOrElse {
           val need = (lastCount + 9L) / 10L
           val wCum = Window.orderBy("nsh")
-          graft.operators.Dedup.shingles(exTexts)
+          val thrRow = graft.operators.Dedup.shingles(exTexts)
             .select(size(col("sh")).cast("bigint").as("nsh"))
             .groupBy("nsh").agg(count(lit(1)).as("c"))
             .withColumn("cum", sum("c").over(wCum))
             .filter(col("cum") >= need)
-            .agg(min("nsh")).head().getLong(0).toInt
+            .agg(min("nsh")).head()
+          // a fully-filtered-away corpus has no decile — no probes
+          if (thrRow.isNullAt(0)) 0 else thrRow.getLong(0).toInt
         }
       val lshPairs =
         if (oracleHash) graft.operators.Dedup.minhashLsh(exact.select(col("doc_id"), col("text")))
@@ -358,15 +360,39 @@ object TrainingData {
       val bucketed =
         if (!modelQuality) ccKept
         else {
-          val weights = TextAnalysis.qualityModelWeights(
-            urlDeduped.select(col("doc_id"), col("text")))
+          // labels = membership in the (already checkpointed) gopher
+          // stage — identical to re-running the battery over
+          // urlDeduped (gophered ≡ urlDeduped ⋉ gopher-pass) without
+          // paying the split/regex battery a second time
+          val labels = urlDeduped.select(col("doc_id"))
+            .join(gophered.select(col("doc_id"), lit(1.0).as("y")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("y"), lit(0.0)).as("y"))
+          val weights = TextAnalysis.qualityModelWeightsWithLabels(
+            urlDeduped.select(col("doc_id"), col("text")), labels)
+          // eagerly materialized: the score frame feeds the threshold
+          // aggregate AND the keep filter — without the cut the whole
+          // scoring pass (features + broadcast-weight aggregate over
+          // the survivors) runs twice
           val scored = TextAnalysis.qualityModelScores(
             ccKept.select(col("doc_id"), col("text")), weights)
-          val thrRow = scored.agg(expr("percentile(score, 0.1D)")).head()
+            .localCheckpoint(true)
+          // keep floor: the survivors' bottom score decile, derived by
+          // the SAME integer-rank arithmetic as the probe threshold —
+          // never a float quantile's interpolation cross-engine. The
+          // cumulative count runs over DISTINCT round(6) scores, a
+          // relation bounded at 10^6 rows whatever the corpus size.
+          val need = (lastCount + 9L) / 10L
+          val wCum = Window.orderBy("score")
+          val thrRow = scored
+            .groupBy("score").agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum("c").over(wCum))
+            .filter(col("cum") >= need)
+            .agg(min("score")).head()
           val thr = if (thrRow.isNullAt(0)) Double.NegativeInfinity
                     else thrRow.getDouble(0)
           stage("model_keep",
-            ccKept.join(scored.filter(col("score") >= lit(thr)).select("doc_id"),
+            ccKept.join(scored.filter(col("score") > lit(thr)).select("doc_id"),
               Seq("doc_id"), "left_semi"))
         }
 

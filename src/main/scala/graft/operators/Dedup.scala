@@ -487,7 +487,11 @@ object Dedup extends QueryModule {
       .select(col("doc_id").as("doc_a"), explode(col("sh")).as("g"))
       .join(probes, Seq("doc_a", "g"), "left_anti")
     val hotPairs = plausible.filter(col("a_capped") < col("nsh"))
-    val hotB = hotPairs.select("doc_b").distinct()
+    // checkpointed before the count so the distinct aggregate runs
+    // once (the count for the broadcast decision + the semi-join
+    // input would otherwise each execute it); bounded by the
+    // plausible pair list it derives from
+    val hotB = hotPairs.select("doc_b").distinct().localCheckpoint(true)
     val hotBBounded = hotB.count() <= 4L * 1000 * 1000
     val bGramsHot = exploded.select(col("doc_id").as("doc_b"), col("g"))
       .join(if (hotBBounded) broadcast(hotB) else hotB, Seq("doc_b"), "left_semi")

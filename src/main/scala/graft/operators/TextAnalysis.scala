@@ -1081,6 +1081,15 @@ object TextAnalysis extends QueryModule {
     w
   }
 
+  /** The persisted (doc_id, b, x, y) training frame — ONE definition
+    * shared by the entry, the weights-only fits, and the
+    * labels-precomputed variant, so a feature/label change cannot
+    * silently diverge the gate entry from the deployment paths.
+    */
+  private def qualityModelTrainingFrame(docs: org.apache.spark.sql.DataFrame,
+                                        labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    qualityModelFeatures(docs).join(labels, "doc_id").persist()
+
   /** Fit the quality-model weights over a (doc_id, text) corpus —
     * the offline half of the deployment split: prepareWeb's model arm
     * and the st_quality_model stream twin train here, then score a
@@ -1088,8 +1097,19 @@ object TextAnalysis extends QueryModule {
     */
   private[graft] def qualityModelWeights(docs: org.apache.spark.sql.DataFrame,
                                          steps: Int = 3,
-                                         lr: Double = QualityModelLr): Map[String, Double] = {
-    val fl = qualityModelFeatures(docs).join(qualityModelLabels(docs), "doc_id").persist()
+                                         lr: Double = QualityModelLr): Map[String, Double] =
+    qualityModelWeightsWithLabels(docs, qualityModelLabels(docs), steps, lr)
+
+  /** [[qualityModelWeights]] with the (doc_id, y) weak labels supplied
+    * by the caller — prepareWeb's model arm already HAS the gopher
+    * pass set as a checkpointed stage, so re-running the rule battery
+    * for the labels would pay the split/regex pass twice.
+    */
+  private[graft] def qualityModelWeightsWithLabels(docs: org.apache.spark.sql.DataFrame,
+                                                   labels: org.apache.spark.sql.DataFrame,
+                                                   steps: Int = 3,
+                                                   lr: Double = QualityModelLr): Map[String, Double] = {
+    val fl = qualityModelTrainingFrame(docs, labels)
     try fitQualityWeights(fl, docs, steps, lr) finally fl.unpersist(false)
   }
 
@@ -1116,7 +1136,7 @@ object TextAnalysis extends QueryModule {
                                   lr: Double = QualityModelLr): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fl = qualityModelFeatures(docs).join(qualityModelLabels(docs), "doc_id").persist()
+    val fl = qualityModelTrainingFrame(docs, qualityModelLabels(docs))
     val w = fitQualityWeights(fl, docs, steps, lr)
     val out = fl.join(broadcast(w.toSeq.toDF("b", "wv")), "b")
       .groupBy("doc_id")
@@ -2260,7 +2280,6 @@ object TextAnalysis extends QueryModule {
     QueryDef(
       "t_bpe_pack",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val t = Tables(s, dir)
         val ranks = graft.functions.BpeTokenizer.rankTable(learnBpe(t))
         val buckets = packBucketCount(s, t.documents.count())
@@ -2269,7 +2288,6 @@ object TextAnalysis extends QueryModule {
         require(s.conf.getOption("spark.graft.pack.buckets").isEmpty && buckets == 32,
           s"t_bpe_pack's oracle pins 32 pack buckets; live value is $buckets " +
             "(unset spark.graft.pack.buckets / gate corpora stay under 32*4096 docs)")
-        val w = Window.partitionBy("bucket").orderBy("doc_id")
         bpeEncoded(t.documents, ranks)
           .select(col("doc_id"), pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
                   col("n_bpe_tokens").as("n_tokens"))

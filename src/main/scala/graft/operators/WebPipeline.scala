@@ -102,14 +102,22 @@ object WebPipeline extends QueryModule {
       else s"SELECT $i, '$s', COUNT(*) FROM $rel"
     }.mkString("\n  UNION ALL ")
     // the model arm: train over urldedup (labels still carry both
-    // classes there), score the ccnet survivors, keep score ≥ their
-    // bottom-decile cut (quantile_cont — the ccnet-cut convention)
+    // classes there), score the ccnet survivors, drop their bottom
+    // score decile. The cut is the probe threshold's integer-rank
+    // derivation over DISTINCT round(6) scores — never a float
+    // quantile's interpolation cross-engine — keep score STRICTLY
+    // above the smallest score whose cumulative count covers
+    // ceil(n/10).
     val modelCtes = if (!model) "" else
       s"""${materialize(T.qualityModelWeightsCtesSql("urldedup", "qm"))},
          |${materialize(T.qualityModelScoreCtesSql("ccnet", "qm", "qs"))},
-         |qthr AS MATERIALIZED (SELECT quantile_cont(score, 0.10) AS thr FROM qsscored),
+         |qneed AS (SELECT (COUNT(*) + 9) // 10 AS need FROM qsscored),
+         |qcum AS MATERIALIZED (SELECT score, SUM(COUNT(*)) OVER (ORDER BY score) AS cum
+         |  FROM qsscored GROUP BY score),
+         |qthr AS MATERIALIZED (SELECT MIN(score) AS thr FROM qcum CROSS JOIN qneed
+         |  WHERE cum >= need),
          |modelkeep AS MATERIALIZED (SELECT c.doc_id, c.text FROM ccnet c
-         |  JOIN qsscored s USING (doc_id) CROSS JOIN qthr WHERE s.score >= qthr.thr),
+         |  JOIN qsscored s USING (doc_id) CROSS JOIN qthr WHERE s.score > qthr.thr),
          |""".stripMargin
     val finalSrc = if (model) "modelkeep" else "ccnet"
     s"""WITH RECURSIVE
