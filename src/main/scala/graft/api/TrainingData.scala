@@ -56,6 +56,27 @@ object TrainingData {
     conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
     lit(100L))
 
+  /** prepareWeb's corpus-derived probe threshold: the smallest shingle
+    * count covering the bottom DECILE of the `n`-doc survivor frame —
+    * pure integer arithmetic (rank ceil(n/10) into a cumulative count
+    * over DISTINCT shingle sizes; a float quantile's interpolation is
+    * not integer-stable cross-engine, and the oracle's pthr CTE
+    * recomputes exactly this). The windowed relation is DISTINCT
+    * sizes — bounded by max document length in words, never corpus
+    * size. 0 (no probes) on an empty frame.
+    */
+  private[graft] def survivorProbeThreshold(texts: DataFrame, n: Long): Int = {
+    val need = (n + 9L) / 10L
+    val wCum = Window.orderBy("nsh")
+    val thrRow = graft.operators.Dedup.shingles(texts)
+      .select(size(col("sh")).cast("bigint").as("nsh"))
+      .groupBy("nsh").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .filter(col("cum") >= need)
+      .agg(min("nsh")).head()
+    if (thrRow.isNullAt(0)) 0 else thrRow.getLong(0).toInt
+  }
+
   /** Run the full preparation over a (doc_id, text, ...) frame.
     *
     * @param qualityQuantile  drop docs below this corpus quality
@@ -310,18 +331,7 @@ object TrainingData {
       val probeThr: Int = spark.conf.getOption("spark.graft.probe.maxShingles")
         .map(_.toInt)
         .orElse(if (probeMaxShingles > 0) Some(probeMaxShingles) else None)
-        .getOrElse {
-          val need = (lastCount + 9L) / 10L
-          val wCum = Window.orderBy("nsh")
-          val thrRow = graft.operators.Dedup.shingles(exTexts)
-            .select(size(col("sh")).cast("bigint").as("nsh"))
-            .groupBy("nsh").agg(count(lit(1)).as("c"))
-            .withColumn("cum", sum("c").over(wCum))
-            .filter(col("cum") >= need)
-            .agg(min("nsh")).head()
-          // a fully-filtered-away corpus has no decile — no probes
-          if (thrRow.isNullAt(0)) 0 else thrRow.getLong(0).toInt
-        }
+        .getOrElse(survivorProbeThreshold(exTexts, lastCount))
       val lshPairs =
         if (oracleHash) graft.operators.Dedup.minhashLsh(exact.select(col("doc_id"), col("text")))
         else graft.operators.Dedup.minhashLsh64(exact.select(col("doc_id"), col("text")))

@@ -180,6 +180,26 @@ class WebPipelineSpec extends SparkSpec {
     assert(kept.size <= 1, "keep-best kept both sides of the excerpt pair")
   }
 
+  test("the probe threshold is the integer-rank bottom decile of survivor shingle counts") {
+    val s = spark
+    import s.implicits._
+    // 20 docs: sizes 5..24 words -> shingle counts 3..22; need =
+    // ceil(20/10) = 2 -> the 2nd-smallest size (4 shingles) is the
+    // smallest count whose cumulative coverage reaches 2
+    val docs = (0 until 20).map { i =>
+      (i.toLong, (1 to (5 + i)).map(j => s"w${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(TrainingData.survivorProbeThreshold(docs, 20L) == 4)
+    // ties count as a whole value group: ten 5-word docs share count 3
+    val tied = (0 until 10).map { i =>
+      (i.toLong, (1 to 5).map(j => s"t${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(TrainingData.survivorProbeThreshold(tied, 10L) == 3)
+    // empty frame -> no decile -> no probes
+    assert(TrainingData.survivorProbeThreshold(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L) == 0)
+  }
+
   test("the model-quality arm drops rule-passing docs that survive without it") {
     val s = spark
     import s.implicits._
