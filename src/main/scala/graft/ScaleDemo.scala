@@ -48,8 +48,8 @@ object ScaleDemo {
     * keeps). For these, `nested_loop: true` is the expected shape, and
     * `degraded` below stays false.
     */
-  val IntendedNested: Set[String] = Set("s_cosine_topk", "s_range_search",
-    "s_prefix_rerank_topk", "s_mmr_rerank",
+  val IntendedNested: Set[String] = Set("s_cosine_topk", "s_hard_negatives",
+    "s_range_search", "s_prefix_rerank_topk", "s_mmr_rerank",
     // 1-row scalar broadcasts (corpus totals / vocabulary size /
     // model totals) — the same scalar-threshold shapes PlanAuditSpec
     // allowlists; bounded at any scale by construction

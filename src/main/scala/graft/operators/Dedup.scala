@@ -559,6 +559,117 @@ object Dedup extends QueryModule {
         count(lit(1)).as("n_chunks"))
   }
 
+  /** ExactSubstr-style duplicated-SPAN REMOVAL (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1): every character position whose stride-1
+    * `gramLen`-char gram occurs ≥ 2 times in the corpus (across docs OR
+    * within one — self-repeats count, as in the paper) is duplicated
+    * content; the union of the marked [p, p+L) intervals is CUT from
+    * each document and the residual segments re-concatenate in order.
+    * This is the REMOVAL counterpart of d_winnow_dedup: winnowing
+    * detects which docs share long substrings at ~2/(w+1) fingerprint
+    * density; this operator rewrites the text with every duplicated
+    * span excised, the operation Lee et al. run with a suffix array.
+    *
+    * Scale shape (the suffix-array replacement): the corpus-wide
+    * exchange is (doc_id, pos, xxhash64(gram)) — 16 bytes per character
+    * position, the same order as the paper's 8-bytes-per-position
+    * suffix array, NOT the L×-amplified gram strings. The map-side-
+    * combined hash count finds duplicated hashes (no false negatives);
+    * only the surviving slice — proportional to actual duplication
+    * volume, not corpus size — ships its raw grams for the exact
+    * confirm group (collisions die there, so the output is EXACT and
+    * hash-free; the d_bloom_prefilter discipline). The duplicated-hash
+    * set broadcasts under the shared 4M bound and falls back to a
+    * shuffle semi join past it. Span merging and text rebuild are
+    * doc-local: a sorted position list folds left in one `aggregate`
+    * lambda (positions ascend, so the merged cut-end only ever moves
+    * right — no interval stack). Docs shorter than L have no grams and
+    * pass through; a fully-duplicated doc leaves an empty residual
+    * (kept, n_removed = length), the paper's degenerate case.
+    */
+  /** Stride-1 `gramLen`-char gram array of `text` as a SQL expression
+    * string (doc-local; callers must pre-filter length(text) >= L —
+    * sequence() with start > stop would DESCEND, not return empty).
+    */
+  private[graft] def strideGramArrayExpr(L: Int): String =
+    s"transform(sequence(1, length(text) - ${L - 1}), p -> substring(text, p, $L))"
+
+  /** (doc_id, pos, gram) stride-1 gram rows; pos is 0-based. */
+  private[graft] def strideGrams(docs: DataFrame, L: Int): DataFrame =
+    docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"), posexplode(expr(strideGramArrayExpr(L)))
+        .as(Seq("pos", "gram")))
+
+  /** Cut the union of the marked [pos, pos+L) intervals out of each
+    * document and re-concatenate the residual segments in order.
+    * `marked` is (doc_id, pos); the merge+rebuild is doc-local — a
+    * sorted position list folds left in one `aggregate` lambda
+    * (positions ascend, so the merged cut-end only ever moves right:
+    * no interval stack). Unmarked docs (left join miss) pass through.
+    * Output: (doc_id, text, n_removed).
+    */
+  private[graft] def cutMarkedSpans(docs: DataFrame, marked: DataFrame, L: Int): DataFrame = {
+    // per-doc position list is bounded by document length — the same
+    // doc-local state class as lineDedup's reassembly
+    val spans = marked.groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("ps").isNull, col("text")).otherwise(expr(
+        s"""aggregate(ps,
+           |  named_struct('e', 0, 'acc', ''),
+           |  (st, p) -> named_struct(
+           |    'e', p + $L,
+           |    'acc', CASE WHEN p >= st.e
+           |           THEN concat(st.acc, substring(text, st.e + 1, p - st.e))
+           |           ELSE st.acc END),
+           |  st -> concat(st.acc, substring(text, st.e + 1, length(text))))""".stripMargin)))
+      .select(col("doc_id"), col("kept").as("text"),
+        (length(col("text")) - length(col("kept"))).cast("bigint").as("n_removed"))
+  }
+
+  private[graft] def substringDedup(docs: DataFrame, gramLen: Int = 40): DataFrame = {
+    val L = gramLen
+    val grams = strideGrams(docs, L)
+      .select(col("doc_id"), col("pos"), col("gram"), xxhash64(col("gram")).as("gh"))
+    // checkpointed: read by the broadcast-bound decision AND the semi
+    // join; the set is bounded by duplication volume, not corpus size
+    val dupH = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gh").localCheckpoint(true)
+    val dupHBounded = dupH.count() <= 4L * 1000 * 1000
+    // the duplicated slice: checkpointed because both the exact-confirm
+    // aggregate and the final semi join read it (without the cut the
+    // corpus-wide gram derivation runs twice)
+    val cand = grams.join(if (dupHBounded) broadcast(dupH) else dupH, Seq("gh"), "left_semi")
+      .select("doc_id", "pos", "gram").localCheckpoint(true)
+    val dupG = cand.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gram")
+    val marked = cand.join(dupG, Seq("gram"), "left_semi").select(col("doc_id"), col("pos"))
+    cutMarkedSpans(docs, marked, L)
+  }
+
+  /** Cross-corpus ExactSubstr DECONTAMINATION SCRUB: cut from every
+    * training document each span whose stride-1 `gramLen`-char gram
+    * appears ANYWHERE in the eval/benchmark set — the removal-grade
+    * counterpart of d_decontaminate's shared-shingle COUNT (flagging
+    * tells you a doc leaks eval data; this excises the leak and keeps
+    * the rest of the doc, the way production pipelines actually
+    * decontaminate — e.g. the 13-gram overlap scrub in GPT-3 appendix C
+    * / PaLM §6.1, here at exact-substring strength). The eval side is
+    * tiny by nature (benchmarks, not corpora), so its distinct gram set
+    * BROADCASTS — the training corpus never shuffles: marking is a
+    * broadcast semi join, merging+rebuild is doc-local (cutMarkedSpans).
+    */
+  private[graft] def decontaminateScrub(docs: DataFrame, evalDocs: DataFrame,
+                                        gramLen: Int = 40): DataFrame = {
+    val L = gramLen
+    val evalGrams = evalDocs.filter(length(col("text")) >= L)
+      .select(explode(expr(strideGramArrayExpr(L))).as("gram")).distinct()
+    val marked = strideGrams(docs, L)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    cutMarkedSpans(docs, marked, L)
+  }
+
   /** Benchmark decontamination: count, per training doc, the 3-token
     * shingles it shares with an eval/benchmark set — the contamination
     * filter every LLM training pipeline runs before a corpus ships
@@ -1130,6 +1241,103 @@ object Dedup extends QueryModule {
              |       CAST(COUNT(*) AS BIGINT) AS n_shared
              |FROM ok a JOIN ok b ON a.gram = b.gram AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+    // ExactSubstr duplicated-span REMOVAL (see substringDedup): the
+    // gate mints an embedded copy of each 25th doc's 160-char prefix
+    // (+ a unique tail so the mint itself survives), so both copies of
+    // every duplicated span provably lose it — the original keeps its
+    // tail past char 160, the mint keeps only its unique tail. The
+    // oracle recomputes the FULL pipeline — stride-1 grams, the ≥2
+    // occurrence group, gaps-and-islands interval merge, and segment
+    // reassembly — from scratch in SQL (no snapshot), so the text
+    // rebuild arithmetic is pinned cross-engine character-for-character.
+    QueryDef(
+      "d_substring_dedup",
+      (s, dir) => {
+        val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        val minted = d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000000000L).as("doc_id"),
+            concat(substring(col("text"), 1, 160), lit(" UNIQ_TAIL_"),
+              (col("doc_id") + 200000000000L).cast("string")).as("text"))
+        substringDedup(d.unionByName(minted)).orderBy("doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000000000,
+             |    substr(text, 1, 160) || ' UNIQ_TAIL_' || CAST(doc_id + 200000000000 AS VARCHAR)
+             |  FROM documents WHERE doc_id % 25 = 0),
+             |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
+             |      FROM src WHERE len(text) >= 40),
+             |gr AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM p),
+             |dup AS (SELECT gram FROM gr GROUP BY 1 HAVING COUNT(*) >= 2),
+             |mk AS (SELECT gr.doc_id, gr.pos FROM gr SEMI JOIN dup USING (gram)),
+             |lg AS (SELECT doc_id, pos,
+             |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
+             |isl AS (SELECT doc_id, pos,
+             |  SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM lg),
+             |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 40 AS e
+             |  FROM isl GROUP BY 1, 2),
+             |seg AS (SELECT doc_id, s, e,
+             |  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe FROM sp),
+             |reb AS (SELECT seg.doc_id,
+             |  string_agg(substr(t.text, seg.pe + 1, seg.s - seg.pe), '' ORDER BY seg.s)
+             |    || substr(t.text, MAX(seg.e) + 1) AS text
+             |  FROM seg JOIN src t USING (doc_id) GROUP BY seg.doc_id, t.text)
+             |SELECT s.doc_id, COALESCE(r.text, s.text) AS text,
+             |  CAST(len(s.text) - len(COALESCE(r.text, s.text)) AS BIGINT) AS n_removed
+             |FROM src s LEFT JOIN reb r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    // cross-corpus decontamination SCRUB (see decontaminateScrub):
+    // same eval slice as d_decontaminate (doc_id % 97 = 0); the gate
+    // mints a host doc per eval doc embedding its 160-char prefix (+
+    // unique tail) so real excisions exist — the host provably keeps
+    // its tail and loses the leaked span. Oracle recomputes the whole
+    // scrub in SQL (eval gram set, marking, islands merge, reassembly).
+    QueryDef(
+      "d_decontaminate_scrub",
+      (s, dir) => {
+        val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        val eval0 = d.filter(col("doc_id") % 97 === 0)
+        val hosts = eval0
+          .select((col("doc_id") + 300000000000L).as("doc_id"),
+            concat(substring(col("text"), 1, 160), lit(" SCRUB_HOST_"),
+              (col("doc_id") + 300000000000L).cast("string")).as("text"))
+        decontaminateScrub(
+          d.filter(col("doc_id") % 97 =!= 0).unionByName(hosts), eval0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 300000000000,
+             |    substr(text, 1, 160) || ' SCRUB_HOST_' || CAST(doc_id + 300000000000 AS VARCHAR)
+             |  FROM ev),
+             |ep AS (SELECT text, unnest(generate_series(0, len(text) - 40)) AS pos
+             |       FROM ev WHERE len(text) >= 40),
+             |eg AS (SELECT DISTINCT substr(text, pos + 1, 40) AS gram FROM ep),
+             |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
+             |      FROM tr WHERE len(text) >= 40),
+             |gr AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM p),
+             |mk AS (SELECT gr.doc_id, gr.pos FROM gr SEMI JOIN eg USING (gram)),
+             |lg AS (SELECT doc_id, pos,
+             |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
+             |isl AS (SELECT doc_id, pos,
+             |  SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM lg),
+             |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 40 AS e
+             |  FROM isl GROUP BY 1, 2),
+             |seg AS (SELECT doc_id, s, e,
+             |  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe FROM sp),
+             |reb AS (SELECT seg.doc_id,
+             |  string_agg(substr(t.text, seg.pe + 1, seg.s - seg.pe), '' ORDER BY seg.s)
+             |    || substr(t.text, MAX(seg.e) + 1) AS text
+             |  FROM seg JOIN tr t USING (doc_id) GROUP BY seg.doc_id, t.text)
+             |SELECT s.doc_id, COALESCE(r.text, s.text) AS text,
+             |  CAST(len(s.text) - len(COALESCE(r.text, s.text)) AS BIGINT) AS n_removed
+             |FROM tr s LEFT JOIN reb r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
     ),
   )
 

@@ -167,6 +167,47 @@ object Similarity extends QueryModule {
               |SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
               |ORDER BY q_id, rn""".stripMargin),
     ),
+    // hard-negative mining for contrastive/embedding training (the
+    // in-batch-negatives upgrade every dense-retriever recipe runs —
+    // e.g. DPR, Karpukhin et al. 2020 §3.2): for each query vector, the
+    // top-k most-similar corpus vectors whose LABEL DIFFERS — maximally
+    // confusing non-matches. Same plan class as s_cosine_topk (the
+    // label inequality rides the broadcast join condition, so only
+    // cross-label rows are ever scored): corpus never shuffles,
+    // bounded-heap partial top-k, ≤ k rows per query per partition
+    // cross the exchange.
+    QueryDef(
+      "s_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"), col("label"))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_label"))
+        val scored = e.join(broadcast(queries),
+            col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+          .withColumn("cos", expr(cos))
+          .select(col("q_id"), col("vec_id"), col("cos")).as[(Long, Long, Double)]
+        scored.groupByKey(_._1)
+          .agg(new graft.functions.TopKByScore(5).toColumn)
+          .flatMap { case (q, hits) =>
+            hits.zipWithIndex.map { case ((v, c), i) => (q, v, c, i + 1) }
+          }
+          .toDF("q_id", "vec_id", "cos", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding, label,
+              |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label, nrm AS q_nrm
+              |  FROM c WHERE vec_id < 10),
+              |scored AS (SELECT q_id, vec_id,
+              |  ${duckDot("q_vec", "embedding")} / (nrm * q_nrm) AS cos
+              |  FROM c, q WHERE vec_id <> q_id AND label <> q_label),
+              |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER
+              |  (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rn FROM scored)
+              |SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
+              |ORDER BY q_id, rn""".stripMargin),
+    ),
     // radius (range) retrieval: every corpus vector within a cosine
     // threshold of each query — the fixed-radius twin of top-k (RAG
     // retrieval-with-floor, duplicate candidate harvesting). The

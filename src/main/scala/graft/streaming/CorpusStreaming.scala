@@ -246,4 +246,50 @@ object CorpusStreaming {
         when(col("surprisal") <= cutHead, "head")
           .when(col("surprisal") <= cutTail, "middle")
           .otherwise("tail").as("bucket"))
+
+  /** Streaming decontamination SCRUB — the guard in front of the
+    * training pipe: every arriving document loses each span whose
+    * stride-1 `gramLen`-char gram appears in the (offline, batch-built)
+    * eval/benchmark gram set, so leaked eval material is excised
+    * WHOLESALE before a doc ever reaches storage. Stateless per row —
+    * no join, no aggregation, no watermark: the eval set rides as a
+    * broadcast (bounded by the eval corpus, which is tiny by nature —
+    * the same boundedness claim d_decontaminate's broadcast makes;
+    * ~1 MB at the gate) and each doc mark-merge-cuts its own spans in
+    * one per-partition loop. A typed kernel, not an expression: the
+    * only expression-level alternative probes a 10³–10⁴-element
+    * array literal per position (array_contains is a linear scan —
+    * O(len·|eval|·L) per doc); the hash-set probe is O(len·L). Emits
+    * the batch decontaminateScrub frame (doc_id, text, n_removed);
+    * row-for-row batch parity is CorpusStreamingSpec's pin, and an
+    * eval doc arriving IN the stream self-scrubs to empty (every one
+    * of its positions is marked by construction).
+    */
+  def decontaminateScrub(docs: DataFrame, evalGrams: Set[String],
+                         gramLen: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val L = gramLen
+    val bc = spark.sparkContext.broadcast(evalGrams)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.map { case (id, t) =>
+          val sb = new StringBuilder
+          var e = 0
+          var i = 0
+          val last = t.length - L
+          while (i <= last) {
+            if (set.contains(t.substring(i, i + L))) {
+              if (i >= e) sb.append(t.substring(e, i))
+              e = math.max(e, i + L)
+            }
+            i += 1
+          }
+          sb.append(t.substring(math.min(e, t.length)))
+          (id, sb.toString, (t.length - sb.length).toLong)
+        }
+      }
+      .toDF("doc_id", "text", "n_removed")
+  }
 }

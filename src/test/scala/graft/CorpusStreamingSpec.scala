@@ -133,6 +133,33 @@ class CorpusStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming decontamination scrub matches the batch helper row for row") {
+    // the typed hash-set kernel must reproduce the batch declarative
+    // scrub (broadcast semi join + doc-local aggregate fold) exactly,
+    // character for character — including eval docs arriving in the
+    // stream, which self-scrub to empty
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_decontaminate_scrub").get.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val d = Tables(spark, sfDir).documents
+    val batch = graft.operators.Dedup
+      .decontaminateScrub(d.select(col("doc_id"), col("text")),
+        d.filter(col("doc_id") % 97 === 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    // eval docs long enough to have grams (all their positions are in
+    // the set by construction) must self-scrub to empty
+    val evalIds = d.filter(col("doc_id") % 97 === 0)
+      .filter(org.apache.spark.sql.functions.length(col("text")) >= 40)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(evalIds.nonEmpty)
+    streamed.filter(t => evalIds(t._1)).foreach { case (_, text, _) =>
+      assert(text.isEmpty, "an eval doc in the stream must self-scrub to empty")
+    }
+    assert(streamed === batch)
+  }
+
   test("streaming chunk fan-out matches the batch t_chunk_overlap row for row") {
     val streamed = graft.operators.Streaming.entries
       .find(_.name == "st_chunk_overlap").get.fn(spark, sfDir)

@@ -147,7 +147,7 @@ class PlanAuditSpec extends SparkSpec {
     // NOT allowed: s_pq_topk — the whole PQ path is broadcast EQUI joins
     // on (j, code); if it ever plans a nested loop, a join lost its keys.
     val allowed = Set(
-      "s_cosine_topk", "s_range_search", "d_embedding_neardup",
+      "s_cosine_topk", "s_hard_negatives", "s_range_search", "d_embedding_neardup",
       "d_embedding_neardup_ivf",
       "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify",
       "s_ivfpq_topk", "s_prefix_rerank_topk", "s_mmr_rerank",
