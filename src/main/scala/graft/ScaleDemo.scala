@@ -49,7 +49,8 @@ object ScaleDemo {
     * `degraded` below stays false.
     */
   val IntendedNested: Set[String] = Set("s_cosine_topk", "s_hard_negatives",
-    "s_range_search", "s_prefix_rerank_topk", "s_mmr_rerank",
+    "s_kmeans_clusters", "s_cluster_balance", "s_range_search",
+    "s_prefix_rerank_topk", "s_mmr_rerank",
     // 1-row scalar broadcasts (corpus totals / vocabulary size /
     // model totals) — the same scalar-threshold shapes PlanAuditSpec
     // allowlists; bounded at any scale by construction
@@ -122,6 +123,18 @@ object ScaleDemo {
       import s.implicits._
       graft.api.TrainingData.prepareWeb(Tables(s, dir).documents,
           modelQuality = true)
+        .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
+        .toDF("stage_idx", "stage", "n_docs")
+    }),
+    // the exact-substring coverage arm at scale (the
+    // d_web_pipeline_substr gate entry's production-hash twin, run on
+    // the natural corpus — a COST cell: the permutation replicas carry
+    // no cross-replica spans, so the arm's attrition is ~0 and the
+    // row measures the pure per-scale overhead of the coverage pass)
+    "d_web_pipeline_substr_fast" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.TrainingData.prepareWeb(Tables(s, dir).documents,
+          exactSubstr = true)
         .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
         .toDF("stage_idx", "stage", "n_docs")
     }))

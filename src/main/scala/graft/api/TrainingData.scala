@@ -164,7 +164,11 @@ object TrainingData {
     *   Gopher + C4 + FineWeb published-filter battery → exact dedup →
     *   near-dup dedup (banded LSH UNION the containment-complete
     *   short-doc probe — embedded excerpts the LSH collision knee
-    *   misses) with the QUALITY-AWARE keep-best keeper → CCNet
+    *   misses) with the QUALITY-AWARE keep-best keeper → [optional
+    *   exact-substring coverage filter (exactSubstr arm): survivors
+    *   more than half covered by spans duplicated among the
+    *   survivors drop — the partial-copy blind spot both near-dup
+    *   arms keep] → CCNet
     *   head/middle bucketing (tail dropped) → deterministic hash
     *   split + context-window packing plan
     *
@@ -208,13 +212,22 @@ object TrainingData {
     *                   (`model_keep`): train t_quality_model's
     *                   classifier on the url-deduped corpus, score the
     *                   ccnet survivors, keep the top ~90% by score
+    * @param exactSubstr add the exact-substring coverage filter stage
+    *                   (`substr_keep`): drop near-dup survivors MORE
+    *                   THAN HALF covered by 40-char spans duplicated
+    *                   among the survivors themselves — the
+    *                   partially-copied tail the near-dup stage
+    *                   provably keeps (a doc sharing ~60% of its text
+    *                   has Jaccard ≈ 0.43, below the 0.5 verification
+    *                   tau on BOTH candidate arms)
     */
   def prepareWeb(docs: DataFrame, oracleHash: Boolean = false,
                  trainPct: Int = 80, valPct: Int = 10,
                  binTokens: Int = 2048,
                  probeMaxShingles: Int = 0,
                  packByBpe: Boolean = false,
-                 modelQuality: Boolean = false): PreparedWeb = {
+                 modelQuality: Boolean = false,
+                 exactSubstr: Boolean = false): PreparedWeb = {
     import graft.operators.TextAnalysis
     val spark = docs.sparkSession
     import spark.implicits._
@@ -345,14 +358,34 @@ object TrainingData {
       val deduped = stage("neardup_keepbest",
         DedupPipeline.dedupKeepBest(exact.join(quality, "doc_id"), pairs, quality))
 
+      // exact-substring coverage arm — d_substring_dedup deployed as a
+      // filter stage: per near-dup SURVIVOR, the duplicated-span
+      // coverage (stride-1 40-char grams occurring ≥ 2 times among the
+      // survivors, intervals merged) and a drop when covered chars
+      // exceed half the doc. substringDedup's n_removed IS the merged
+      // coverage and its output text length the residue, so the keep
+      // condition is n_removed ≤ len(residue) — no second derivation.
+      // Text is NOT rewritten here (the standalone entry is the
+      // rewrite): a pipeline stage must keep the strictly-nested
+      // doc_id-filter contract the attrition accounting builds on.
+      val substred =
+        if (!exactSubstr) deduped
+        else stage("substr_keep",
+          deduped.join(
+            graft.operators.Dedup.substringDedup(
+              deduped.select(col("doc_id"), col("text")))
+              .filter(col("n_removed") <= length(col("text")))
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+
       // CCNet bucketing over the SURVIVOR corpus; tail tercile dropped.
       // ccnetBuckets is conf-aware: setting spark.graft.ccnet.approxCuts
       // swaps the exact tercile cuts for the bounded GK sketch here too
       // (the 100 TB arm), with the gate running the exact default.
-      val cc = TextAnalysis.ccnetBuckets(deduped.select(col("doc_id"), col("text")))
+      val cc = TextAnalysis.ccnetBuckets(substred.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("n_tokens"), col("surprisal"), col("bucket"))
       val ccKept = stage("ccnet_keep",
-        deduped.join(cc.filter(col("bucket") =!= "tail"), "doc_id"))
+        substred.join(cc.filter(col("bucket") =!= "tail"), "doc_id"))
 
       // model-quality filter arm — the FineWeb-Edu deployment of
       // t_quality_model as a pipeline stage with its own attrition

@@ -572,14 +572,18 @@ object Dedup extends QueryModule {
     * span excised, the operation Lee et al. run with a suffix array.
     *
     * Scale shape (the suffix-array replacement): the corpus-wide
-    * exchange is (doc_id, pos, xxhash64(gram)) — 16 bytes per character
+    * exchange is (doc_id, pos, rolling-hash) — 16 bytes per character
     * position, the same order as the paper's 8-bytes-per-position
-    * suffix array, NOT the L×-amplified gram strings. The map-side-
+    * suffix array, NOT the L×-amplified gram strings (the hashes come
+    * from the native O(n)-per-doc plans.RollingGramHash kernel, so the
+    * strings are never even materialized map-side). The map-side-
     * combined hash count finds duplicated hashes (no false negatives);
     * only the surviving slice — proportional to actual duplication
-    * volume, not corpus size — ships its raw grams for the exact
-    * confirm group (collisions die there, so the output is EXACT and
-    * hash-free; the d_bloom_prefilter discipline). The duplicated-hash
+    * volume, not corpus size — re-derives its raw grams (a
+    * broadcast-bounded positions→text join: the corpus text never
+    * shuffles while the slice is bounded) for the exact confirm group
+    * (collisions die there, so the output is EXACT and hash-free; the
+    * d_bloom_prefilter discipline). The duplicated-hash
     * set broadcasts under the shared 4M bound and falls back to a
     * shuffle semi join past it. Span merging and text rebuild are
     * doc-local: a sorted position list folds left in one `aggregate`
@@ -629,18 +633,37 @@ object Dedup extends QueryModule {
 
   private[graft] def substringDedup(docs: DataFrame, gramLen: Int = 40): DataFrame = {
     val L = gramLen
-    val grams = strideGrams(docs, L)
-      .select(col("doc_id"), col("pos"), col("gram"), xxhash64(col("gram")).as("gh"))
+    // stride-1 hashes from the native O(n) rolling kernel
+    // (plans.RollingGramHash) — the prefilter pass never materializes
+    // the L×-amplified gram strings the expression-level
+    // transform+substring formulation allocates (the measured dominant
+    // cost of the first cut of this operator, see SCALE.md); equal
+    // grams hash equal by
+    // construction, so the prefilter keeps the no-false-negatives
+    // guarantee and the exact confirm below still removes collisions
+    val hashed = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(expr(s"rolling_gram_hash(text, $L)")).as(Seq("pos", "gh")))
     // checkpointed: read by the broadcast-bound decision AND the semi
     // join; the set is bounded by duplication volume, not corpus size
-    val dupH = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+    val dupH = hashed.groupBy("gh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("gh").localCheckpoint(true)
     val dupHBounded = dupH.count() <= 4L * 1000 * 1000
-    // the duplicated slice: checkpointed because both the exact-confirm
-    // aggregate and the final semi join read it (without the cut the
-    // corpus-wide gram derivation runs twice)
-    val cand = grams.join(if (dupHBounded) broadcast(dupH) else dupH, Seq("gh"), "left_semi")
-      .select("doc_id", "pos", "gram").localCheckpoint(true)
+    // candidate POSITIONS only (two numbers a row); checkpointed for
+    // the broadcast decision + the text join below
+    val candPos = hashed
+      .join(if (dupHBounded) broadcast(dupH) else dupH, Seq("gh"), "left_semi")
+      .select("doc_id", "pos").localCheckpoint(true)
+    val candPosBounded = candPos.count() <= 4L * 1000 * 1000
+    // re-derive actual grams ONLY for the duplicated slice; while the
+    // slice is bounded it broadcasts, so the corpus text never shuffles
+    // (past the bound: shuffle hash join, still slice-proportional
+    // output)
+    val cand = docs.select(col("doc_id"), col("text"))
+      .join(if (candPosBounded) broadcast(candPos) else candPos, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $L)").as("gram"))
+      .localCheckpoint(true)
     val dupG = cand.groupBy("gram").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("gram")
     val marked = cand.join(dupG, Seq("gram"), "left_semi").select(col("doc_id"), col("pos"))

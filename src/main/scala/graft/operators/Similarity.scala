@@ -132,6 +132,103 @@ object Similarity extends QueryModule {
       .toDF("q_id", "vec_id", "mmr_rank", "rel", "mmr_score")
   }
 
+  /** Distributed k-means over the embedding column (Lloyd's algorithm,
+    * `iters` unrolled steps, seeds = the k smallest-vec_id vectors) —
+    * the clustering stage of SemDeDup-style curation, cluster-balanced
+    * sampling, and corpus cartography. EXACT cross-engine arithmetic,
+    * no rounding bridge: centroid means use the s_label_centroids
+    * fixed-point trick (per-dimension sum of FLOOR(x·2^62) as
+    * DECIMAL(38,0) — exact and summation-ORDER-FREE, so Spark's
+    * partition order cannot drift from DuckDB's scan order), seeds are
+    * exact float→double casts, and distances are the shared
+    * sequential-fold squared L2 — identical inputs, identical folds,
+    * identical argmin (ties break by centroid id).
+    *
+    * Scale shape: each step's centroid table is COLLECTED bounded
+    * (k·64 rows — the ccnetHashedModel convention, not data movement)
+    * and rides the next assignment as a broadcast literal, so the
+    * corpus never shuffles for assignment (a k-row
+    * BroadcastNestedLoopJoin, the intended scoring shape); the only
+    * corpus-sized exchange per step is the map-side-combined
+    * (cid, dim) fixed-point aggregate — k·64 groups regardless of
+    * corpus size. An emptied cluster drops out of the centroid table
+    * identically in both engines.
+    */
+  private[graft] def kmeansClusters(vecs: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val P62 = "4611686018427387904.0" // 2^62
+    val v = vecs.select(col("vec_id"), col("embedding")).persist()
+    var cents: Seq[(Int, Seq[Double])] = v.orderBy("vec_id").limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toSeq)
+      .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    def assign(c: Seq[(Int, Seq[Double])]): DataFrame =
+      v.crossJoin(broadcast(c.toDF("cid", "cent")))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(embedding, cent,
+            |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
+        .groupBy("vec_id").agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+    for (_ <- 1 until iters) {
+      val upd = assign(cents).join(v, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(expr(s"CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * $P62) AS DECIMAL(38,0))) AS DOUBLE)")
+          .as("sx"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"), expr(s"sx / n / $P62").as("m"))
+        .as[(Int, Int, Double)].collect() // ≤ k·64 rows by construction
+      cents = upd.groupBy(_._1).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3).toSeq)
+      }.sortBy(_._1)
+    }
+    val out = assign(cents)
+      .select(col("vec_id"), col("cid").as("cluster"), round(col("dist"), 6).as("dist"))
+    Materialize(out, v)
+  }
+
+  /** DuckDB twin of [[kmeansClusters]] (k=8, iters=3) as composable
+    * CTEs ending in `b3` (vec_id, cid, dist): chained MATERIALIZED
+    * CTEs recompute every seed, assignment, and fixed-point centroid
+    * update independently. Shared by the s_kmeans_clusters gate and
+    * the s_cluster_balance oracle so the two cannot drift.
+    */
+  private[graft] val KmeansCtes: String = {
+    val P62 = "4611686018427387904.0"
+    val dist =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |    i -> (e.embedding[i]::DOUBLE - c.cent[i]) * (e.embedding[i]::DOUBLE - c.cent[i])),
+         |  (x, y) -> x + y)""".stripMargin
+    def step(n: Int, cSrc: String) =
+      s"""a$n AS MATERIALIZED (SELECT e.vec_id, c.cid, $dist AS dist
+         |  FROM embeddings e CROSS JOIN $cSrc c),
+         |b$n AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM a$n) WHERE rn = 1)""".stripMargin
+    def update(n: Int) =
+      s"""c${n + 1} AS MATERIALIZED (SELECT cid, list(m ORDER BY dim) AS cent FROM (
+         |  SELECT b.cid, u.dim,
+         |    CAST(SUM(CAST(FLOOR(u.x * $P62) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / COUNT(*) / $P62 AS m
+         |  FROM b$n b JOIN u USING (vec_id) GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    s"""u AS (SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+       |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+       |c1 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |  list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE) AS cent
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |${step(1, "c1")},
+       |${update(1)},
+       |${step(2, "c2")},
+       |${update(2)},
+       |${step(3, "c3")}""".stripMargin
+  }
+
+  private[graft] val KmeansSql: String =
+    s"""WITH $KmeansCtes
+       |SELECT vec_id, cid AS cluster, round(dist, 6) AS dist FROM b3
+       |ORDER BY vec_id""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
     // brute-force cosine top-k: the exact baseline every ANN variant is
     // judged against
@@ -588,6 +685,57 @@ object Similarity extends QueryModule {
              |SELECT label, MAX(n) AS n_vectors,
              |sqrt(list_reduce(list_transform(list(m ORDER BY i), v -> v*v), (a, b) -> a + b)) AS centroid_norm
              |FROM means GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    // unsupervised k-means corpus clustering (see kmeansClusters): the
+    // SemDeDup/cluster-balanced-sampling stage, fully DuckDB-oracled —
+    // the oracle recomputes all three Lloyd steps as chained
+    // MATERIALIZED CTEs with the same exact fixed-point centroid means,
+    // so assignments AND distances are bit-identical by construction
+    QueryDef(
+      "s_kmeans_clusters",
+      (s, dir) => kmeansClusters(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")))
+        .orderBy("vec_id"),
+      Some(KmeansSql),
+    ),
+    // cluster-BALANCED sampling (the MetaCLIP/SSL curation move: cap
+    // every k-means cluster at m members so head clusters stop
+    // dominating the mixture): per cluster, keep the m=32 smallest
+    // md5-priority vectors — a deterministic uniform draw that is
+    // reproducible across runs, engines, and repartitionings (the
+    // t_weighted_sample hash-as-uniform convention, 13 hex chars = 52
+    // bits so the Long is EXACT in the aggregator's double score).
+    // The per-cluster cap is the bounded-heap partial aggregate, NOT a
+    // row_number window: each map partition ships ≤ m rows per
+    // cluster, so a billion-member head cluster never funnels through
+    // one partition. Oracle chains the shared k-means CTEs into an
+    // independent ROW_NUMBER recomputation.
+    QueryDef(
+      "s_cluster_balance",
+      (s, dir) => {
+        import s.implicits._
+        val assigned = kmeansClusters(
+          Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")))
+        val scored = assigned.select(
+            col("cluster").cast("long"), col("vec_id"),
+            -conv(substring(md5(col("vec_id").cast("string")), 1, 13), 16, 10)
+              .cast("bigint").cast("double"))
+          .as[(Long, Long, Double)]
+        scored.groupByKey(_._1)
+          .agg(new graft.functions.TopKByScore(32).toColumn)
+          .flatMap { case (c, hits) =>
+            hits.zipWithIndex.map { case ((v, _), i) => (v, c.toInt, i + 1) }
+          }
+          .toDF("vec_id", "cluster", "rn")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $KmeansCtes,
+              |r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY cid
+              |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13) AS BIGINT),
+              |    vec_id) AS rn
+              |  FROM b3)
+              |SELECT vec_id, cid AS cluster, CAST(rn AS INT) AS rn FROM r
+              |WHERE rn <= 32 ORDER BY vec_id""".stripMargin),
     ),
     // IVF-style ANN: k-means bucketing (graft.api.AnnIndex), queries
     // probe the 3 nearest of 8 buckets. Rows-only: recall and structure

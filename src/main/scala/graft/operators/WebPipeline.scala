@@ -59,6 +59,15 @@ object WebPipeline extends QueryModule {
   private[graft] val StageNamesModel: Seq[String] =
     StageNames.init :+ "model_keep" :+ "final"
 
+  /** Stage names with the exact-substring coverage arm on
+    * (d_web_pipeline_substr): the d_substring_dedup filter stage lands
+    * between the near-dup keeper and the ccnet cut.
+    */
+  private[graft] val StageNamesSubstr: Seq[String] = {
+    val (pre, post) = StageNames.span(_ != "ccnet_keep")
+    pre ++ (Seq("substr_keep") ++ post)
+  }
+
   /** Closed-form canonical URL of the doc_id-derived raw variant
     * prepareWeb feeds through functions.UrlCanonical: scheme/host case
     * folds, the explicit :443 default port drops, /d/../ dot-segments
@@ -78,12 +87,47 @@ object WebPipeline extends QueryModule {
   private val canonUrlSql =
     s"'https://site' || CAST($urlKeySql % 5 AS VARCHAR) || '.test/doc/' || CAST($urlKeySql AS VARCHAR)"
 
-  private def oracleSql(model: Boolean): String = {
+  /** Minted partial-duplicate SQL for the substr-arm gate (see the
+    * d_web_pipeline_substr entry comment): the first ~60% of a source
+    * doc's words plus short unique z-hex tail words to the original
+    * word count — battery-shaped like its source, Jaccard ≈ 0.43
+    * (below BOTH near-dup arms' 0.5 tau), span coverage ≈ 0.6 (above
+    * the substr stage's one-half drop line).
+    */
+  private val substrMintHeadSql =
+    "(3 * len(string_split(text, ' ')) + 4) // 5"
+  private val substrMintHeadSpark = "(3 * size(split(text, ' ')) + 4) div 5"
+  private val substrMintTailSpark = s"size(split(text, ' ')) - ($substrMintHeadSpark)"
+
+  /** Spark twin of [[substrMintTextSql]] — byte-identical output (the
+    * greatest+slice dance exists because Spark's sequence(1, 0)
+    * DESCENDS where DuckDB's generate_series(1, 0) is empty).
+    */
+  private[graft] val substrMintTextSpark: String =
+    s"""concat(
+       |  array_join(slice(split(text, ' '), 1, $substrMintHeadSpark), ' '),
+       |  ' ',
+       |  array_join(slice(
+       |    transform(sequence(1, greatest($substrMintTailSpark, 1)),
+       |      j -> concat('z', substring(md5(concat('t', CAST(doc_id AS STRING), 'w', CAST(j AS STRING))), 1, 3))),
+       |    1, $substrMintTailSpark), ' '))""".stripMargin
+  private val substrMintTextSql =
+    s"""array_to_string(list_slice(string_split(text, ' '), 1, $substrMintHeadSql), ' ') || ' ' ||
+       |array_to_string(list_transform(
+       |  generate_series(1, len(string_split(text, ' ')) - $substrMintHeadSql),
+       |  j -> 'z' || substr(md5('t' || CAST(doc_id AS VARCHAR) || 'w' || CAST(j AS VARCHAR)), 1, 3)),
+       |  ' ')""".stripMargin
+
+  private def oracleSql(model: Boolean, substr: Boolean = false): String = {
+    require(!(model && substr), "one arm per gate entry")
     val T = TextAnalysis
-    val names = if (model) StageNamesModel else StageNames
+    val names = if (model) StageNamesModel
+                else if (substr) StageNamesSubstr
+                else StageNames
+    val base = if (substr) "srcdocs" else "documents"
     val stageCounts = names.zipWithIndex.map { case (s, i) =>
       val rel = s match {
-        case "raw" => "documents"
+        case "raw" => base
         case "warc_fetch" => "fetched"
         case "robots_gate" => "robots"
         case "url_dedup" => "urldedup"
@@ -93,6 +137,7 @@ object WebPipeline extends QueryModule {
         case "filter_fineweb" => "fwkeep"
         case "exact_dedup" => "exdedup"
         case "neardup_keepbest" => "neardup"
+        case "substr_keep" => "substrkeep"
         case "ccnet_keep" => "ccnet"
         case "model_keep" => "modelkeep"
         case "final" => "finalout"
@@ -120,8 +165,37 @@ object WebPipeline extends QueryModule {
          |  JOIN qsscored s USING (doc_id) CROSS JOIN qthr WHERE s.score > qthr.thr),
          |""".stripMargin
     val finalSrc = if (model) "modelkeep" else "ccnet"
+    // the substr arm: duplicated-span coverage over the near-dup
+    // survivors (the d_substring_dedup oracle's gram/islands chain,
+    // reduced to a coverage SUM — the stage only needs the residue
+    // LENGTH, never the rebuilt text), drop docs more than half covered
+    val ccSrc = if (substr) "substrkeep" else "neardup"
+    val srcCte = if (!substr) "" else
+      s"""srcdocs AS MATERIALIZED (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 420000000000, $substrMintTextSql
+         |  FROM documents WHERE doc_id % 20 = 3),
+         |""".stripMargin
+    val substrCtes = if (!substr) "" else
+      s"""sq0 AS MATERIALIZED (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
+         |  FROM neardup WHERE len(text) >= 40),
+         |sgr AS MATERIALIZED (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM sq0),
+         |sdup AS MATERIALIZED (SELECT gram FROM sgr GROUP BY 1 HAVING COUNT(*) >= 2),
+         |smk AS MATERIALIZED (SELECT sgr.doc_id, sgr.pos FROM sgr SEMI JOIN sdup USING (gram)),
+         |slg AS (SELECT doc_id, pos,
+         |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM smk),
+         |sisl AS (SELECT doc_id, pos,
+         |  SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM slg),
+         |ssp AS MATERIALIZED (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 40 AS e
+         |  FROM sisl GROUP BY 1, 2),
+         |scov AS MATERIALIZED (SELECT doc_id, SUM(e - s) AS covered FROM ssp GROUP BY 1),
+         |substrkeep AS MATERIALIZED (SELECT n.doc_id, n.text FROM neardup n
+         |  LEFT JOIN scov c USING (doc_id)
+         |  WHERE COALESCE(c.covered, 0) * 2 <= len(n.text)),
+         |""".stripMargin
     s"""WITH RECURSIVE
-       |fetched AS MATERIALIZED (SELECT doc_id, ${T.HtmlTextOutSql} AS text FROM documents),
+       |${srcCte}fetched AS MATERIALIZED (SELECT doc_id, ${T.HtmlTextOutSql} AS text FROM $base),
        |robots AS MATERIALIZED (SELECT doc_id, text FROM fetched WHERE ${T.RobotsAllowedSql}),
        |urlkey AS MATERIALIZED (SELECT doc_id, text, $canonUrlSql AS canon FROM robots),
        |urlmin AS MATERIALIZED (SELECT canon, MIN(doc_id) AS keeper FROM urlkey GROUP BY 1),
@@ -198,8 +272,8 @@ object WebPipeline extends QueryModule {
        |  FROM cl JOIN q USING (doc_id)),
        |losers AS MATERIALIZED (SELECT doc_id FROM rnk WHERE rn > 1),
        |neardup AS MATERIALIZED (SELECT e.doc_id, e.text FROM exdedup e ANTI JOIN losers l USING (doc_id)),
-       |${materialize(T.ccnetScoredCtesSql("neardup"))},
-       |ccnet AS MATERIALIZED (SELECT n.doc_id, n.text FROM neardup n JOIN scored s USING (doc_id)
+       |${substrCtes}${materialize(T.ccnetScoredCtesSql(ccSrc))},
+       |ccnet AS MATERIALIZED (SELECT n.doc_id, n.text FROM $ccSrc n JOIN scored s USING (doc_id)
        |  CROSS JOIN cuts WHERE s.surprisal <= cuts.c2),
        |${modelCtes}finalout AS MATERIALIZED (SELECT doc_id FROM $finalSrc)
        |SELECT * FROM (
@@ -258,6 +332,36 @@ object WebPipeline extends QueryModule {
           .orderBy("stage_idx")
       },
       Some(oracleSql(model = true)),
+    ),
+    // the exact-substring coverage arm (d_substring_dedup deployed as
+    // a pipeline stage): near-dup survivors more than half covered by
+    // 40-char spans duplicated among the survivors DROP. The gate
+    // mints a partial duplicate per 20th doc — ~60% word-prefix of its
+    // source plus short unique tail words — shaped to pass the filter
+    // battery like its source while sitting in the near-dup blind
+    // spot: Jaccard ≈ 0.43 (below the 0.5 verification tau on both
+    // candidate arms, so BOTH copies reach the substr stage) with span
+    // coverage ≈ 0.6 (above the one-half drop line, so BOTH then
+    // drop). The oracle recomputes the mint, the full base chain, and
+    // the coverage arithmetic (gram → ≥2 group → islands → Σ(e−s))
+    // from scratch.
+    QueryDef(
+      "d_web_pipeline_substr",
+      (s, dir) => {
+        import s.implicits._
+        requireGateConf(s, "d_web_pipeline_substr")
+        val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        val minted = d.filter(col("doc_id") % 20 === 3)
+          .select((col("doc_id") + 420000000000L).as("doc_id"),
+            expr(substrMintTextSpark).as("text"))
+        val p = graft.api.TrainingData.prepareWeb(
+          d.unionByName(minted), oracleHash = true, exactSubstr = true)
+        p.stages.zipWithIndex
+          .map { case ((st, n), i) => (i, st, n) }
+          .toDF("stage_idx", "stage", "n_docs")
+          .orderBy("stage_idx")
+      },
+      Some(oracleSql(model = false, substr = true)),
     ),
   )
 }

@@ -44,5 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Simhash64(children.head)
       },
     ))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_gram_hash"),
+      RollingGramHash.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "rolling_gram_hash expects 2 arguments")
+        RollingGramHash(children.head, children(1))
+      },
+    ))
   }
 }

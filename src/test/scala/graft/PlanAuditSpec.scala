@@ -108,7 +108,7 @@ class PlanAuditSpec extends SparkSpec {
   // for a plan sweep to audit; their constituent stages (Corpus.clean,
   // minhashLsh64, DedupPipeline, quality filter, sequence pack) are all
   // swept through their own registry entries
-  private val eagerComposites = Set("d_training_prepare", "d_web_pipeline", "d_web_pipeline_model", "w_zorder", "w_upsert", "w_rollup_refresh", "st_upsert_apply", "w_retention")
+  private val eagerComposites = Set("d_training_prepare", "d_web_pipeline", "d_web_pipeline_model", "d_web_pipeline_substr", "w_zorder", "w_upsert", "w_rollup_refresh", "st_upsert_apply", "w_retention")
 
   /** Registry plans with pipeline materialization DISABLED — entries
     * that localCheckpoint (dedup/ANN pipelines) otherwise truncate to a
@@ -147,7 +147,8 @@ class PlanAuditSpec extends SparkSpec {
     // NOT allowed: s_pq_topk — the whole PQ path is broadcast EQUI joins
     // on (j, code); if it ever plans a nested loop, a join lost its keys.
     val allowed = Set(
-      "s_cosine_topk", "s_hard_negatives", "s_range_search", "d_embedding_neardup",
+      "s_cosine_topk", "s_hard_negatives", "s_kmeans_clusters", "s_cluster_balance",
+      "d_embedding_neardup", "s_range_search",
       "d_embedding_neardup_ivf",
       "d_embedding_neardup_srp", "s_ivf_topk", "s_srp_topk", "s_knn_classify",
       "s_ivfpq_topk", "s_prefix_rerank_topk", "s_mmr_rerank",

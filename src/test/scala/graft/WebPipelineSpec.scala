@@ -225,6 +225,53 @@ class WebPipelineSpec extends SparkSpec {
       s"model cut dropped ${dropped.size} of ${baseIds.size} — not a decile cut")
   }
 
+  test("the exact-substring arm drops partial duplicates both near-dup arms keep") {
+    // the "d_web_pipeline_substr" gate entry's composition: documents
+    // ∪ the minted ~60%-overlap partial duplicates, exactSubstr arm on
+    val s = spark
+    import s.implicits._
+    val d = docs.select(col("doc_id"), col("text"))
+    val minted = d.filter(col("doc_id") % 20 === 3)
+      .select((col("doc_id") + 420000000000L).as("doc_id"),
+        expr(WebPipeline.substrMintTextSpark).as("text"))
+    val union = d.unionByName(minted)
+    val base = TrainingData.prepareWeb(union, oracleHash = true)
+    val armed = TrainingData.prepareWeb(union, oracleHash = true, exactSubstr = true)
+    assert(armed.stages.map(_._1) == WebPipeline.StageNamesSubstr)
+    // the shared 10-stage prefix is IDENTICAL — the arm only inserts
+    // its own attrition row between the near-dup keeper and ccnet
+    assert(armed.stages.take(10) == base.stages.take(10))
+    val byA = armed.stages.toMap
+    assert(byA("substr_keep") < byA("neardup_keepbest"), "substr arm idle")
+
+    // the blind-spot geometry, pinned on a concrete minted pair over
+    // the EXTRACTED texts the dedup stages actually see: the partial
+    // duplicate is (a) invisible to near-dup verification — exact
+    // Jaccard below the 0.5 tau, and both docs are full-length so
+    // neither qualifies as a containment probe — yet (b) more than
+    // half covered by duplicated spans, so the substr stage drops BOTH
+    def extracted(t: String): String =
+      (t.split(" ").filter(_.nonEmpty) ++ Seq("Tail", "&", "@", "<end>")).mkString(" ")
+    val mintById = minted.as[(Long, String)].collect().toMap
+    val srcById = d.filter(col("doc_id") % 20 === 3).as[(Long, String)].collect().toMap
+    val pair = srcById.keys.toSeq.sorted.iterator.map { id =>
+      val (se, me) = (extracted(srcById(id)), extracted(mintById(id + 420000000000L)))
+      def sh(t: String) = graft.operators.Dedup
+        .shingles(Seq((0L, t)).toDF("doc_id", "text"))
+        .select("sh").as[Seq[String]].head().toSet
+      val (a, b) = (sh(se), sh(me))
+      val j = (a & b).size.toDouble / (a | b).size
+      (id, se, me, j)
+    }.find(_._4 < 0.5)
+    assert(pair.nonEmpty, "no minted pair sits below the verification tau")
+    val (id, se, me, _) = pair.get
+    val cov = graft.operators.Dedup
+      .substringDedup(Seq((1L, se), (2L, me)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1).length, r.getLong(2)))).toMap
+    assert(cov(1L)._2 > cov(1L)._1.toLong, s"source $id not mostly-covered")
+    assert(cov(2L)._2 > cov(2L)._1.toLong, s"mint of $id not mostly-covered")
+  }
+
   test("production-hash path (xxhash64) reproduces the oracle path's stage counts") {
     // independent LSH samplings each have ~1-(1-j^r)^b recall, so pair
     // SETS can differ in principle; on the gate corpus they agree
