@@ -154,25 +154,37 @@ object Similarity extends QueryModule {
     * corpus size. An emptied cluster drops out of the centroid table
     * identically in both engines.
     */
-  private[graft] def kmeansClusters(vecs: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val spark = vecs.sparkSession
+  /** Batch assignment of `vecs` to the nearest of `cents` (squared L2,
+    * ties to the smaller cid): broadcast the ≤ k-row centroid table,
+    * bounded min-struct aggregate per vector.
+    */
+  private def kmeansAssignBatch(v: DataFrame,
+                                cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.crossJoin(broadcast(cents.toDF("cid", "cent")))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(embedding, cent,
+          |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
+      .groupBy("vec_id").agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+  }
+
+  /** The Lloyd fit over an already-persisted (vec_id, embedding)
+    * frame: seeds + `iters − 1` fixed-point updates (see
+    * kmeansClusters' scaladoc for the exactness contract).
+    */
+  private def kmeansCentroidsOn(v: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = v.sparkSession
     import spark.implicits._
     val P62 = "4611686018427387904.0" // 2^62
-    val v = vecs.select(col("vec_id"), col("embedding")).persist()
     var cents: Seq[(Int, Seq[Double])] = v.orderBy("vec_id").limit(k)
       .select(col("embedding")).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toSeq)
       .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-    def assign(c: Seq[(Int, Seq[Double])]): DataFrame =
-      v.crossJoin(broadcast(c.toDF("cid", "cent")))
-        .withColumn("dist", expr(
-          """aggregate(zip_with(embedding, cent,
-            |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
-            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
-        .groupBy("vec_id").agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
     for (_ <- 1 until iters) {
-      val upd = assign(cents).join(v, "vec_id")
+      val upd = kmeansAssignBatch(v, cents).join(v, "vec_id")
         .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg(expr(s"CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * $P62) AS DECIMAL(38,0))) AS DOUBLE)")
@@ -183,7 +195,23 @@ object Similarity extends QueryModule {
         (cid, rows.sortBy(_._2).map(_._3).toSeq)
       }.sortBy(_._1)
     }
-    val out = assign(cents)
+    cents
+  }
+
+  /** The offline half of the streaming deployment split: fit the
+    * centroids only (st_kmeans_assign ships them into the stream plan
+    * as literals, the ccnetHashedModel convention).
+    */
+  private[graft] def kmeansCentroids(vecs: DataFrame, k: Int = 8,
+                                     iters: Int = 3): Seq[(Int, Seq[Double])] = {
+    val v = vecs.select(col("vec_id"), col("embedding")).persist()
+    try kmeansCentroidsOn(v, k, iters) finally v.unpersist(false)
+  }
+
+  private[graft] def kmeansClusters(vecs: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding")).persist()
+    val cents = kmeansCentroidsOn(v, k, iters)
+    val out = kmeansAssignBatch(v, cents)
       .select(col("vec_id"), col("cid").as("cluster"), round(col("dist"), 6).as("dist"))
     Materialize(out, v)
   }

@@ -267,6 +267,29 @@ object Streaming extends QueryModule {
       },
       Some(graft.api.ParseSnapshots.sfPinnedSql("st_bloom_guard")),
     ),
+    // streaming k-means assignment: offline-fit centroids as plan
+    // literals (the ccnetHashedModel deployment split applied to
+    // s_kmeans_clusters), arriving vectors assign in one stateless
+    // per-row fold — carries the batch entry's full Lloyd-recompute
+    // oracle, so the STREAM assignment is itself hash-gated; batch
+    // row parity is CorpusStreamingSpec's pin.
+    QueryDef(
+      "st_kmeans_assign",
+      (s, dir) => {
+        val name = s"st_km_${System.nanoTime()}"
+        val cents = Similarity.kmeansCentroids(
+          Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")))
+        val q = graft.streaming.CorpusStreaming
+          .kmeansAssign(graft.streaming.CorpusStreaming.readEmbeddingStream(s, dir), cents)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_kmeans_assign timed out")
+        s.table(name).orderBy("vec_id")
+      },
+      Some(Similarity.KmeansSql),
+    ),
     // streaming ANN-index maintenance: SRP band assignment as a
     // stateless streaming projection (signatures are pure functions of
     // the vector — no state store, no watermark). The batch twin is the

@@ -247,6 +247,42 @@ object CorpusStreaming {
           .when(col("surprisal") <= cutTail, "middle")
           .otherwise("tail").as("bucket"))
 
+  /** Streaming k-means ASSIGNMENT — the cluster-index maintenance
+    * twin of srpBucketize for Lloyd-clustered corpora: the centroids
+    * fit OFFLINE (Similarity.kmeansCentroids — batch, exact
+    * fixed-point means) and ride the plan as literal arrays; every
+    * arriving vector computes its nearest centroid in one per-row
+    * fold — no join, no aggregation, no state store, no watermark.
+    * Appending (vec_id, cluster) keeps SemDeDup-style cluster state
+    * incremental as the corpus ingests.
+    *
+    * Arithmetic parity with the batch assign: the per-centroid
+    * distance is the IDENTICAL zip_with sequential fold over the
+    * identical literal doubles, and the running `<` fold keeps the
+    * FIRST minimum — centroids iterate in cid order, so ties resolve
+    * to the smaller cid exactly like the batch min-struct aggregate.
+    * CorpusStreamingSpec pins row-for-row stream==batch equality.
+    */
+  def kmeansAssign(vecs: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cc = cents.sortBy(_._1)
+    vecs.select(col("vec_id"), col("embedding"),
+        typedlit(cc.map(_._2)).as("cents_t"),
+        typedlit(cc.map(_._1)).as("cids_t"))
+      .selectExpr("vec_id",
+        """aggregate(sequence(1, size(cents_t)),
+          |  named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),
+          |  (st, i) -> CASE WHEN aggregate(zip_with(embedding, element_at(cents_t, i),
+          |        (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+          |        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) < st.d
+          |      THEN named_struct('d', aggregate(zip_with(embedding, element_at(cents_t, i),
+          |        (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+          |        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
+          |        'c', element_at(cids_t, i))
+          |      ELSE st END) AS best""".stripMargin)
+      .select(col("vec_id"), col("best.c").as("cluster"),
+        round(col("best.d"), 6).as("dist"))
+  }
+
   /** Streaming decontamination SCRUB — the guard in front of the
     * training pipe: every arriving document loses each span whose
     * stride-1 `gramLen`-char gram appears in the (offline, batch-built)

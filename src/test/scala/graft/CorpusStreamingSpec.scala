@@ -133,6 +133,20 @@ class CorpusStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming k-means assignment matches the batch s_kmeans_clusters row for row") {
+    // offline-fit centroids as plan literals, per-row argmin fold —
+    // must reproduce the batch crossJoin+min-struct assignment exactly
+    // (identical literal doubles, identical sequential folds,
+    // first-minimum fold == smaller-cid tie-break)
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_kmeans_assign").get.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    val batch = SparkEntry.queries("s_kmeans_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming decontamination scrub matches the batch helper row for row") {
     // the typed hash-set kernel must reproduce the batch declarative
     // scrub (broadcast semi join + doc-local aggregate fold) exactly,
