@@ -670,6 +670,38 @@ object Dedup extends QueryModule {
     cutMarkedSpans(docs, marked, L)
   }
 
+  /** DuckDB gaps-and-islands merge of `mk` (doc_id, pos) marked rows
+    * into [s, e) spans — CTEs `${p}lg` / `${p}isl` / `${p}sp`. ONE
+    * definition shared by every span-cut oracle (d_substring_dedup,
+    * d_decontaminate_scrub, st_decontaminate_scrub, and
+    * d_web_pipeline_substr's coverage chain) so the interval-merge
+    * arithmetic — including the `pos > prev + L` adjacency constant —
+    * cannot drift between gates.
+    */
+  private[graft] def spanIslandsSql(mk: String, p: String = "", L: Int = 40): String =
+    s"""${p}lg AS (SELECT doc_id, pos,
+       |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM $mk),
+       |${p}isl AS (SELECT doc_id, pos,
+       |  SUM(CASE WHEN prev IS NULL OR pos > prev + $L THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM ${p}lg),
+       |${p}sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + $L AS e
+       |  FROM ${p}isl GROUP BY 1, 2)""".stripMargin
+
+  /** Segment reassembly of the `${p}sp` spans against `src` texts →
+    * `${p}reb` (doc_id, text): kept segments re-concatenate in order
+    * (the cutMarkedSpans fold's SQL twin).
+    */
+  private[graft] def spanRebuildSql(src: String, p: String = ""): String =
+    // NOTE: no line may START with "||" — callers interpolate this
+    // fragment into their own stripMargin strings, whose strip would
+    // eat the first pipe of a leading "||" (blanks-then-| is a margin)
+    s"""${p}seg AS (SELECT doc_id, s, e,
+       |  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe FROM ${p}sp),
+       |${p}reb AS (SELECT g.doc_id,
+       |  string_agg(substr(t.text, g.pe + 1, g.s - g.pe), '' ORDER BY g.s) ||
+       |    substr(t.text, MAX(g.e) + 1) AS text
+       |  FROM ${p}seg g JOIN $src t USING (doc_id) GROUP BY g.doc_id, t.text)""".stripMargin
+
   /** Cross-corpus ExactSubstr DECONTAMINATION SCRUB: cut from every
     * training document each span whose stride-1 `gramLen`-char gram
     * appears ANYWHERE in the eval/benchmark set — the removal-grade
@@ -1284,33 +1316,22 @@ object Dedup extends QueryModule {
               (col("doc_id") + 200000000000L).cast("string")).as("text"))
         substringDedup(d.unionByName(minted)).orderBy("doc_id")
       },
-      Some("""WITH src AS (SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 200000000000,
-             |    substr(text, 1, 160) || ' UNIQ_TAIL_' || CAST(doc_id + 200000000000 AS VARCHAR)
-             |  FROM documents WHERE doc_id % 25 = 0),
-             |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
-             |      FROM src WHERE len(text) >= 40),
-             |gr AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM p),
-             |dup AS (SELECT gram FROM gr GROUP BY 1 HAVING COUNT(*) >= 2),
-             |mk AS (SELECT gr.doc_id, gr.pos FROM gr SEMI JOIN dup USING (gram)),
-             |lg AS (SELECT doc_id, pos,
-             |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
-             |isl AS (SELECT doc_id, pos,
-             |  SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
-             |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM lg),
-             |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 40 AS e
-             |  FROM isl GROUP BY 1, 2),
-             |seg AS (SELECT doc_id, s, e,
-             |  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe FROM sp),
-             |reb AS (SELECT seg.doc_id,
-             |  string_agg(substr(t.text, seg.pe + 1, seg.s - seg.pe), '' ORDER BY seg.s)
-             |    || substr(t.text, MAX(seg.e) + 1) AS text
-             |  FROM seg JOIN src t USING (doc_id) GROUP BY seg.doc_id, t.text)
-             |SELECT s.doc_id, COALESCE(r.text, s.text) AS text,
-             |  CAST(len(s.text) - len(COALESCE(r.text, s.text)) AS BIGINT) AS n_removed
-             |FROM src s LEFT JOIN reb r USING (doc_id)
-             |ORDER BY doc_id""".stripMargin),
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 200000000000,
+              |    substr(text, 1, 160) || ' UNIQ_TAIL_' || CAST(doc_id + 200000000000 AS VARCHAR)
+              |  FROM documents WHERE doc_id % 25 = 0),
+              |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
+              |      FROM src WHERE len(text) >= 40),
+              |gr AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM p),
+              |dup AS (SELECT gram FROM gr GROUP BY 1 HAVING COUNT(*) >= 2),
+              |mk AS (SELECT gr.doc_id, gr.pos FROM gr SEMI JOIN dup USING (gram)),
+              |${spanIslandsSql("mk")},
+              |${spanRebuildSql("src")}
+              |SELECT s.doc_id, COALESCE(r.text, s.text) AS text,
+              |  CAST(len(s.text) - len(COALESCE(r.text, s.text)) AS BIGINT) AS n_removed
+              |FROM src s LEFT JOIN reb r USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
     ),
     // cross-corpus decontamination SCRUB (see decontaminateScrub):
     // same eval slice as d_decontaminate (doc_id % 97 = 0); the gate
@@ -1331,36 +1352,25 @@ object Dedup extends QueryModule {
           d.filter(col("doc_id") % 97 =!= 0).unionByName(hosts), eval0)
           .orderBy("doc_id")
       },
-      Some("""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-             |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
-             |  UNION ALL
-             |  SELECT doc_id + 300000000000,
-             |    substr(text, 1, 160) || ' SCRUB_HOST_' || CAST(doc_id + 300000000000 AS VARCHAR)
-             |  FROM ev),
-             |ep AS (SELECT text, unnest(generate_series(0, len(text) - 40)) AS pos
-             |       FROM ev WHERE len(text) >= 40),
-             |eg AS (SELECT DISTINCT substr(text, pos + 1, 40) AS gram FROM ep),
-             |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
-             |      FROM tr WHERE len(text) >= 40),
-             |gr AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM p),
-             |mk AS (SELECT gr.doc_id, gr.pos FROM gr SEMI JOIN eg USING (gram)),
-             |lg AS (SELECT doc_id, pos,
-             |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
-             |isl AS (SELECT doc_id, pos,
-             |  SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
-             |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM lg),
-             |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 40 AS e
-             |  FROM isl GROUP BY 1, 2),
-             |seg AS (SELECT doc_id, s, e,
-             |  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe FROM sp),
-             |reb AS (SELECT seg.doc_id,
-             |  string_agg(substr(t.text, seg.pe + 1, seg.s - seg.pe), '' ORDER BY seg.s)
-             |    || substr(t.text, MAX(seg.e) + 1) AS text
-             |  FROM seg JOIN tr t USING (doc_id) GROUP BY seg.doc_id, t.text)
-             |SELECT s.doc_id, COALESCE(r.text, s.text) AS text,
-             |  CAST(len(s.text) - len(COALESCE(r.text, s.text)) AS BIGINT) AS n_removed
-             |FROM tr s LEFT JOIN reb r USING (doc_id)
-             |ORDER BY doc_id""".stripMargin),
+      Some(s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+              |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 300000000000,
+              |    substr(text, 1, 160) || ' SCRUB_HOST_' || CAST(doc_id + 300000000000 AS VARCHAR)
+              |  FROM ev),
+              |ep AS (SELECT text, unnest(generate_series(0, len(text) - 40)) AS pos
+              |       FROM ev WHERE len(text) >= 40),
+              |eg AS (SELECT DISTINCT substr(text, pos + 1, 40) AS gram FROM ep),
+              |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
+              |      FROM tr WHERE len(text) >= 40),
+              |gr AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM p),
+              |mk AS (SELECT gr.doc_id, gr.pos FROM gr SEMI JOIN eg USING (gram)),
+              |${spanIslandsSql("mk")},
+              |${spanRebuildSql("tr")}
+              |SELECT s.doc_id, COALESCE(r.text, s.text) AS text,
+              |  CAST(len(s.text) - len(COALESCE(r.text, s.text)) AS BIGINT) AS n_removed
+              |FROM tr s LEFT JOIN reb r USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
     ),
   )
 

@@ -210,7 +210,12 @@ object Similarity extends QueryModule {
 
   private[graft] def kmeansClusters(vecs: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val v = vecs.select(col("vec_id"), col("embedding")).persist()
-    val cents = kmeansCentroidsOn(v, k, iters)
+    // unpersist on a thrown fit (the per-iteration collects run eagerly
+    // here); the success path's cache is released by Materialize after
+    // the final assignment materializes
+    val cents =
+      try kmeansCentroidsOn(v, k, iters)
+      catch { case e: Throwable => v.unpersist(false); throw e }
     val out = kmeansAssignBatch(v, cents)
       .select(col("vec_id"), col("cid").as("cluster"), round(col("dist"), 6).as("dist"))
     Materialize(out, v)

@@ -524,31 +524,20 @@ object Streaming extends QueryModule {
         require(q.awaitTermination(300000), "st_decontaminate_scrub timed out")
         s.table(name).orderBy("doc_id")
       },
-      Some("""WITH ev AS (SELECT text FROM documents
-             |  WHERE doc_id % 97 = 0 AND len(text) >= 40),
-             |ep AS (SELECT text, unnest(generate_series(0, len(text) - 40)) AS pos FROM ev),
-             |eg AS (SELECT DISTINCT substr(text, pos + 1, 40) AS gram FROM ep),
-             |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
-             |      FROM documents WHERE len(text) >= 40),
-             |gr AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM p),
-             |mk AS (SELECT gr.doc_id, gr.pos FROM gr SEMI JOIN eg USING (gram)),
-             |lg AS (SELECT doc_id, pos,
-             |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM mk),
-             |isl AS (SELECT doc_id, pos,
-             |  SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
-             |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM lg),
-             |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 40 AS e
-             |  FROM isl GROUP BY 1, 2),
-             |seg AS (SELECT doc_id, s, e,
-             |  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe FROM sp),
-             |reb AS (SELECT seg.doc_id,
-             |  string_agg(substr(t.text, seg.pe + 1, seg.s - seg.pe), '' ORDER BY seg.s)
-             |    || substr(t.text, MAX(seg.e) + 1) AS text
-             |  FROM seg JOIN documents t USING (doc_id) GROUP BY seg.doc_id, t.text)
-             |SELECT d.doc_id, COALESCE(r.text, d.text) AS text,
-             |  CAST(len(d.text) - len(COALESCE(r.text, d.text)) AS BIGINT) AS n_removed
-             |FROM documents d LEFT JOIN reb r USING (doc_id)
-             |ORDER BY doc_id""".stripMargin),
+      Some(s"""WITH ev AS (SELECT text FROM documents
+              |  WHERE doc_id % 97 = 0 AND len(text) >= 40),
+              |ep AS (SELECT text, unnest(generate_series(0, len(text) - 40)) AS pos FROM ev),
+              |eg AS (SELECT DISTINCT substr(text, pos + 1, 40) AS gram FROM ep),
+              |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
+              |      FROM documents WHERE len(text) >= 40),
+              |gr AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM p),
+              |mk AS (SELECT gr.doc_id, gr.pos FROM gr SEMI JOIN eg USING (gram)),
+              |${Dedup.spanIslandsSql("mk")},
+              |${Dedup.spanRebuildSql("documents")}
+              |SELECT d.doc_id, COALESCE(r.text, d.text) AS text,
+              |  CAST(len(d.text) - len(COALESCE(r.text, d.text)) AS BIGINT) AS n_removed
+              |FROM documents d LEFT JOIN reb r USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
     ),
     // streaming Gopher A1.2 repetition battery: the batch
     // t_gopher_repetition typed mapPartitions (shared code — per-doc

@@ -182,13 +182,7 @@ object WebPipeline extends QueryModule {
          |sgr AS MATERIALIZED (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram FROM sq0),
          |sdup AS MATERIALIZED (SELECT gram FROM sgr GROUP BY 1 HAVING COUNT(*) >= 2),
          |smk AS MATERIALIZED (SELECT sgr.doc_id, sgr.pos FROM sgr SEMI JOIN sdup USING (gram)),
-         |slg AS (SELECT doc_id, pos,
-         |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM smk),
-         |sisl AS (SELECT doc_id, pos,
-         |  SUM(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM slg),
-         |ssp AS MATERIALIZED (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 40 AS e
-         |  FROM sisl GROUP BY 1, 2),
+         |${materialize(Dedup.spanIslandsSql("smk", "s"))},
          |scov AS MATERIALIZED (SELECT doc_id, SUM(e - s) AS covered FROM ssp GROUP BY 1),
          |substrkeep AS MATERIALIZED (SELECT n.doc_id, n.text FROM neardup n
          |  LEFT JOIN scov c USING (doc_id)

@@ -258,27 +258,27 @@ object CorpusStreaming {
     *
     * Arithmetic parity with the batch assign: the per-centroid
     * distance is the IDENTICAL zip_with sequential fold over the
-    * identical literal doubles, and the running `<` fold keeps the
-    * FIRST minimum — centroids iterate in cid order, so ties resolve
-    * to the smaller cid exactly like the batch min-struct aggregate.
-    * CorpusStreamingSpec pins row-for-row stream==batch equality.
+    * identical literal doubles, and array_min over (dist, cid)
+    * structs IS the batch min-struct aggregate's comparison — ties
+    * resolve to the smaller cid on both sides. CorpusStreamingSpec
+    * pins row-for-row stream==batch equality.
     */
   def kmeansAssign(vecs: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val cc = cents.sortBy(_._1)
+    // each distance is computed ONCE (Catalyst does no CSE inside HOF
+    // lambdas — a CASE-based running-min fold would evaluate the
+    // 64-dim fold twice per centroid); array_min over (dist, cid)
+    // structs is the LITERAL batch min-struct semantics, ties to the
+    // smaller cid
     vecs.select(col("vec_id"), col("embedding"),
         typedlit(cc.map(_._2)).as("cents_t"),
         typedlit(cc.map(_._1)).as("cids_t"))
       .selectExpr("vec_id",
-        """aggregate(sequence(1, size(cents_t)),
-          |  named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),
-          |  (st, i) -> CASE WHEN aggregate(zip_with(embedding, element_at(cents_t, i),
-          |        (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
-          |        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) < st.d
-          |      THEN named_struct('d', aggregate(zip_with(embedding, element_at(cents_t, i),
-          |        (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
-          |        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
-          |        'c', element_at(cids_t, i))
-          |      ELSE st END) AS best""".stripMargin)
+        """array_min(zip_with(cents_t, cids_t, (ct, ci) ->
+          |  named_struct('d', aggregate(zip_with(embedding, ct,
+          |      (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+          |      CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
+          |    'c', ci))) AS best""".stripMargin)
       .select(col("vec_id"), col("best.c").as("cluster"),
         round(col("best.d"), 6).as("dist"))
   }
@@ -311,19 +311,41 @@ object CorpusStreaming {
       .mapPartitions { it =>
         val set = bc.value
         it.map { case (id, t) =>
-          val sb = new StringBuilder
-          var e = 0
-          var i = 0
-          val last = t.length - L
-          while (i <= last) {
-            if (set.contains(t.substring(i, i + L))) {
-              if (i >= e) sb.append(t.substring(e, i))
-              e = math.max(e, i + L)
-            }
-            i += 1
+          // CODE-POINT windows and counts, not UTF-16 units: the eval
+          // gram set and the batch twin both use SQL substring/length
+          // semantics (code points), so a supplementary character
+          // upstream of a leaked span must not shift the window and
+          // n_removed must count what the batch counts. cpOff(i) is
+          // the UTF-16 offset of code point i.
+          val nCp = t.codePointCount(0, t.length)
+          val cpOff = new Array[Int](nCp + 1)
+          var o = 0
+          var ci = 0
+          while (ci < nCp) {
+            cpOff(ci) = o
+            o += Character.charCount(t.codePointAt(o))
+            ci += 1
           }
-          sb.append(t.substring(math.min(e, t.length)))
-          (id, sb.toString, (t.length - sb.length).toLong)
+          cpOff(nCp) = t.length
+          val sb = new StringBuilder
+          var e = 0    // cut end, code points
+          var kept = 0 // kept code points
+          var p = 0
+          val last = nCp - L
+          while (p <= last) {
+            if (set.contains(t.substring(cpOff(p), cpOff(p + L)))) {
+              if (p >= e) {
+                sb.append(t.substring(cpOff(e), cpOff(p)))
+                kept += p - e
+              }
+              e = math.max(e, p + L)
+            }
+            p += 1
+          }
+          val tailStart = math.min(e, nCp)
+          sb.append(t.substring(cpOff(tailStart), t.length))
+          kept += nCp - tailStart
+          (id, sb.toString, (nCp - kept).toLong)
         }
       }
       .toDF("doc_id", "text", "n_removed")

@@ -116,6 +116,28 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!got.contains(900L))
   }
 
+  test("stream scrub kernel windows by CODE POINTS (astral-char batch parity)") {
+    // é/你 are multi-byte in UTF-8 and 𝄞 is a SURROGATE PAIR in UTF-16:
+    // the typed kernel must window, cut, and count in code points
+    // (SQL substring/length semantics) or a supplementary character
+    // upstream of a leaked span shifts every window and the leak
+    // survives the stream while the batch scrub excises it
+    val e = "a𝄞bé你c" * 20 // 120 code points, 140 UTF-16 units
+    val trainDf = Seq((1L, e + " " + body(96, 15)), (2L, body(97, 15)))
+      .toDF("doc_id", "text")
+    val evalDf = Seq((900L, e)).toDF("doc_id", "text")
+    val batch = Dedup.decontaminateScrub(trainDf, evalDf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val evalGrams = evalDf
+      .filter(length(col("text")) >= 40)
+      .select(explode(expr(Dedup.strideGramArrayExpr(40))).as("g"))
+      .distinct().as[String].collect().toSet
+    val stream = graft.streaming.CorpusStreaming.decontaminateScrub(trainDf, evalGrams)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(batch.exists(_._3 > 0), "fixture must actually scrub")
+    assert(stream == batch)
+  }
+
   test("multi-island doc reassembles kept segments in order") {
     // one doc embeds TWO separated spans of another doc, so its marked
     // positions form two islands with a kept gap between them
