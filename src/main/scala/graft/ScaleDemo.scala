@@ -38,6 +38,63 @@ import org.apache.spark.sql.functions._
   */
 object ScaleDemo {
 
+  /** Work-node classes whose disappearance under the measurement
+    * aggregate means the optimizer ELIMINATED the operator instead of
+    * running it. Two observed collapse classes motivate the guard:
+    * projection-only plans collapse to parquet footer count-star under
+    * count() (round 11, t_c4_rules "0.33 s for 500k docs" — metadata,
+    * not filtering), and a row-preserving LEFT JOIN onto a per-key
+    * aggregate is eliminated under count(1) TOGETHER with its whole
+    * upstream subtree (round 14, d_decontaminate_scrub's void
+    * "scale-FREE" cells: the gram explode and broadcast semi join never
+    * executed). ScaleGuardSpec proves the old count()-only window trips
+    * this guard on the scrub while the forced window passes it.
+    */
+  private val WorkNodes: Seq[String] =
+    Seq("Join", "Generate", "Window", "Expand", "Aggregate", "Deduplicate",
+      "Intersect", "Except", "Filter")
+
+  private[graft] def workHistogram(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Map[String, Int] =
+    plan.collect {
+      case n if WorkNodes.exists(n.nodeName.contains) =>
+        WorkNodes.find(n.nodeName.contains).get
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+
+  /** The measurement frame: ONE aggregate that counts rows AND hashes
+    * every output column (bit_xor of xxhash64 over the full row
+    * struct), so every column — and therefore every upstream operator —
+    * is observable and nothing is prunable. count() alone is NOT a
+    * measurement for the collapse classes documented on [[WorkNodes]].
+    * Map-typed columns are stringified first (hash over an unordered
+    * map is undefined and xxhash64 refuses it).
+    */
+  private[graft] def forcedFrame(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(t: DataType): Boolean = t match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val cols = df.schema.fields.map(f =>
+      if (hasMap(f.dataType)) col(f.name).cast("string") else col(f.name))
+    df.select(xxhash64(struct(cols.toSeq: _*)).as("h"))
+      // bit_xor, not sum: ANSI mode overflows Long on summed hashes
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+  }
+
+  /** True when the measured plan carries FEWER of any work-node class
+    * than the query's own optimized plan — i.e. the optimizer removed
+    * work under the measurement window and the cell would time
+    * metadata, not the operator.
+    */
+  private[graft] def collapsedUnder(df: DataFrame, measured: DataFrame): Boolean = {
+    val base = workHistogram(df.queryExecution.optimizedPlan)
+    val got = workHistogram(measured.queryExecution.optimizedPlan)
+    base.exists { case (k, c) => got.getOrElse(k, 0) < c }
+  }
+
   val Scales: Seq[Int] = Seq(1, 10, 100)
   val Queries: Seq[String] =
     Seq("d_minhash_lsh_fast", "q_band_join_auto", "q_funnel", "s_cosine_topk")
@@ -251,14 +308,47 @@ object ScaleDemo {
     val queryNames = args.lift(2).map(_.split(",").toSeq).getOrElse(Queries)
     val spark = GraftSession.build("graft-scale")
     val queries = SparkEntry.queries
+    // --audit mode (no timing): for each named query, report whether
+    // the PRE-round-15 count()-only measurement window loses work nodes
+    // — the collapse classes documented on WorkNodes — so historical
+    // cells measured under that window can be identified and
+    // re-measured. Run as: runMain graft.ScaleDemo --audit q1,q2,...
+    if (args.headOption.contains("--audit")) {
+      val names = args.lift(1).map(_.split(",").toSeq)
+        .getOrElse((Queries ++ Variants.keys ++ CustomCells.keys).distinct)
+      val dir = generate(spark, base, workRoot, 1)
+      for (q <- names) {
+        val regName = Variants.get(q).map(_._1).getOrElse(q)
+        val res = try {
+          val df = CustomCells.getOrElse(regName, queries(regName))(spark, dir)
+          val hist = workHistogram(df.queryExecution.optimizedPlan)
+          val countPlan = workHistogram(
+            df.agg(count(lit(1))).queryExecution.optimizedPlan)
+          val lost = hist.collect {
+            case (n, c) if countPlan.getOrElse(n, 0) < c =>
+              s"$n:${c - countPlan.getOrElse(n, 0)}"
+          }.toSeq.sorted
+          // projection-only plans (no work nodes at all) collapse to
+          // footer count-star — flag them too
+          val projOnly = hist.isEmpty
+          s"""{"query":"$q","count_window_collapses":${lost.nonEmpty || projOnly},"lost":"${lost.mkString(",")}","projection_only":$projOnly}"""
+        } catch { case e: Throwable =>
+          s"""{"query":"$q","error":"${Option(e.getMessage).getOrElse("").take(120).replace('"', ' ')}"}"""
+        }
+        println(s"GRAFT_SCALE_AUDIT $res")
+      }
+      spark.stop()
+      return
+    }
     val out = new StringBuilder
     // untimed priming pass at 1×: JIT + codegen warmup otherwise lands
-    // on the first measured cell and makes 1× read slower than 10×
+    // on the first measured cell and makes 1× read slower than 10× —
+    // primed through the SAME forced window the measured cells use
     locally {
       val dir = generate(spark, base, workRoot, 1)
       for (q <- queryNames) {
-        CustomCells.getOrElse(q,
-          queries(Variants.get(q).map(_._1).getOrElse(q)))(spark, dir).count(); ()
+        forcedFrame(CustomCells.getOrElse(q,
+          queries(Variants.get(q).map(_._1).getOrElse(q)))(spark, dir)).head(); ()
       }
       spark.catalog.clearCache()
     }
@@ -282,28 +372,24 @@ object ScaleDemo {
         val cell = try { Right {
         val t0 = System.nanoTime()
         val df = CustomCells.getOrElse(regName, queries(regName))(spark, dir)
-        // count() on a PROJECTION-ONLY plan (no filter/join/agg between
-        // scan and sink) collapses to parquet footer count-star and
-        // never evaluates the projected expressions — a 100× cell then
-        // measures metadata reads, not the operator (observed:
-        // t_c4_rules "0.33 s" for 500k docs). Force full evaluation by
-        // hashing every output column through an aggregate; for plans
-        // with a filter/join/agg the work already runs and count()
-        // stays the cheaper, historically-comparable window.
-        val forced = Set("t_c4_rules", "t_gopher_rules", "t_fineweb_rules")
-        val rows =
-          if (forced(regName)) {
-            import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
-            val n = df.count()
-            // bit_xor, not sum: ANSI mode overflows Long on summed hashes
-            df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-              .agg(expr("bit_xor(h)")).head()
-            n
-          } else df.count()
+        // EVERY cell runs the forced count+hash window (round-15
+        // re-baseline): count() alone is not a measurement for the two
+        // collapse classes documented on WorkNodes, and the round-11
+        // per-query `forced` allowlist was exactly the mistake that let
+        // round 14's new projection-shaped cells ship void numbers —
+        // an allowlist has to be REMEMBERED. The guard below would have
+        // redded those cells: it flags any measurement plan that lost
+        // work nodes relative to the query's own optimized plan.
+        val measured = forcedFrame(df)
+        val collapsed = collapsedUnder(df, measured)
+        val rows = measured.head().getLong(0)
         val sec = (System.nanoTime() - t0) / 1e9
         val plan = df.queryExecution.executedPlan.toString
         val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
-        (sec, rows, nested)
+        if (collapsed)
+          System.err.println(s"GRAFT_SCALE_COLLAPSED $q at $k: measurement " +
+            "plan lost work nodes — cell is VOID, fix the query or the window")
+        (sec, rows, nested, collapsed)
         }} catch {
           // record the failing cell as an artifact row and keep
           // sweeping — one OOM/abort must not discard every other
@@ -314,9 +400,9 @@ object ScaleDemo {
               .take(300))
         } finally confOverride.foreach { case (ck, _) => spark.conf.unset(ck) }
         val line = cell match {
-          case Right((sec, rows, nested)) =>
+          case Right((sec, rows, nested, collapsed)) =>
             val degraded = nested && !IntendedNested(regName)
-            s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested,"degraded":$degraded}"""
+            s"""{"scale":$k,"query":"$q","sec":$sec,"rows":$rows,"nested_loop":$nested,"degraded":$degraded,"collapsed":$collapsed}"""
           case Left(err) =>
             s"""{"scale":$k,"query":"$q","error":"$err"}"""
         }

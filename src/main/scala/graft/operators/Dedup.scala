@@ -599,12 +599,6 @@ object Dedup extends QueryModule {
   private[graft] def strideGramArrayExpr(L: Int): String =
     s"transform(sequence(1, length(text) - ${L - 1}), p -> substring(text, p, $L))"
 
-  /** (doc_id, pos, gram) stride-1 gram rows; pos is 0-based. */
-  private[graft] def strideGrams(docs: DataFrame, L: Int): DataFrame =
-    docs.filter(length(col("text")) >= L)
-      .select(col("doc_id"), posexplode(expr(strideGramArrayExpr(L)))
-        .as(Seq("pos", "gram")))
-
   /** Cut the union of the marked [pos, pos+L) intervals out of each
     * document and re-concatenate the residual segments in order.
     * `marked` is (doc_id, pos); the merge+rebuild is doc-local — a
@@ -617,7 +611,16 @@ object Dedup extends QueryModule {
     // per-doc position list is bounded by document length — the same
     // doc-local state class as lineDedup's reassembly
     val spans = marked.groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
-    docs.join(spans, Seq("doc_id"), "left")
+      .localCheckpoint(true)
+    // explicit bounded-broadcast decision (candPos' discipline, same 4M
+    // bound): the span-list side is bounded by duplication/contamination
+    // volume, not corpus size — while bounded it broadcasts, so the
+    // corpus TEXT never sorts or shuffles for the rebuild; past the
+    // bound the shuffle hash join is still span-proportional. Without
+    // the hint, stale auto-broadcast stats would ship the corpus text
+    // through an exchange for a join whose right side is KB-sized.
+    val spansBounded = spans.count() <= 4L * 1000 * 1000
+    docs.join(if (spansBounded) broadcast(spans) else spans, Seq("doc_id"), "left")
       .withColumn("kept", when(col("ps").isNull, col("text")).otherwise(expr(
         s"""aggregate(ps,
            |  named_struct('e', 0, 'acc', ''),
@@ -709,20 +712,62 @@ object Dedup extends QueryModule {
     * tells you a doc leaks eval data; this excises the leak and keeps
     * the rest of the doc, the way production pipelines actually
     * decontaminate — e.g. the 13-gram overlap scrub in GPT-3 appendix C
-    * / PaLM §6.1, here at exact-substring strength). The eval side is
-    * tiny by nature (benchmarks, not corpora), so its distinct gram set
-    * BROADCASTS — the training corpus never shuffles: marking is a
-    * broadcast semi join, merging+rebuild is doc-local (cutMarkedSpans).
+    * / PaLM §6.1, here at exact-substring strength). Marking is the
+    * rolling-hash prefilter + exact-confirm pass documented on
+    * [[contaminatedPositions]] (an O(n) kernel scan and broadcast semi
+    * joins — the training corpus text never shuffles while
+    * contamination is bounded); merging+rebuild is doc-local
+    * (cutMarkedSpans).
     */
   private[graft] def decontaminateScrub(docs: DataFrame, evalDocs: DataFrame,
-                                        gramLen: Int = 40): DataFrame = {
-    val L = gramLen
+                                        gramLen: Int = 40): DataFrame =
+    cutMarkedSpans(docs, contaminatedPositions(docs, evalDocs, gramLen), gramLen)
+
+  /** (doc_id, pos) of every training-corpus character position whose
+    * stride-1 `L`-char gram appears ANYWHERE in the eval set — the
+    * marking half of [[decontaminateScrub]], shared with prepareWeb's
+    * flag-and-drop decontamination stage.
+    *
+    * Marking runs substringDedup's rolling-hash discipline, not a gram
+    * explode: the training side derives stride-1 hashes from the native
+    * O(n)-per-doc plans.RollingGramHash kernel (16 bytes per position —
+    * never the L×40 text-volume gram strings, the measured dominant
+    * cost of d_substring_dedup's first cut), the eval grams hash through
+    * the SAME kernel (one hash per L-char gram string), the hash sets
+    * semi-join, and ONLY the marked slice — proportional to actual
+    * contamination volume — re-derives its raw grams for the exact
+    * confirm against the broadcast eval gram strings (collisions die
+    * there; no false negatives by construction, the d_bloom_prefilter
+    * discipline). The eval side is tiny by nature (benchmarks, not
+    * corpora), so both its gram set and hash set broadcast
+    * unconditionally; the candidate-position slice gets the shared
+    * 4M-row bounded-broadcast decision so the corpus text never
+    * shuffles while contamination is bounded.
+    */
+  private[graft] def contaminatedPositions(docs: DataFrame, evalDocs: DataFrame,
+                                           L: Int = 40): DataFrame = {
+    // checkpointed: read by the hash derivation AND the exact confirm
     val evalGrams = evalDocs.filter(length(col("text")) >= L)
       .select(explode(expr(strideGramArrayExpr(L))).as("gram")).distinct()
-    val marked = strideGrams(docs, L)
+      .localCheckpoint(true)
+    // each eval gram is exactly L code points, so the kernel emits
+    // exactly one hash per gram — the same polynomial the corpus-side
+    // windows hash to, so equal grams meet in the semi join
+    val evalH = evalGrams
+      .select(expr(s"element_at(rolling_gram_hash(gram, $L), 1)").as("gh"))
+      .distinct()
+    val candPos = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(expr(s"rolling_gram_hash(text, $L)")).as(Seq("pos", "gh")))
+      .join(broadcast(evalH), Seq("gh"), "left_semi")
+      .select("doc_id", "pos").localCheckpoint(true)
+    val candPosBounded = candPos.count() <= 4L * 1000 * 1000
+    docs.select(col("doc_id"), col("text"))
+      .join(if (candPosBounded) broadcast(candPos) else candPos, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $L)").as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("pos"))
-    cutMarkedSpans(docs, marked, L)
+      .select("doc_id", "pos")
   }
 
   /** Benchmark decontamination: count, per training doc, the 3-token
