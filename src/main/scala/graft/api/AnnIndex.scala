@@ -22,23 +22,27 @@ object AnnIndex {
 
   /** (cluster, centroid float array); deterministic init from the first
     * k vectors by id.
+    *
+    * ONE Lloyd in the codebase: this delegates to the oracled
+    * fixed-point fit (Similarity.kmeansCentroids — per-dimension sums
+    * of FLOOR(x·2^62) as DECIMAL(38,0), exact and summation-ORDER-FREE,
+    * k·dim-bounded centroid collect per step) instead of carrying a
+    * second float-avg implementation whose means depend on partition
+    * order. The IVF family's centroids are therefore run-to-run AND
+    * plan-to-plan deterministic, which is what lets its gate entries be
+    * snapshot-pinned at all. Caveat for index-scale k (k ≈ √n at
+    * 100 TB): the per-step collect is k·dim rows — still driver-safe at
+    * tens of thousands of centroids (a 64-dim float table at k=100k is
+    * ~50 MB); past that, keep the update distributed by re-joining the
+    * (cid, dim, mean) aggregate instead of collecting it.
     */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val corpus = embeddings.select(col("vec_id"), col("embedding"))
-    var centroids = corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("embedding").as("centroid"))
-    (0 until iters).foreach { _ =>
-      val assigned = assign(corpus, centroids)
-      centroids = assigned
-        .join(corpus, "vec_id")
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy("cluster", "i").agg(avg(col("x")).as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).getField("m").as("c"))
-        .select(col("cluster"), expr("transform(c, x -> CAST(x AS FLOAT))").as("centroid"))
-      centroids = centroids.localCheckpoint() // cut the growing lineage
-    }
-    centroids
+    val s = embeddings.sparkSession
+    import s.implicits._
+    graft.operators.Similarity.kmeansCentroids(
+        embeddings.select(col("vec_id"), col("embedding")), k, iters)
+      .map { case (cid, cent) => (cid, cent.map(_.toFloat)) }
+      .toDF("cluster", "centroid")
   }
 
   /** Nearest centroid per corpus vector (squared L2, codegen-free but

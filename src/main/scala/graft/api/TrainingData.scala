@@ -220,6 +220,18 @@ object TrainingData {
     *                   provably keeps (a doc sharing ~60% of its text
     *                   has Jaccard ≈ 0.43, below the 0.5 verification
     *                   tau on BOTH candidate arms)
+    * @param decontaminateEval add the benchmark-decontamination stage
+    *                   (`decontam_keep`): drop survivors sharing ANY
+    *                   stride-1 40-char gram with this eval/benchmark
+    *                   set — the filter every published production
+    *                   pipeline runs before a corpus ships (GPT-3
+    *                   appendix C, PaLM §6.1), here at exact-substring
+    *                   strength via the rolling-hash marking pass
+    *                   (Dedup.contaminatedPositions). FLAG-AND-DROP,
+    *                   not a rewrite: a pipeline stage must keep the
+    *                   strictly-nested doc_id-filter contract the
+    *                   attrition accounting builds on (the span-cut
+    *                   REWRITE is the standalone d_decontaminate_scrub)
     */
   def prepareWeb(docs: DataFrame, oracleHash: Boolean = false,
                  trainPct: Int = 80, valPct: Int = 10,
@@ -227,7 +239,8 @@ object TrainingData {
                  probeMaxShingles: Int = 0,
                  packByBpe: Boolean = false,
                  modelQuality: Boolean = false,
-                 exactSubstr: Boolean = false): PreparedWeb = {
+                 exactSubstr: Boolean = false,
+                 decontaminateEval: Option[DataFrame] = None): PreparedWeb = {
     import graft.operators.TextAnalysis
     val spark = docs.sparkSession
     import spark.implicits._
@@ -439,6 +452,26 @@ object TrainingData {
               Seq("doc_id"), "left_semi"))
         }
 
+      // benchmark-decontamination arm — flag-and-drop at
+      // exact-substring strength: any survivor whose text contains a
+      // 40-char span present anywhere in the eval set drops, with its
+      // own attrition row. Marking is the rolling-hash prefilter +
+      // exact-confirm pass (contaminatedPositions — the eval gram and
+      // hash sets broadcast, the corpus text never shuffles), reduced
+      // to a DISTINCT doc_id set for the anti join; the scrub REWRITE
+      // stays the standalone entry because a rewriting stage would
+      // break the strictly-nested stage contract.
+      val decontamed = decontaminateEval match {
+        case None => bucketed
+        case Some(ev) =>
+          stage("decontam_keep",
+            bucketed.join(
+              graft.operators.Dedup.contaminatedPositions(
+                bucketed.select(col("doc_id"), col("text")), ev)
+                .select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti"))
+      }
+
       // deterministic split + packing plan — prepare()'s tail. Bin
       // budgets are whitespace n_tokens by default (the gate oracle's
       // arithmetic) or REAL tokenizer tokens under packByBpe: the BPE
@@ -451,12 +484,12 @@ object TrainingData {
       // instead of pinning 32 timelines at any size).
       val buckets = TextAnalysis.packBucketCount(spark, lastCount)
       val packTokens =
-        if (!packByBpe) bucketed.withColumn("pack_tokens", col("n_tokens"))
+        if (!packByBpe) decontamed.withColumn("pack_tokens", col("n_tokens"))
         else {
           val ranks = graft.functions.BpeTokenizer.rankTable(
-            TextAnalysis.learnBpeFrom(bucketed.select(col("doc_id"), col("text"))))
-          bucketed.join(
-            TextAnalysis.bpeEncoded(bucketed.select(col("doc_id"), col("text")), ranks)
+            TextAnalysis.learnBpeFrom(decontamed.select(col("doc_id"), col("text"))))
+          decontamed.join(
+            TextAnalysis.bpeEncoded(decontamed.select(col("doc_id"), col("text")), ranks)
               .select(col("doc_id"), col("n_bpe_tokens").as("pack_tokens")),
             "doc_id")
         }

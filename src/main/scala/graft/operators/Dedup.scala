@@ -738,11 +738,15 @@ object Dedup extends QueryModule {
     * contamination volume — re-derives its raw grams for the exact
     * confirm against the broadcast eval gram strings (collisions die
     * there; no false negatives by construction, the d_bloom_prefilter
-    * discipline). The eval side is tiny by nature (benchmarks, not
-    * corpora), so both its gram set and hash set broadcast
-    * unconditionally; the candidate-position slice gets the shared
-    * 4M-row bounded-broadcast decision so the corpus text never
-    * shuffles while contamination is bounded.
+    * discipline). The eval side is tiny by NATURE (benchmarks, not
+    * corpora) but nothing here falls over if it isn't: every broadcast
+    * is an explicit bounded decision with a shuffle fallback — the
+    * HASH set rides a wider 64M-row bound (8 B/row fixed width, ~0.5 GB
+    * — keeping the corpus-wide marking pass map-side is worth an order
+    * of magnitude more broadcast rows than a 40-char string set), the
+    * gram STRING set and the candidate-position slice share the 4M-row
+    * bound the rest of the dedup family uses. While the bounds hold,
+    * the corpus text never shuffles.
     */
   private[graft] def contaminatedPositions(docs: DataFrame, evalDocs: DataFrame,
                                            L: Int = 40): DataFrame = {
@@ -750,23 +754,26 @@ object Dedup extends QueryModule {
     val evalGrams = evalDocs.filter(length(col("text")) >= L)
       .select(explode(expr(strideGramArrayExpr(L))).as("gram")).distinct()
       .localCheckpoint(true)
+    val evalGramsBounded = evalGrams.count() <= 4L * 1000 * 1000
     // each eval gram is exactly L code points, so the kernel emits
     // exactly one hash per gram — the same polynomial the corpus-side
     // windows hash to, so equal grams meet in the semi join
     val evalH = evalGrams
       .select(expr(s"element_at(rolling_gram_hash(gram, $L), 1)").as("gh"))
-      .distinct()
+      .distinct().localCheckpoint(true)
+    val evalHBounded = evalH.count() <= 64L * 1000 * 1000
     val candPos = docs.filter(length(col("text")) >= L)
       .select(col("doc_id"),
         posexplode(expr(s"rolling_gram_hash(text, $L)")).as(Seq("pos", "gh")))
-      .join(broadcast(evalH), Seq("gh"), "left_semi")
+      .join(if (evalHBounded) broadcast(evalH) else evalH, Seq("gh"), "left_semi")
       .select("doc_id", "pos").localCheckpoint(true)
     val candPosBounded = candPos.count() <= 4L * 1000 * 1000
     docs.select(col("doc_id"), col("text"))
       .join(if (candPosBounded) broadcast(candPos) else candPos, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos + 1, $L)").as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .join(if (evalGramsBounded) broadcast(evalGrams) else evalGrams,
+        Seq("gram"), "left_semi")
       .select("doc_id", "pos")
   }
 

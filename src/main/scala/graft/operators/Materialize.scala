@@ -19,8 +19,15 @@ object Materialize {
   @volatile var enabled: Boolean = true
 
   def apply(out: DataFrame, caches: DataFrame*): DataFrame =
-    if (!enabled) out
-    else {
+    if (!enabled) {
+      // plan-audit mode must still RELEASE the caches: the sweep builds
+      // hundreds of plans in one session, and un-released persist marks
+      // accumulate in the CacheManager and rewrite every later plan
+      // over the same frames (observed: kmeansClusters' persisted
+      // vector frame surviving each lazily{} sweep)
+      caches.foreach(_.unpersist(false))
+      out
+    } else {
       val m = out.localCheckpoint(true)
       caches.foreach(_.unpersist(false))
       m

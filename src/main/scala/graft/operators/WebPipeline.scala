@@ -68,6 +68,13 @@ object WebPipeline extends QueryModule {
     pre ++ (Seq("substr_keep") ++ post)
   }
 
+  /** Stage names with the benchmark-decontamination arm on
+    * (d_web_pipeline_decontam): the flag-and-drop eval-leak filter
+    * lands between the ccnet cut and the split/pack tail.
+    */
+  private[graft] val StageNamesDecontam: Seq[String] =
+    StageNames.init :+ "decontam_keep" :+ "final"
+
   /** Closed-form canonical URL of the doc_id-derived raw variant
     * prepareWeb feeds through functions.UrlCanonical: scheme/host case
     * folds, the explicit :443 default port drops, /d/../ dot-segments
@@ -118,11 +125,14 @@ object WebPipeline extends QueryModule {
        |  j -> 'z' || substr(md5('t' || CAST(doc_id AS VARCHAR) || 'w' || CAST(j AS VARCHAR)), 1, 3)),
        |  ' ')""".stripMargin
 
-  private def oracleSql(model: Boolean, substr: Boolean = false): String = {
-    require(!(model && substr), "one arm per gate entry")
+  private def oracleSql(model: Boolean, substr: Boolean = false,
+                        decontam: Boolean = false): String = {
+    require(Seq(model, substr, decontam).count(identity) <= 1,
+      "one arm per gate entry")
     val T = TextAnalysis
     val names = if (model) StageNamesModel
                 else if (substr) StageNamesSubstr
+                else if (decontam) StageNamesDecontam
                 else StageNames
     val base = if (substr) "srcdocs" else "documents"
     val stageCounts = names.zipWithIndex.map { case (s, i) =>
@@ -140,6 +150,7 @@ object WebPipeline extends QueryModule {
         case "substr_keep" => "substrkeep"
         case "ccnet_keep" => "ccnet"
         case "model_keep" => "modelkeep"
+        case "decontam_keep" => "decontamkeep"
         case "final" => "finalout"
       }
       if (i == 0)
@@ -164,7 +175,29 @@ object WebPipeline extends QueryModule {
          |modelkeep AS MATERIALIZED (SELECT c.doc_id, c.text FROM ccnet c
          |  JOIN qsscored s USING (doc_id) CROSS JOIN qthr WHERE s.score > qthr.thr),
          |""".stripMargin
-    val finalSrc = if (model) "modelkeep" else "ccnet"
+    // the decontamination arm: the eval set is the excerpt mint below
+    // (verbatim 120-char cuts of the EXTRACTED text of every 20th doc —
+    // the text the pipeline actually sees), its distinct 40-char grams
+    // mark any ccnet survivor sharing one, marked docs drop. Same gram
+    // arithmetic as the substr arm's sgr chain; only the reduction
+    // differs (EXISTS-a-shared-gram instead of merged-span coverage).
+    val decontamCtes = if (!decontam) "" else
+      s"""dev AS MATERIALIZED (SELECT substr(text, 10, 120) AS text FROM fetched
+         |  WHERE doc_id % 20 = 5 AND len(text) >= 49),
+         |devg AS MATERIALIZED (SELECT DISTINCT substr(text, pos + 1, 40) AS gram FROM (
+         |  SELECT text, unnest(generate_series(0, len(text) - 40)) AS pos
+         |  FROM dev WHERE len(text) >= 40)),
+         |dmk AS MATERIALIZED (SELECT DISTINCT g.doc_id FROM (
+         |  SELECT doc_id, substr(text, pos + 1, 40) AS gram FROM (
+         |    SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
+         |    FROM ccnet WHERE len(text) >= 40)) g
+         |  SEMI JOIN devg USING (gram)),
+         |decontamkeep AS MATERIALIZED (SELECT c.doc_id, c.text FROM ccnet c
+         |  ANTI JOIN dmk USING (doc_id)),
+         |""".stripMargin
+    val finalSrc = if (model) "modelkeep"
+                   else if (decontam) "decontamkeep"
+                   else "ccnet"
     // the substr arm: duplicated-span coverage over the near-dup
     // survivors (the d_substring_dedup oracle's gram/islands chain,
     // reduced to a coverage SUM — the stage only needs the residue
@@ -269,7 +302,7 @@ object WebPipeline extends QueryModule {
        |${substrCtes}${materialize(T.ccnetScoredCtesSql(ccSrc))},
        |ccnet AS MATERIALIZED (SELECT n.doc_id, n.text FROM $ccSrc n JOIN scored s USING (doc_id)
        |  CROSS JOIN cuts WHERE s.surprisal <= cuts.c2),
-       |${modelCtes}finalout AS MATERIALIZED (SELECT doc_id FROM $finalSrc)
+       |${modelCtes}${decontamCtes}finalout AS MATERIALIZED (SELECT doc_id FROM $finalSrc)
        |SELECT * FROM (
        |  $stageCounts
        |) ORDER BY stage_idx""".stripMargin
@@ -356,6 +389,42 @@ object WebPipeline extends QueryModule {
           .orderBy("stage_idx")
       },
       Some(oracleSql(model = false, substr = true)),
+    ),
+    // the benchmark-decontamination arm (the filter every published
+    // production pipeline runs before a corpus ships — GPT-3 appendix
+    // C, PaLM §6.1): ccnet survivors sharing ANY stride-1 40-char gram
+    // with the eval set DROP, with their own attrition row. The gate's
+    // eval set is minted from the corpus itself: verbatim 120-char
+    // excerpts of the EXTRACTED text (the text the pipeline sees — the
+    // raw documents never reach the battery) of every 20th doc, so
+    // each surviving excerpt source is a guaranteed leak. Flag-and-drop
+    // keeps the strictly-nested stage contract; the span-cut REWRITE
+    // stays the standalone d_decontaminate_scrub entry. The oracle
+    // recomputes the mint, the gram marking, and the anti join on top
+    // of the full base chain; the Spark side marks via the rolling-hash
+    // kernel + exact confirm (Dedup.contaminatedPositions), which the
+    // shared-gram semantics make hash-path invisible.
+    QueryDef(
+      "d_web_pipeline_decontam",
+      (s, dir) => {
+        import s.implicits._
+        requireGateConf(s, "d_web_pipeline_decontam")
+        val docs = Tables(s, dir).documents
+        val ev = TextAnalysis.warcBlobs(docs.filter(col("doc_id") % 20 === 5))
+          .flatMap { case (_, blob) =>
+            graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty)
+              .map(TextAnalysis.warcPageText)
+          }.toDF("doc_id", "url", "text")
+          .filter(length(col("text")) >= 49)
+          .select(expr("substring(text, 10, 120)").as("text"))
+        val p = graft.api.TrainingData.prepareWeb(
+          docs, oracleHash = true, decontaminateEval = Some(ev))
+        p.stages.zipWithIndex
+          .map { case ((st, n), i) => (i, st, n) }
+          .toDF("stage_idx", "stage", "n_docs")
+          .orderBy("stage_idx")
+      },
+      Some(oracleSql(model = false, decontam = true)),
     ),
   )
 }

@@ -272,6 +272,41 @@ class WebPipelineSpec extends SparkSpec {
     assert(cov(2L)._2 > cov(2L)._1.toLong, s"mint of $id not mostly-covered")
   }
 
+  test("the decontamination arm drops a leaked survivor that survives without it") {
+    val s = spark
+    import s.implicits._
+    // the gate entry's eval mint: 120-char verbatim excerpts of the
+    // EXTRACTED text of every 20th doc — each excerpt source that
+    // reaches ccnet is a guaranteed eval leak
+    val ev = TextAnalysis.warcBlobs(docs.filter(col("doc_id") % 20 === 5))
+      .flatMap { case (_, blob) =>
+        graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty)
+          .map(TextAnalysis.warcPageText)
+      }.toDF("doc_id", "url", "text")
+      .filter(length(col("text")) >= 49)
+      .select(expr("substring(text, 10, 120)").as("text"))
+    val armed = TrainingData.prepareWeb(docs, oracleHash = true,
+      decontaminateEval = Some(ev))
+    assert(armed.stages.map(_._1) == WebPipeline.StageNamesDecontam)
+    // the shared prefix is IDENTICAL — the arm only adds its own row
+    assert(armed.stages.take(11) == prepared.stages.take(11))
+    val byA = armed.stages.toMap
+    assert(byA("decontam_keep") < byA("ccnet_keep"), "decontam arm idle")
+    assert(byA("decontam_keep") == byA("final"))
+    val baseIds = prepared.corpus.select("doc_id").as[Long].collect().toSet
+    val armedIds = armed.corpus.select("doc_id").as[Long].collect().toSet
+    assert(armedIds.subsetOf(baseIds))
+    // every excerpt-source survivor is a leak by construction: it must
+    // drop with the arm on, and each one survives the armless run (the
+    // arm's drops are EXACTLY the baseline survivors with doc_id%20==5
+    // plus any survivor sharing a 40-char span with an excerpt)
+    val leaked = baseIds.filter(_ % 20 == 5)
+    assert(leaked.nonEmpty, "gate corpus has no ccnet-surviving excerpt source")
+    assert(leaked.forall(!armedIds.contains(_)),
+      "a doc whose own excerpt is in the eval set survived the scrub")
+    assert((baseIds -- armedIds).nonEmpty)
+  }
+
   test("production-hash path (xxhash64) reproduces the oracle path's stage counts") {
     // independent LSH samplings each have ~1-(1-j^r)^b recall, so pair
     // SETS can differ in principle; on the gate corpus they agree
