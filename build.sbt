@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra forked-JVM flags for stretch measurement runs (e.g. a longer
+  // spark.executor.heartbeatInterval so a single-JVM full-GC stall is
+  // survived instead of read as a dead executor) — empty by default
+  sys.env.get("GRAFT_JAVA_OPTS").map(_.split("\\s+").toSeq.filter(_.nonEmpty))
+    .getOrElse(Seq.empty)

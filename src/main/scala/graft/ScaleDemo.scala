@@ -194,6 +194,26 @@ object ScaleDemo {
           exactSubstr = true)
         .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
         .toDF("stage_idx", "stage", "n_docs")
+    }),
+    // the decontamination arm at scale (the d_web_pipeline_decontam
+    // gate entry's production-hash twin, same excerpt-mint eval set —
+    // every 20th doc's extracted-text excerpt, so the eval set scales
+    // with the corpus like the standalone scrub fixture and the arm's
+    // attrition stays a real ~5% at every scale)
+    "d_web_pipeline_decontam_fast" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val ev = graft.operators.TextAnalysis.warcBlobs(
+          docs.filter(col("doc_id") % 20 === 5))
+        .flatMap { case (_, blob) =>
+          graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty)
+            .map(graft.operators.TextAnalysis.warcPageText)
+        }.toDF("doc_id", "url", "text")
+        .filter(length(col("text")) >= 49)
+        .select(expr("substring(text, 10, 120)").as("text"))
+      graft.api.TrainingData.prepareWeb(docs, decontaminateEval = Some(ev))
+        .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
+        .toDF("stage_idx", "stage", "n_docs")
     }))
 
   /** Content fingerprint of the base corpus: path plus (size, mtime) of

@@ -741,9 +741,13 @@ object Dedup extends QueryModule {
     * discipline). The eval side is tiny by NATURE (benchmarks, not
     * corpora) but nothing here falls over if it isn't: every broadcast
     * is an explicit bounded decision with a shuffle fallback — the
-    * HASH set rides a wider 64M-row bound (8 B/row fixed width, ~0.5 GB
-    * — keeping the corpus-wide marking pass map-side is worth an order
-    * of magnitude more broadcast rows than a 40-char string set), the
+    * HASH set rides a wider 16M-row bound (8 B/row fixed width — a
+    * ~400 MB hashed relation, which the DEFAULT 8 GiB single-JVM driver
+    * can host alongside a composite pipeline's checkpoint blocks;
+    * measured: a ~20M-hash build inside prepareWeb's decontam arm blew
+    * the 8 GiB broadcast build, a ~12M one did not — keeping the
+    * corpus-wide marking pass map-side is worth 4× more broadcast rows
+    * than a 40-char string set), the
     * gram STRING set and the candidate-position slice share the 4M-row
     * bound the rest of the dedup family uses. While the bounds hold,
     * the corpus text never shuffles.
@@ -761,7 +765,7 @@ object Dedup extends QueryModule {
     val evalH = evalGrams
       .select(expr(s"element_at(rolling_gram_hash(gram, $L), 1)").as("gh"))
       .distinct().localCheckpoint(true)
-    val evalHBounded = evalH.count() <= 64L * 1000 * 1000
+    val evalHBounded = evalH.count() <= 16L * 1000 * 1000
     val candPos = docs.filter(length(col("text")) >= L)
       .select(col("doc_id"),
         posexplode(expr(s"rolling_gram_hash(text, $L)")).as(Seq("pos", "gh")))
