@@ -212,7 +212,12 @@ object Similarity extends QueryModule {
     val v = vecs.select(col("vec_id"), col("embedding")).persist()
     // unpersist on a thrown fit (the per-iteration collects run eagerly
     // here); the success path's cache is released by Materialize after
-    // the final assignment materializes
+    // the final assignment materializes — on BOTH its paths, so
+    // plan-audit sweeps don't accumulate cache registrations. Known and
+    // accepted: under Materialize.lazily the fit's bounded collects
+    // still EXECUTE (the returned plan embeds the fitted centroids as
+    // literals — there is no plan to audit without them), so a sweep
+    // over the two k-means entries runs the fit once each.
     val cents =
       try kmeansCentroidsOn(v, k, iters)
       catch { case e: Throwable => v.unpersist(false); throw e }
