@@ -321,11 +321,19 @@ object ScaleDemo {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val workRoot = args.headOption.getOrElse("/tmp/graft_scale")
+    // mode flag FIRST, then positionals: `--audit` used to fall through
+    // to the positional parse as workRoot, so the audit's generate()
+    // wrote its 1× corpus into a repo directory literally named
+    // `--audit` (and it got committed). Audit mode always uses the
+    // scratch root.
+    val audit = args.headOption.contains("--audit")
+    val rest = if (audit) args.drop(1) else args
+    val workRoot =
+      if (audit) "/tmp/graft_scale" else rest.headOption.getOrElse("/tmp/graft_scale")
     // optional overrides: arg 2 = comma-separated scales (e.g. "1000"
     // for the stretch cell), arg 3 = comma-separated query names
-    val scales = args.lift(1).map(_.split(",").toSeq.map(_.toInt)).getOrElse(Scales)
-    val queryNames = args.lift(2).map(_.split(",").toSeq).getOrElse(Queries)
+    val scales = rest.lift(1).map(_.split(",").toSeq.map(_.toInt)).getOrElse(Scales)
+    val queryNames = rest.lift(2).map(_.split(",").toSeq).getOrElse(Queries)
     val spark = GraftSession.build("graft-scale")
     val queries = SparkEntry.queries
     // --audit mode (no timing): for each named query, report whether
@@ -333,25 +341,33 @@ object ScaleDemo {
     // — the collapse classes documented on WorkNodes — so historical
     // cells measured under that window can be identified and
     // re-measured. Run as: runMain graft.ScaleDemo --audit q1,q2,...
-    if (args.headOption.contains("--audit")) {
-      val names = args.lift(1).map(_.split(",").toSeq)
+    if (audit) {
+      val names = rest.headOption.map(_.split(",").toSeq)
         .getOrElse((Queries ++ Variants.keys ++ CustomCells.keys).distinct)
       val dir = generate(spark, base, workRoot, 1)
       for (q <- names) {
-        val regName = Variants.get(q).map(_._1).getOrElse(q)
+        // variants audit under their conf override, mirroring the
+        // measurement loop — without it the audited plan can differ
+        // from the plan actually timed for variant cells
+        val (regName, confOverride) = Variants.get(q)
+          .map { case (r, ck, cv) => (r, Some(ck -> cv)) }
+          .getOrElse((q, None))
         val res = try {
-          val df = CustomCells.getOrElse(regName, queries(regName))(spark, dir)
-          val hist = workHistogram(df.queryExecution.optimizedPlan)
-          val countPlan = workHistogram(
-            df.agg(count(lit(1))).queryExecution.optimizedPlan)
-          val lost = hist.collect {
-            case (n, c) if countPlan.getOrElse(n, 0) < c =>
-              s"$n:${c - countPlan.getOrElse(n, 0)}"
-          }.toSeq.sorted
-          // projection-only plans (no work nodes at all) collapse to
-          // footer count-star — flag them too
-          val projOnly = hist.isEmpty
-          s"""{"query":"$q","count_window_collapses":${lost.nonEmpty || projOnly},"lost":"${lost.mkString(",")}","projection_only":$projOnly}"""
+          confOverride.foreach { case (ck, cv) => spark.conf.set(ck, cv) }
+          try {
+            val df = CustomCells.getOrElse(regName, queries(regName))(spark, dir)
+            val hist = workHistogram(df.queryExecution.optimizedPlan)
+            val countPlan = workHistogram(
+              df.agg(count(lit(1))).queryExecution.optimizedPlan)
+            val lost = hist.collect {
+              case (n, c) if countPlan.getOrElse(n, 0) < c =>
+                s"$n:${c - countPlan.getOrElse(n, 0)}"
+            }.toSeq.sorted
+            // projection-only plans (no work nodes at all) collapse to
+            // footer count-star — flag them too
+            val projOnly = hist.isEmpty
+            s"""{"query":"$q","count_window_collapses":${lost.nonEmpty || projOnly},"lost":"${lost.mkString(",")}","projection_only":$projOnly}"""
+          } finally confOverride.foreach { case (ck, _) => spark.conf.unset(ck) }
         } catch { case e: Throwable =>
           s"""{"query":"$q","error":"${Option(e.getMessage).getOrElse("").take(120).replace('"', ' ')}"}"""
         }

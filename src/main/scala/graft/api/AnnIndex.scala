@@ -23,7 +23,15 @@ object AnnIndex {
   /** (cluster, centroid float array); deterministic init from the first
     * k vectors by id.
     *
-    * ONE Lloyd in the codebase: this delegates to the oracled
+    * `iters` COUNTS THE SEED ASSIGNMENT AS STEP 1: the fit runs the
+    * seed selection plus `iters − 1` centroid updates
+    * (kmeansCentroidsOn's convention — iters = 1 returns the raw
+    * seeds). Before round 15 this method ran `iters` updates AFTER
+    * seeding, so cross-round recall comparisons at the same `iters`
+    * see one fewer Lloyd step; pass iters + 1 to reproduce the old
+    * trajectory.
+    *
+    * ONE coarse-quantizer Lloyd: this delegates to the oracled
     * fixed-point fit (Similarity.kmeansCentroids — per-dimension sums
     * of FLOOR(x·2^62) as DECIMAL(38,0), exact and summation-ORDER-FREE,
     * k·dim-bounded centroid collect per step) instead of carrying a

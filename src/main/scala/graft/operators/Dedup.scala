@@ -619,7 +619,14 @@ object Dedup extends QueryModule {
     // bound the shuffle hash join is still span-proportional. Without
     // the hint, stale auto-broadcast stats would ship the corpus text
     // through an exchange for a join whose right side is KB-sized.
-    val spansBounded = spans.count() <= 4L * 1000 * 1000
+    // The bound counts TOTAL marked positions (the true broadcast
+    // volume), not grouped rows: each spans row carries a per-doc
+    // position array bounded only by doc length, so a ≤4M-ROW table
+    // could still be multi-GB — the row-count-vs-bytes trap the
+    // 20M-hash broadcast measurement hit.
+    val totRow = spans.agg(sum(size(col("ps")))).head()
+    val spansBounded =
+      totRow.isNullAt(0) || totRow.getLong(0) <= 4L * 1000 * 1000
     docs.join(if (spansBounded) broadcast(spans) else spans, Seq("doc_id"), "left")
       .withColumn("kept", when(col("ps").isNull, col("text")).otherwise(expr(
         s"""aggregate(ps,
@@ -772,8 +779,28 @@ object Dedup extends QueryModule {
       .join(if (evalHBounded) broadcast(evalH) else evalH, Seq("gh"), "left_semi")
       .select("doc_id", "pos").localCheckpoint(true)
     val candPosBounded = candPos.count() <= 4L * 1000 * 1000
-    docs.select(col("doc_id"), col("text"))
-      .join(if (candPosBounded) broadcast(candPos) else candPos, Seq("doc_id"))
+    // confirm source: while candPos broadcasts, the corpus text never
+    // moves. Past the bound the inner join's shuffle arm would
+    // hash-partition the ENTIRE text relation to meet a
+    // contamination-proportional position list — so restrict the text
+    // to contaminated docs FIRST via their DISTINCT doc_id set (orders
+    // smaller than the position list; fixed-width ids ride the same
+    // 16M bound as the hash set). The shuffled text is then
+    // contaminated-docs-only, and the semi→inner composition is
+    // row-identical to the plain inner join.
+    val confirmSrc =
+      if (candPosBounded)
+        docs.select(col("doc_id"), col("text"))
+          .join(broadcast(candPos), Seq("doc_id"))
+      else {
+        val candIds = candPos.select("doc_id").distinct().localCheckpoint(true)
+        val candIdsBounded = candIds.count() <= 16L * 1000 * 1000
+        docs.select(col("doc_id"), col("text"))
+          .join(if (candIdsBounded) broadcast(candIds) else candIds,
+            Seq("doc_id"), "left_semi")
+          .join(candPos, Seq("doc_id"))
+      }
+    confirmSrc
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos + 1, $L)").as("gram"))
       .join(if (evalGramsBounded) broadcast(evalGrams) else evalGrams,
