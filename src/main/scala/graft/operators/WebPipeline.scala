@@ -52,28 +52,53 @@ object WebPipeline extends QueryModule {
     "filter_gopher_rep", "filter_c4", "filter_fineweb", "exact_dedup",
     "neardup_keepbest", "ccnet_keep", "final")
 
+  /** Stage names for any arm combination — the ONE place the arm
+    * insertion points live (prepareWeb's stage order is the contract:
+    * substr_keep between the near-dup keeper and the ccnet cut,
+    * model_keep after the ccnet cut, decontam_keep LAST before
+    * split/pack — decontamination runs over whatever the upstream arms
+    * kept, exactly as the published pipelines ship it).
+    */
+  private[graft] def stageNames(model: Boolean, substr: Boolean,
+                                decontam: Boolean): Seq[String] = {
+    val withSubstr =
+      if (!substr) StageNames
+      else {
+        val (pre, post) = StageNames.span(_ != "ccnet_keep")
+        pre ++ (Seq("substr_keep") ++ post)
+      }
+    withSubstr.init ++
+      (if (model) Seq("model_keep") else Nil) ++
+      (if (decontam) Seq("decontam_keep") else Nil) :+ "final"
+  }
+
   /** Stage names with the model-quality arm on (d_web_pipeline_model):
     * the t_quality_model filter stage lands between the ccnet cut and
     * the split/pack tail.
     */
   private[graft] val StageNamesModel: Seq[String] =
-    StageNames.init :+ "model_keep" :+ "final"
+    stageNames(model = true, substr = false, decontam = false)
 
   /** Stage names with the exact-substring coverage arm on
     * (d_web_pipeline_substr): the d_substring_dedup filter stage lands
     * between the near-dup keeper and the ccnet cut.
     */
-  private[graft] val StageNamesSubstr: Seq[String] = {
-    val (pre, post) = StageNames.span(_ != "ccnet_keep")
-    pre ++ (Seq("substr_keep") ++ post)
-  }
+  private[graft] val StageNamesSubstr: Seq[String] =
+    stageNames(model = false, substr = true, decontam = false)
 
   /** Stage names with the benchmark-decontamination arm on
     * (d_web_pipeline_decontam): the flag-and-drop eval-leak filter
     * lands between the ccnet cut and the split/pack tail.
     */
   private[graft] val StageNamesDecontam: Seq[String] =
-    StageNames.init :+ "decontam_keep" :+ "final"
+    stageNames(model = false, substr = false, decontam = true)
+
+  /** All three arms on (d_web_pipeline_full) — the 15-stage shape every
+    * cited production pipeline actually ships (FineWeb: rules + dedup +
+    * model quality; GPT-3/PaLM: everything + decontamination).
+    */
+  private[graft] val StageNamesFull: Seq[String] =
+    stageNames(model = true, substr = true, decontam = true)
 
   /** Closed-form canonical URL of the doc_id-derived raw variant
     * prepareWeb feeds through functions.UrlCanonical: scheme/host case
@@ -127,13 +152,8 @@ object WebPipeline extends QueryModule {
 
   private def oracleSql(model: Boolean, substr: Boolean = false,
                         decontam: Boolean = false): String = {
-    require(Seq(model, substr, decontam).count(identity) <= 1,
-      "one arm per gate entry")
     val T = TextAnalysis
-    val names = if (model) StageNamesModel
-                else if (substr) StageNamesSubstr
-                else if (decontam) StageNamesDecontam
-                else StageNames
+    val names = stageNames(model, substr, decontam)
     val base = if (substr) "srcdocs" else "documents"
     val stageCounts = names.zipWithIndex.map { case (s, i) =>
       val rel = s match {
@@ -178,9 +198,12 @@ object WebPipeline extends QueryModule {
     // the decontamination arm: the eval set is the excerpt mint below
     // (verbatim 120-char cuts of the EXTRACTED text of every 20th doc —
     // the text the pipeline actually sees), its distinct 40-char grams
-    // mark any ccnet survivor sharing one, marked docs drop. Same gram
-    // arithmetic as the substr arm's sgr chain; only the reduction
-    // differs (EXISTS-a-shared-gram instead of merged-span coverage).
+    // mark any upstream-arm survivor sharing one, marked docs drop —
+    // the arm scans whatever the model arm (if on) or the ccnet cut
+    // kept, mirroring prepareWeb's stage order. Same gram arithmetic as
+    // the substr arm's sgr chain; only the reduction differs
+    // (EXISTS-a-shared-gram instead of merged-span coverage).
+    val dsrc = if (model) "modelkeep" else "ccnet"
     val decontamCtes = if (!decontam) "" else
       s"""dev AS MATERIALIZED (SELECT substr(text, 10, 120) AS text FROM fetched
          |  WHERE doc_id % 20 = 5 AND len(text) >= 49),
@@ -190,13 +213,13 @@ object WebPipeline extends QueryModule {
          |dmk AS MATERIALIZED (SELECT DISTINCT g.doc_id FROM (
          |  SELECT doc_id, substr(text, pos + 1, 40) AS gram FROM (
          |    SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
-         |    FROM ccnet WHERE len(text) >= 40)) g
+         |    FROM $dsrc WHERE len(text) >= 40)) g
          |  SEMI JOIN devg USING (gram)),
-         |decontamkeep AS MATERIALIZED (SELECT c.doc_id, c.text FROM ccnet c
+         |decontamkeep AS MATERIALIZED (SELECT c.doc_id, c.text FROM $dsrc c
          |  ANTI JOIN dmk USING (doc_id)),
          |""".stripMargin
-    val finalSrc = if (model) "modelkeep"
-                   else if (decontam) "decontamkeep"
+    val finalSrc = if (decontam) "decontamkeep"
+                   else if (model) "modelkeep"
                    else "ccnet"
     // the substr arm: duplicated-span coverage over the near-dup
     // survivors (the d_substring_dedup oracle's gram/islands chain,
@@ -425,6 +448,47 @@ object WebPipeline extends QueryModule {
           .orderBy("stage_idx")
       },
       Some(oracleSql(model = false, decontam = true)),
+    ),
+    // ALL THREE ARMS COMPOSED — the 15-stage shape every cited
+    // production pipeline actually ships (FineWeb: rules + dedup +
+    // model quality; GPT-3/PaLM: everything + decontamination). The
+    // single-arm entries verify each arm in isolation; this entry
+    // verifies the COMPOSITION — the stage-interaction surface (the
+    // model decile cut re-deriving over post-substr survivors, the
+    // decontam scan running over the model survivors) that one-arm
+    // gates structurally cannot see. Gate fixtures are the union of
+    // the single-arm entries': the substr arm's minted ~60%-overlap
+    // partial duplicates (doc_id % 20 = 3 sources) AND the decontam
+    // arm's verbatim-excerpt eval mint (doc_id % 20 = 5 sources —
+    // disjoint residues, so each arm's drops stay attributable). The
+    // oracle chains the model, substr, and decontam CTE blocks over
+    // ONE base chain in prepareWeb's stage order.
+    QueryDef(
+      "d_web_pipeline_full",
+      (s, dir) => {
+        import s.implicits._
+        requireGateConf(s, "d_web_pipeline_full")
+        val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        val minted = d.filter(col("doc_id") % 20 === 3)
+          .select((col("doc_id") + 420000000000L).as("doc_id"),
+            expr(substrMintTextSpark).as("text"))
+        val docs = d.unionByName(minted)
+        val ev = TextAnalysis.warcBlobs(docs.filter(col("doc_id") % 20 === 5))
+          .flatMap { case (_, blob) =>
+            graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty)
+              .map(TextAnalysis.warcPageText)
+          }.toDF("doc_id", "url", "text")
+          .filter(length(col("text")) >= 49)
+          .select(expr("substring(text, 10, 120)").as("text"))
+        val p = graft.api.TrainingData.prepareWeb(
+          docs, oracleHash = true, modelQuality = true, exactSubstr = true,
+          decontaminateEval = Some(ev))
+        p.stages.zipWithIndex
+          .map { case ((st, n), i) => (i, st, n) }
+          .toDF("stage_idx", "stage", "n_docs")
+          .orderBy("stage_idx")
+      },
+      Some(oracleSql(model = true, substr = true, decontam = true)),
     ),
   )
 }

@@ -307,6 +307,64 @@ class WebPipelineSpec extends SparkSpec {
     assert((baseIds -- armedIds).nonEmpty)
   }
 
+  test("all three arms compose: full stage vector, each arm's drops attributable") {
+    val s = spark
+    import s.implicits._
+    // the d_web_pipeline_full gate composition: substr-arm minted
+    // partial duplicates (doc_id % 20 = 3 sources) ∪ the corpus, plus
+    // the decontam arm's verbatim-excerpt eval mint (% 20 = 5 sources)
+    // — disjoint residues by construction
+    val d = docs.select(col("doc_id"), col("text"))
+    val minted = d.filter(col("doc_id") % 20 === 3)
+      .select((col("doc_id") + 420000000000L).as("doc_id"),
+        expr(WebPipeline.substrMintTextSpark).as("text"))
+    val union = d.unionByName(minted)
+    val ev = TextAnalysis.warcBlobs(union.filter(col("doc_id") % 20 === 5))
+      .flatMap { case (_, blob) =>
+        graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty)
+          .map(TextAnalysis.warcPageText)
+      }.toDF("doc_id", "url", "text")
+      .filter(length(col("text")) >= 49)
+      .select(expr("substring(text, 10, 120)").as("text"))
+    val substrOnly = TrainingData.prepareWeb(union, oracleHash = true,
+      exactSubstr = true)
+    val full = TrainingData.prepareWeb(union, oracleHash = true,
+      modelQuality = true, exactSubstr = true, decontaminateEval = Some(ev))
+    assert(full.stages.map(_._1) == WebPipeline.StageNamesFull)
+    // the shared 12-stage prefix (through ccnet_keep) is IDENTICAL to
+    // the substr-only run — the two tail arms only append their own
+    // attrition rows, so every drop through ccnet is attributable to
+    // the same stage it was in the one-arm runs
+    assert(full.stages.take(12) == substrOnly.stages.take(12))
+    val byF = full.stages.toMap
+    // every arm drops on the gate corpus — the composition exercises
+    // each arm's filter, not just its plumbing
+    assert(byF("substr_keep") < byF("neardup_keepbest"), "substr arm idle")
+    assert(byF("model_keep") < byF("ccnet_keep"), "model arm idle")
+    assert(byF("decontam_keep") < byF("model_keep"), "decontam arm idle")
+    assert(byF("decontam_keep") == byF("final"))
+    // drops telescope: nothing double-counted across the arm stack
+    val dropsSum = full.stages.sliding(2)
+      .map { case Seq((_, na), (_, nb)) => na - nb }.sum
+    assert(dropsSum == byF("raw") - byF("final"))
+    // arm-interaction semantics, pinned set-level: the decontam arm's
+    // drops are exactly the model survivors marked by the eval grams —
+    // every full-run survivor is a model-arm survivor, and every
+    // excerpt-source (leak-by-construction) model survivor dropped
+    val fullIds = full.corpus.select("doc_id").as[Long].collect().toSet
+    assert(fullIds.forall(_ % 20 != 5),
+      "a doc whose own excerpt is in the eval set survived the full stack")
+    // the substr arm still acts inside the composition: a minted
+    // partial duplicate and its source NEVER both survive — if both
+    // reach the substr stage, both are > half covered and both drop;
+    // if one dropped earlier, at most one remains. (Near-dup cannot
+    // claim this pair: Jaccard ≈ 0.43 sits below the 0.5 tau.)
+    val mintedSurvivorSources =
+      fullIds.filter(_ >= 420000000000L).map(_ - 420000000000L)
+    assert((mintedSurvivorSources & fullIds).isEmpty,
+      "a minted partial duplicate and its source both survived the full stack")
+  }
+
   test("production-hash path (xxhash64) reproduces the oracle path's stage counts") {
     // independent LSH samplings each have ~1-(1-j^r)^b recall, so pair
     // SETS can differ in principle; on the gate corpus they agree
