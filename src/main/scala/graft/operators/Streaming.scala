@@ -539,6 +539,47 @@ object Streaming extends QueryModule {
               |FROM documents d LEFT JOIN reb r USING (doc_id)
               |ORDER BY doc_id""".stripMargin),
     ),
+    // streaming decontamination DROP — the flag-and-drop twin of the
+    // scrub above, closing the arm symmetry with the batch pipe:
+    // prepareWeb's decontam_keep arm flag-drops, so the stream pipe
+    // gets the same guard (eval gram set broadcast, arriving doc drops
+    // if ANY stride-1 gram matches — short-circuiting on the first
+    // hit, stateless, no state store). The oracle recomputes the
+    // batch-shaped anti join (eval grams → marked DISTINCT doc_ids →
+    // drop) in SQL, so the survivor set is hash-gated row-for-row;
+    // parity vs the batch contaminatedPositions anti join is
+    // CorpusStreamingSpec's pin.
+    QueryDef(
+      "st_decontaminate_drop",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st_dcdrop_${System.nanoTime()}"
+        val d = Tables(s, dir).documents
+        val evalGrams = d.filter(col("doc_id") % 97 === 0)
+          .filter(length(col("text")) >= 40)
+          .select(explode(expr(graft.operators.Dedup.strideGramArrayExpr(40))).as("gram"))
+          .distinct().as[String].collect().toSet
+        val q = graft.streaming.CorpusStreaming
+          .decontaminateDrop(
+            graft.streaming.CorpusStreaming.readDocumentStream(s, dir), evalGrams)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "st_decontaminate_drop timed out")
+        s.table(name).orderBy("doc_id")
+      },
+      Some("""WITH ev AS (SELECT text FROM documents
+             |  WHERE doc_id % 97 = 0 AND len(text) >= 40),
+             |ep AS (SELECT text, unnest(generate_series(0, len(text) - 40)) AS pos FROM ev),
+             |eg AS (SELECT DISTINCT substr(text, pos + 1, 40) AS gram FROM ep),
+             |p AS (SELECT doc_id, text, unnest(generate_series(0, len(text) - 40)) AS pos
+             |      FROM documents WHERE len(text) >= 40),
+             |gr AS (SELECT doc_id, substr(text, pos + 1, 40) AS gram FROM p),
+             |mk AS (SELECT DISTINCT doc_id FROM gr SEMI JOIN eg USING (gram))
+             |SELECT d.doc_id, d.text FROM documents d ANTI JOIN mk USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+    ),
     // streaming Gopher A1.2 repetition battery: the batch
     // t_gopher_repetition typed mapPartitions (shared code — per-doc
     // hash-count + position-mark loops are row-local, so the map is

@@ -350,4 +350,56 @@ object CorpusStreaming {
       }
       .toDF("doc_id", "text", "n_removed")
   }
+
+  /** Streaming decontamination DROP — the flag-and-drop twin of
+    * [[decontaminateScrub]], giving the stream pipe the same guard
+    * prepareWeb's `decontam_keep` arm gives the batch pipe: an
+    * arriving document DROPS ENTIRELY if ANY of its stride-1
+    * `gramLen`-char grams appears in the (offline, batch-built)
+    * eval/benchmark gram set — the GPT-3 appendix C / PaLM §6.1
+    * filter at exact-substring strength. Stateless per row (broadcast
+    * hash-set probe, no state store, no watermark), and the probe
+    * SHORT-CIRCUITS on the first marked gram, so a leaked doc costs
+    * less than the scrub's full marking pass and a clean doc the same
+    * O(len·L). Emits surviving (doc_id, text) rows — row-identical to
+    * the batch anti join (Dedup.contaminatedPositions reduced to
+    * DISTINCT doc_ids, dropped); an eval doc arriving IN the stream
+    * drops itself (every one of its grams is in the set).
+    */
+  def decontaminateDrop(docs: DataFrame, evalGrams: Set[String],
+                        gramLen: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val L = gramLen
+    val bc = spark.sparkContext.broadcast(evalGrams)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.filterNot { case (_, t) =>
+          // CODE-POINT windows, not UTF-16 units — the eval gram set
+          // and the batch twin use SQL substring/length semantics
+          // (decontaminateScrub's convention; cpOff(i) is the UTF-16
+          // offset of code point i)
+          val nCp = t.codePointCount(0, t.length)
+          val cpOff = new Array[Int](nCp + 1)
+          var o = 0
+          var ci = 0
+          while (ci < nCp) {
+            cpOff(ci) = o
+            o += Character.charCount(t.codePointAt(o))
+            ci += 1
+          }
+          cpOff(nCp) = t.length
+          var leaked = false
+          var p = 0
+          val last = nCp - L
+          while (!leaked && p <= last) {
+            leaked = set.contains(t.substring(cpOff(p), cpOff(p + L)))
+            p += 1
+          }
+          leaked
+        }
+      }
+      .toDF("doc_id", "text")
+  }
 }

@@ -174,6 +174,35 @@ class CorpusStreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming decontamination drop matches the batch anti join row for row") {
+    // the short-circuiting hash-set probe must keep EXACTLY the docs
+    // the batch pipe keeps (contaminatedPositions → DISTINCT doc_id →
+    // anti join) — the arm-symmetry contract: a doc the batch
+    // decontam_keep stage would drop must never ride the stream pipe
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.operators.Streaming.entries
+      .find(_.name == "st_decontaminate_drop").get.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val d = Tables(spark, sfDir).documents
+    val ev = d.filter(col("doc_id") % 97 === 0)
+    val batch = d.select(col("doc_id"), col("text"))
+      .join(graft.operators.Dedup
+          .contaminatedPositions(d.select(col("doc_id"), col("text")), ev)
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    // eval docs long enough to carry grams drop themselves; the drop
+    // is non-idle on the gate corpus
+    val evalIds = ev.filter(org.apache.spark.sql.functions.length(col("text")) >= 40)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(evalIds.nonEmpty)
+    val streamedIds = streamed.map(_._1).toSet
+    assert(evalIds.forall(!streamedIds.contains(_)),
+      "an eval doc in the stream must drop itself")
+    assert(streamed === batch)
+  }
+
   test("streaming chunk fan-out matches the batch t_chunk_overlap row for row") {
     val streamed = graft.operators.Streaming.entries
       .find(_.name == "st_chunk_overlap").get.fn(spark, sfDir)
