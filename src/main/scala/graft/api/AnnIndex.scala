@@ -36,7 +36,9 @@ object AnnIndex {
     * of FLOOR(x·2^62) as DECIMAL(38,0), exact and summation-ORDER-FREE,
     * k·dim-bounded centroid collect per step) instead of carrying a
     * second float-avg implementation whose means depend on partition
-    * order. The IVF family's centroids are therefore run-to-run AND
+    * order. (PqIndex.codebooks keeps its own per-subspace loop — the
+    * key is (j, code), not cid — but uses the SAME fixed-point update,
+    * so no partition-order-dependent Lloyd remains anywhere.) The IVF family's centroids are therefore run-to-run AND
     * plan-to-plan deterministic, which is what lets its gate entries be
     * snapshot-pinned at all. Caveat for index-scale k (k ≈ √n at
     * 100 TB): the per-step collect is k·dim rows — still driver-safe at

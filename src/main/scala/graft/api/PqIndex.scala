@@ -52,8 +52,18 @@ object PqIndex {
     * AnnIndex.kmeans); one distributed job trains ALL m subspaces at
     * once — the subspace id j is just part of the aggregation key, so
     * adding subspaces widens the key space, not the pass count.
+    *
+    * The centroid update is the SAME fixed-point mean as the coarse
+    * quantizer's Lloyd (Similarity.kmeansCentroids — per-dimension
+    * sums of FLOOR(x·2^62) as DECIMAL(38,0), exact and
+    * summation-ORDER-FREE), just keyed by (j, code) instead of cid: a
+    * float avg()'s per-dimension means depend on partition order, and
+    * these codebooks feed the pinned s_pq/s_ivfpq snapshot oracles —
+    * the exact nondeterminism class the one-Lloyd consolidation
+    * exists to kill.
     */
   def codebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val P62 = "4611686018427387904.0" // 2^62
     val subv = subvectors(embeddings.select(col("vec_id"), col("embedding")),
       "embedding", dim, m)
     var cb = subv.filter(col("vec_id") < ksub)
@@ -63,7 +73,10 @@ object PqIndex {
       cb = assigned
         .join(subv, Seq("vec_id", "j"))
         .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("i", "x")))
-        .groupBy("j", "code", "i").agg(avg(col("x")).as("m"))
+        .groupBy("j", "code", "i")
+        .agg(expr(s"CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * $P62) AS DECIMAL(38,0))) AS DOUBLE)")
+          .as("sx"), count(lit(1)).as("n"))
+        .select(col("j"), col("code"), col("i"), expr(s"sx / n / $P62").as("m"))
         .groupBy("j", "code")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).getField("m").as("c"))
         .select(col("j"), col("code"), expr("transform(c, x -> CAST(x AS FLOAT))").as("centroid"))
