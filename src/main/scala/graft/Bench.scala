@@ -31,7 +31,13 @@ object Bench {
   /** r12 added the two surfaces above; r14 adds the two heaviest r13
     * operators (t_quality_model, d_containment_probe) so they get
     * round-over-round tracking like d_web_pipeline got in r12.
-    * legacy_total stays the frozen 11-query subset.
+    * legacy_total stays the frozen 11-query subset. The r16 three-arm
+    * composite (d_web_pipeline_full) is deliberately NOT a bench
+    * column: the registry entry is the ORACLE-path shape (md5
+    * signatures + minted substr/eval fixtures), so a bench column
+    * would track oracle-fixture cost, not the product; the production
+    * composite is tracked by the d_web_pipeline_full_fast scale cells
+    * (1×–1000×) instead.
     */
   val Headline: Seq[String] =
     LegacyHeadline ++ Seq("d_web_pipeline", "m_jpeg_pixels",
@@ -67,12 +73,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
     val queries = SparkEntry.queries
+    // Measurement window (r16): the same forced count+hash frame the
+    // scale artifact adopted in r15 — count() windows let the optimizer
+    // prune real work (d_keep_best's 1000× cell read 328.6 s under
+    // count() and 1782.4 s under the forced frame; t_quality_model's
+    // scoring projection collapses to a metadata count-star). The env
+    // toggle exists so the one-time count→forced bridge comparison is
+    // reproducible; the artifact records which window produced it.
+    val window = sys.env.getOrElse("GRAFT_BENCH_WINDOW", "forced")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (window == "count") { df.count(); () }
+      else { ScaleDemo.forcedFrame(df).head(); () }
     // JVM+Spark warmup on the smallest SF so steady-state throughput is
     // measured, not first-call codegen/classloading. Guarded per query:
     // one broken query must degrade that query's samples to the -1
     // sentinel below, not zero the whole bench artifact.
     Headline.foreach { n =>
-      try queries(n)(spark, "/root/testdata/sf0.001").count()
+      try run(queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case scala.util.control.NonFatal(_) => () }
     }
     // Timed passes are INTERLEAVED round-robin (pass 1 of every query,
@@ -138,7 +155,7 @@ object Bench {
         // a failed query must NOT record its (tiny) elapsed-to-failure
         // time as a plausible sample — report the -1 sentinel instead
         samples(qi) = samples(qi) :+ (
-          try { queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          try { run(queries(name)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 })
       }
       val (ps1, pt1) = statTicks()
@@ -201,7 +218,7 @@ object Bench {
     val stealPct =
       if (total1 > total0) f"${100.0 * (steal1 - steal0) / (total1 - total0)}%.2f"
       else "-1"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","legacy_total":$legacyTotal,"queries":$qs,"medians":$medians,"sf":"$sfDir","passes":$p,"pass_loads":"${passLoads.map(l => f"$l%.1f").mkString(",")}","pass_canary_sec":"${passCanaries.map(c => f"$c%.4f").mkString(",")}","pass_steal_pct":"${passSteals.map(s => f"$s%.2f").mkString(",")}","clean_passes":${cleanStealPasses.size},"clean_both_passes":${cleanBothPasses.size},"steal_gate_pct":$StealGatePct,"max_load":$maxLoad,"steal_gated":$stealGated,"load_gated":$loadGated,"min_pass":$minPass,"loadavg":"$loadAvg","cpus":$nCpu,"canary_sec":$canary,"steal_pct":$stealPct}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","window":"$window","legacy_total":$legacyTotal,"queries":$qs,"medians":$medians,"sf":"$sfDir","passes":$p,"pass_loads":"${passLoads.map(l => f"$l%.1f").mkString(",")}","pass_canary_sec":"${passCanaries.map(c => f"$c%.4f").mkString(",")}","pass_steal_pct":"${passSteals.map(s => f"$s%.2f").mkString(",")}","clean_passes":${cleanStealPasses.size},"clean_both_passes":${cleanBothPasses.size},"steal_gate_pct":$StealGatePct,"max_load":$maxLoad,"steal_gated":$stealGated,"load_gated":$loadGated,"min_pass":$minPass,"loadavg":"$loadAvg","cpus":$nCpu,"canary_sec":$canary,"steal_pct":$stealPct}"""
     spark.stop()
     // Driver-parseable channels, most robust first: a file in the repo
     // root, then bare stdout lines (raw via run/outputStrategy, printed

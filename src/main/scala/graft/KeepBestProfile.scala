@@ -27,7 +27,24 @@ import org.apache.spark.sql.functions._
   *   5. `keepbest`  — the registry entry verbatim (adds the quality
   *                    join + per-cluster argmax window).
   *
-  * Usage: SPARK_DRIVER_MEM=48g sbt "runMain graft.KeepBestProfile /tmp/graft_scale/x1000"
+  * Round 16 added the TAIL decomposition (`tail` arg skips stages 1–5):
+  * the r16 forced-window re-measurement showed the honest 1000× cell at
+  * 1372–1782 s where the count() window had read 328.6 s, and the r12
+  * profile's own `keepbest` stage was count-collapsed too (the audit's
+  * `Window:1` loss: count pruned the keeper aggregates, so the Window,
+  * the quality scan, and the text read never executed). Construction
+  * (pair gen + cluster fixpoint) is EAGER (Materialize/localCheckpoint),
+  * so the count-vs-forced delta lives entirely in the tail; these stages
+  * time the tail variants on ONE constructed frame to attribute it:
+  *
+  *   6. `tail_count`  — entry tail under the old count() window.
+  *   7. `tail_forced` — entry tail under the honest forced window.
+  *   8. `quality`     — the qualityCol scan alone, forced.
+  *   9. `tail_cheapq` — tail with quality := a trivial column, forced
+  *                      (splits the delta into quality-scan vs
+  *                      window/join/hash machinery).
+  *
+  * Usage: SPARK_DRIVER_MEM=48g sbt "runMain graft.KeepBestProfile /tmp/graft_scale/x1000 [tail]"
   */
 object KeepBestProfile {
   def main(args: Array[String]): Unit = {
@@ -49,22 +66,56 @@ object KeepBestProfile {
     }
 
     import graft.operators.Dedup
-    // stages 1+2 measure the persisted intermediates minhashLsh holds
-    // SIMULTANEOUSLY while verifying candidates — built once here, kept
-    // alive across both measurements exactly as the pipeline holds them
-    val sh = Dedup.shingles(docs).persist()
-    time("shingles") { sh.count() }
-    val bands = Dedup.bandedSignatures(sh)
-    time("bands") { bands.count() }
-    bands.unpersist(false)
-    sh.unpersist(false)
-    spark.catalog.clearCache()
-    // stage 3: the full pair pipeline (its own persists, released by
-    // its Materialize on completion)
-    var pairs: org.apache.spark.sql.DataFrame = null
-    time("pairs") { pairs = Dedup.minhashLsh(docs); pairs.count() }
-    time("clusters") { graft.api.DedupPipeline.clusters(pairs).count() }
-    time("keepbest") { SparkEntry.queries("d_keep_best")(spark, dir).count() }
+    val tailOnly = args.lift(1).contains("tail")
+    // `lsh` mode: stages 1–2 only (shingle persist + banded md5
+    // signatures) — splits a pair-generation slowdown into
+    // scan/shingle/md5 cost vs candidate-join/verify cost without
+    // paying for the full profile
+    if (args.lift(1).contains("lsh")) {
+      val sh = Dedup.shingles(docs).persist()
+      time("shingles") { sh.count() }
+      val bands = Dedup.bandedSignatures(sh)
+      time("bands") { bands.count() }
+      val bands64 = Dedup.bandedSignatures64(sh)
+      time("bands64") { bands64.count() }
+      spark.stop(); return
+    }
+    if (!tailOnly) {
+      // stages 1+2 measure the persisted intermediates minhashLsh holds
+      // SIMULTANEOUSLY while verifying candidates — built once here, kept
+      // alive across both measurements exactly as the pipeline holds them
+      val sh = Dedup.shingles(docs).persist()
+      time("shingles") { sh.count() }
+      val bands = Dedup.bandedSignatures(sh)
+      time("bands") { bands.count() }
+      bands.unpersist(false)
+      sh.unpersist(false)
+      spark.catalog.clearCache()
+      // stage 3: the full pair pipeline (its own persists, released by
+      // its Materialize on completion)
+      var pairs: org.apache.spark.sql.DataFrame = null
+      time("pairs") { pairs = Dedup.minhashLsh(docs); pairs.count() }
+      time("clusters") { graft.api.DedupPipeline.clusters(pairs).count() }
+      time("keepbest") { SparkEntry.queries("d_keep_best")(spark, dir).count() }
+      spark.catalog.clearCache()
+    }
+    // tail decomposition: construction (pair gen + fixpoint) is eager
+    // and checkpointed, so everything after `construct` times ONLY the
+    // quality join + window + keeper aggregate + orderBy + window frame
+    var cl: org.apache.spark.sql.DataFrame = null
+    time("construct") {
+      cl = graft.api.DedupPipeline.clusters(Dedup.minhashLsh(docs)); cl.count()
+    }
+    val quality = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityCol.as("quality"))
+    def tail(q: org.apache.spark.sql.DataFrame) =
+      Dedup.keepBest(cl, q).orderBy("cluster_id")
+    time("tail_count") { tail(quality).count() }
+    time("tail_forced") { ScaleDemo.forcedFrame(tail(quality)).head(); 1L }
+    time("quality") { ScaleDemo.forcedFrame(quality).head(); 1L }
+    val cheapq = docs.select(col("doc_id"),
+      (col("doc_id") % 1000).cast("double").as("quality"))
+    time("tail_cheapq") { ScaleDemo.forcedFrame(tail(cheapq)).head(); 1L }
     spark.stop()
   }
 }

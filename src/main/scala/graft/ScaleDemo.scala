@@ -146,11 +146,10 @@ object ScaleDemo {
   val CustomCells: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_keep_best_fast" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      graft.api.DedupPipeline.dedupKeepBest(
+      graft.api.DedupPipeline.dedupKeepBestBy(
         docs,
         graft.operators.Dedup.minhashLsh64(docs.select(col("doc_id"), col("text"))),
-        docs.select(col("doc_id"),
-          graft.operators.TextAnalysis.qualityCol.as("quality")))
+        docs, graft.operators.TextAnalysis.qualityCol)
     }),
     // the full web composite on its PRODUCTION xxhash64 LSH path
     // (prepareWeb's default; the registry entry pins oracleHash=true
@@ -212,6 +211,28 @@ object ScaleDemo {
         .filter(length(col("text")) >= 49)
         .select(expr("substring(text, 10, 120)").as("text"))
       graft.api.TrainingData.prepareWeb(docs, decontaminateEval = Some(ev))
+        .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
+        .toDF("stage_idx", "stage", "n_docs")
+    }),
+    // ALL THREE ARMS composed (the d_web_pipeline_full gate entry's
+    // production-hash twin): model + substr + decontam on the natural
+    // corpus with the corpus-scaled excerpt eval set — the cell bounds
+    // what the 15-stage production shape costs relative to the
+    // single-arm cells (the substr arm runs as a pure-overhead pass on
+    // the permutation replicas, like d_web_pipeline_substr_fast)
+    "d_web_pipeline_full_fast" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val ev = graft.operators.TextAnalysis.warcBlobs(
+          docs.filter(col("doc_id") % 20 === 5))
+        .flatMap { case (_, blob) =>
+          graft.functions.WarcRecords.parse(blob).getOrElse(Seq.empty)
+            .map(graft.operators.TextAnalysis.warcPageText)
+        }.toDF("doc_id", "url", "text")
+        .filter(length(col("text")) >= 49)
+        .select(expr("substring(text, 10, 120)").as("text"))
+      graft.api.TrainingData.prepareWeb(docs, modelQuality = true,
+          exactSubstr = true, decontaminateEval = Some(ev))
         .stages.zipWithIndex.map { case ((st, n), i) => (i, st, n) }
         .toDF("stage_idx", "stage", "n_docs")
     }))

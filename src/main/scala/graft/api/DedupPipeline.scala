@@ -69,19 +69,56 @@ object DedupPipeline {
     * parity with the md5 oracle path is pinned by DedupKeepBest64Spec.
     */
   def dedupKeepBest(corpus: DataFrame, pairs: DataFrame, quality: DataFrame,
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id"): DataFrame =
+    dedupKeepBestOn(corpus, clusters(pairs), quality, idCol)
+
+  /** [[dedupKeepBest]] with the cluster frame precomputed — the entry
+    * point for callers that reuse `cl` (e.g. to member-restrict the
+    * quality scan, [[dedupKeepBestBy]]).
+    */
+  def dedupKeepBestOn(corpus: DataFrame, cl: DataFrame, quality: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
     // LEFT join + nulls-LAST ordering: a clustered doc missing a quality
     // row must still enter the per-cluster ranking (as the worst member,
     // never silently exempt from dedup) — an inner join would drop it
     // from the window and it could never lose to its duplicates
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("quality").desc_nulls_last, col(idCol))
-    val losers = clusters(pairs)
+    val losers = cl
       .withColumnRenamed("doc_id", idCol)
       .join(quality, Seq(idCol), "left")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") > 1)
       .select(col(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware dedup where the quality score is an EXPRESSION over
+    * `source` rather than a precomputed frame: only near-dup cluster
+    * MEMBERS ever enter the per-cluster ranking, so when the member-id
+    * set fits the measured broadcast bound the expensive per-doc score
+    * is computed for members only (a broadcast semi join BELOW the
+    * score projection — handing a pre-projected frame to
+    * [[dedupKeepBest]] cannot do this, because no optimizer rule defers
+    * a projection through a later join). Past the bound it falls back
+    * to the corpus-wide scan, which stays map-side. At 100 TB the
+    * member slice is typically ~10% of the corpus, so this is ~10× less
+    * quality compute on the dedup path.
+    */
+  def dedupKeepBestBy(corpus: DataFrame, pairs: DataFrame, source: DataFrame,
+                      qualityExpr: org.apache.spark.sql.Column,
+                      idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(pairs)
+    // cl is localCheckpointed by construction — the count is a bounded
+    // broadcast decision (16M rows ≈ the 8 GiB-driver-safe hashed
+    // relation, the Dedup.contaminatedPositions house bound), not a
+    // recompute
+    val restricted =
+      if (cl.count() <= 16L * 1000 * 1000)
+        source.join(broadcast(cl.select(col("doc_id").as(idCol))),
+          Seq(idCol), "left_semi")
+      else source
+    dedupKeepBestOn(corpus, cl,
+      restricted.select(col(idCol), qualityExpr.as("quality")), idCol)
   }
 }

@@ -367,9 +367,15 @@ object TrainingData {
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       val pairs = lshPairs.select(col("doc_a"), col("doc_b"))
         .union(probePairs).distinct()
-      val quality = exact.select(col("doc_id"), TextAnalysis.qualityCol.as("quality"))
+      // quality rides the corpus as a computed column (r16: the old
+      // exact.join(quality, "doc_id") was a corpus⋈corpus SortMergeJoin
+      // — a full survivor-relation shuffle on BOTH sides just to attach
+      // a column that is a deterministic function of text); the keeper
+      // ranking computes the same expression member-restricted
+      // (dedupKeepBestBy: broadcast semi join below the projection)
+      val withQ = exact.withColumn("quality", TextAnalysis.qualityCol)
       val deduped = stage("neardup_keepbest",
-        DedupPipeline.dedupKeepBest(exact.join(quality, "doc_id"), pairs, quality))
+        DedupPipeline.dedupKeepBestBy(withQ, pairs, exact, TextAnalysis.qualityCol))
 
       // exact-substring coverage arm — d_substring_dedup deployed as a
       // filter stage: per near-dup SURVIVOR, the duplicated-span

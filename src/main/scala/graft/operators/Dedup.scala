@@ -1008,13 +1008,24 @@ object Dedup extends QueryModule {
     // quality ties. Window partitions are CLUSTERS (bounded groups), so
     // the row_number never sorts the corpus — the same per-group shape
     // as q_window_topn_per_group, riding the banded-LSH pair generation
-    // and min-label propagation unchanged.
+    // and min-label propagation unchanged. The quality scan is
+    // MEMBER-RESTRICTED (r16): only cluster members enter the keeper
+    // ranking, so the qualityCol pass runs on the ~10% member slice
+    // behind a bounded broadcast semi join (the r16 tail profile put
+    // the corpus-wide scan at 128 s of the honest 1000× cell; the
+    // dedupKeepBestBy scaladoc explains why the semi join must sit
+    // BELOW the score projection). Fallback past the 16M-member bound
+    // is the corpus-wide map-side scan.
     QueryDef(
       "d_keep_best",
       (s, dir) => {
         val docs = Tables(s, dir).documents
-        keepBest(graft.api.DedupPipeline.clusters(minhashLsh(docs)),
-          docs.select(col("doc_id"), TextAnalysis.qualityCol.as("quality")))
+        val cl = graft.api.DedupPipeline.clusters(minhashLsh(docs))
+        val src =
+          if (cl.count() <= 16L * 1000 * 1000)
+            docs.join(broadcast(cl.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+          else docs
+        keepBest(cl, src.select(col("doc_id"), TextAnalysis.qualityCol.as("quality")))
           .orderBy("cluster_id")
       },
       Some {
