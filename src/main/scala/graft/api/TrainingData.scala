@@ -255,14 +255,30 @@ object TrainingData {
     // persist the count already paid for, and checkpoint blocks are
     // GC-released by the context cleaner when the stage frame drops.
     var lastCount = 0L
+    // profiling hook (optimization rounds): wall-clock per stage to
+    // stdout when spark.graft.profile.stages=true — measurement only,
+    // no effect on what any stage computes
+    val profileStages = spark.conf.getOption("spark.graft.profile.stages")
+      .exists(_.toBoolean)
+    var lastStageEnd = System.nanoTime()
     def stage(name: String, df: DataFrame): DataFrame = {
       val p = df.localCheckpoint(true)
       lastCount = p.count()
       stages += name -> lastCount
+      if (profileStages) {
+        val now = System.nanoTime()
+        println(f"GRAFT_WEB_STAGE $name%-18s ${(now - lastStageEnd) / 1e9}%8.2f s  rows=$lastCount")
+        lastStageEnd = now
+      }
       p
     }
     locally {
       stages += "raw" -> docs.count()
+      if (profileStages) {
+        val now = System.nanoTime()
+        println(f"GRAFT_WEB_STAGE raw                ${(now - lastStageEnd) / 1e9}%8.2f s")
+        lastStageEnd = now
+      }
 
       // fetch: pack the corpus into WARC blobs, parse the records back,
       // strip HTML boilerplate — the p_warc_extract chain, kept here so
@@ -516,6 +532,8 @@ object TrainingData {
         .drop("pack_bucket", "train_tokens", "pack_tokens")
       val out = packed.localCheckpoint()
       stages += "final" -> out.count()
+      if (profileStages)
+        println(f"GRAFT_WEB_STAGE final              ${(System.nanoTime() - lastStageEnd) / 1e9}%8.2f s")
       PreparedWeb(out, pairs, stages.result())
     }
   }
