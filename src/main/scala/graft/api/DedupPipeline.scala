@@ -30,19 +30,25 @@ object DedupPipeline {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // propagate: my new label = min(my label, labels of my neighbors)
+      // propagate: my new label = min(my label, labels of my neighbors).
+      // The convergence flag rides the SAME pass as a per-row `changed`
+      // column (labels only ever decrease, so changed ⇔ new < old):
+      // the old shape re-joined next against labels afterwards — one
+      // extra join + job per iteration for a fact the propagation
+      // already knows row-by-row. The flag column is dropped before
+      // return, so the result frame is unchanged.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "b"), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("label")).as("n_label"))
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
-                least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+                least(col("label"), coalesce(col("n_label"), col("label"))).as("label"),
+                (coalesce(col("n_label"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.withColumnRenamed("label", "new_label")
-        .join(labels, Seq("doc_id"))
-        .filter(col("new_label") =!= col("label")).isEmpty
-      labels = next
+      // scan of the just-materialized checkpoint — no join, no recompute
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       i += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))

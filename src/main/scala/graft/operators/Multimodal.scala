@@ -16,6 +16,15 @@ import org.apache.spark.sql.types._
   * the Spark-side contract (schema, batching, partitioning, row
   * alignment) is real and tested. Swap `decodeBatch` for a real decoder
   * (JNI/ONNX/etc.) without touching the plumbing.
+  *
+  * Parallelism (r16): every synthetic-table builder widens its narrow
+  * base (doc_id + a few ints) with Par.widen before the `.rdd`
+  * conversion — the gate corpus arrives as ONE parquet split (single
+  * row group), which would otherwise pin the per-row encode AND the
+  * downstream decode (which inherits the builder's partitioning) to a
+  * single core; measured 2.67 → 1.77 s on m_jpeg_pixels at sf0.1.
+  * Par.widen is a no-op when the scan is already at cluster
+  * parallelism, so a real sharded media table pays no extra shuffle.
   */
 object Multimodal extends QueryModule {
 
@@ -108,7 +117,7 @@ object Multimodal extends QueryModule {
         (col("doc_id") % 3 + 1).cast("int")).as("format"),
       (col("doc_id") % 640 + 32).cast("int").as("width"),
       (col("doc_id") % 480 + 32).cast("int").as("height"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.ImageHeaders.syntheticHeader(
             r.getString(1), r.getInt(2), r.getInt(3)),
@@ -164,7 +173,7 @@ object Multimodal extends QueryModule {
       element_at(array(lit(8000), lit(16000), lit(44100)),
         (col("doc_id") % 3 + 1).cast("int")).as("sample_rate"),
       (col("doc_id") % 48000 + 1000).as("n_samples"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.AudioHeaders.syntheticHeader(
             r.getInt(1), r.getInt(2), bits = 16, nSamples = r.getLong(3)),
@@ -223,7 +232,7 @@ object Multimodal extends QueryModule {
       element_at(array(lit(600), lit(1000), lit(90000)),
         (col("doc_id") % 3 + 1).cast("int")).as("timescale"),
       (col("doc_id") % 3600 + 1).as("dur_s"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       val ticks = r.getLong(3) * r.getInt(2)
       Row(r.getLong(0),
           graft.functions.VideoHeaders.syntheticHeader(r.getString(1), r.getInt(2), ticks),
@@ -319,7 +328,7 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 256).cast("int").as("r"),
       (col("doc_id") * 7 % 256).cast("int").as("g"),
       (col("doc_id") * 13 % 256).cast("int").as("b"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.ImageHeaders.syntheticBmp(
             r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)),
@@ -371,7 +380,7 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 16 + 4).cast("int").as("w"),
       (col("doc_id") % 12 + 4).cast("int").as("h"),
       (col("doc_id") % 997).cast("int").as("seed"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.TiffPixels.syntheticTiff(
             r.getInt(1), r.getInt(2), r.getInt(3), bigEndian = r.getLong(0) % 2 == 1),
@@ -443,7 +452,7 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 16 + 4).cast("int").as("w"),
       (col("doc_id") % 12 + 4).cast("int").as("h"),
       (col("doc_id") % 997).cast("int").as("seed"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.PngPixels.syntheticPng(r.getInt(1), r.getInt(2), r.getInt(3)),
           Row(r.getInt(1), r.getInt(2), r.getInt(3)))
@@ -469,7 +478,7 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 16 + 4).cast("int").as("w"),
       (col("doc_id") % 12 + 4).cast("int").as("h"),
       (col("doc_id") % 997).cast("int").as("seed"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.GifPixels.syntheticGif(r.getInt(1), r.getInt(2), r.getInt(3)),
           Row(r.getInt(1), r.getInt(2), r.getInt(3)))
@@ -515,12 +524,14 @@ object Multimodal extends QueryModule {
     */
   def jpegTable(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
+    // (widening happens at the .rdd conversion below, like every
+    // builder in this file — see the module note on Par.widen)
     val base = t.documents.select(
       col("doc_id"),
       (col("doc_id") % 16 + 9).cast("int").as("w"),
       (col("doc_id") % 12 + 9).cast("int").as("h"),
       (col("doc_id") % 997).cast("int").as("seed"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       // every third payload is PROGRESSIVE (the JDK writer's multi-scan
       // successive-approximation script), so the driver's hash gate and
       // the runtime JDK cross-check exercise both entropy paths
@@ -564,7 +575,7 @@ object Multimodal extends QueryModule {
       col("doc_id"),
       (col("doc_id") % 16 + 9).cast("int").as("w"),
       (col("doc_id") % 12 + 9).cast("int").as("h"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       val d = r.getLong(0)
       val e = graft.functions.ExifMeta.Exif(
         if (d % 2 == 0) "MM" else "II",
@@ -624,7 +635,7 @@ object Multimodal extends QueryModule {
     */
   def mp3Table(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val rdd = t.documents.select(col("doc_id")).rdd.map { r =>
+    val rdd = Par.widen(t.documents.select(col("doc_id")), col("doc_id")).rdd.map { r =>
       val d = r.getLong(0)
       Row(d, graft.functions.Mp3Frames.synthetic(
         frames = (d % 20 + 5).toInt,
@@ -652,7 +663,7 @@ object Multimodal extends QueryModule {
     */
   def id3Table(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val rdd = t.documents.select(col("doc_id")).rdd.map { r =>
+    val rdd = Par.widen(t.documents.select(col("doc_id")), col("doc_id")).rdd.map { r =>
       val d = r.getLong(0)
       val tag = graft.functions.Mp3Frames.syntheticId3(
         graft.functions.Mp3Frames.Id3Tags(
@@ -733,7 +744,7 @@ object Multimodal extends QueryModule {
     */
   def flacTable(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val rdd = t.documents.select(col("doc_id")).rdd
+    val rdd = Par.widen(t.documents.select(col("doc_id")), col("doc_id")).rdd
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
         val d = r.getLong(0)
         Row(d, graft.functions.FlacHeaders.synthetic(
@@ -792,7 +803,7 @@ object Multimodal extends QueryModule {
     */
   def oggTable(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val rdd = t.documents.select(col("doc_id")).rdd
+    val rdd = Par.widen(t.documents.select(col("doc_id")), col("doc_id")).rdd
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
         val d = r.getLong(0)
         Row(d, graft.functions.OggHeaders.synthetic(
@@ -962,7 +973,7 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 16 + 4).cast("int").as("w"),
       (col("doc_id") % 12 + 4).cast("int").as("h"),
       (col("doc_id") % 997).cast("int").as("seed"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.WebpPixels.syntheticWebp(r.getInt(1), r.getInt(2), r.getInt(3)),
           Row(r.getInt(1), r.getInt(2), r.getInt(3)))
@@ -1073,7 +1084,7 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 2 + 1).cast("int").as("channels"),
       (col("doc_id") % 2000 + 100).cast("int").as("frames"),
       (col("doc_id") % 30000 + 1).cast("int").as("amp"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.AudioHeaders.syntheticSquareWav(
             r.getInt(1), 16000, r.getInt(3).toShort, r.getInt(2)),
@@ -1132,7 +1143,7 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 6 + 2).cast("int").as("h"),
       (col("doc_id") % 12 + 2).cast("int").as("frames"),
       (col("doc_id") % 200).cast("int").as("r"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.AviFrames.synthetic(
             r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), 10, 20),
@@ -1201,7 +1212,7 @@ object Multimodal extends QueryModule {
       (col("doc_id") % 10 + 9).cast("int").as("h"),
       (col("doc_id") % 5 + 2).cast("int").as("frames"),
       (col("doc_id") % 997).cast("int").as("seed"))
-    val rdd = base.rdd.map { r =>
+    val rdd = Par.widen(base, col("doc_id")).rdd.map { r =>
       Row(r.getLong(0),
           graft.functions.AviFrames.syntheticMjpeg(
             r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
@@ -1741,7 +1752,7 @@ object Multimodal extends QueryModule {
     */
   def phashImageTable(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val rdd = t.documents.select(col("doc_id")).rdd
+    val rdd = Par.widen(t.documents.select(col("doc_id")), col("doc_id")).rdd
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
         val id = r.getLong(0)
         val variant = (id % 10).toInt
@@ -1800,7 +1811,7 @@ object Multimodal extends QueryModule {
     */
   def audioFpTable(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val rdd = t.documents.select(col("doc_id")).rdd
+    val rdd = Par.widen(t.documents.select(col("doc_id")), col("doc_id")).rdd
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
         val id = r.getLong(0)
         val scene = id / 10

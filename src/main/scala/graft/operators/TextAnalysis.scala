@@ -1017,12 +1017,20 @@ object TextAnalysis extends QueryModule {
     * and the oracle twins.
     */
   private[graft] def qualityModelFeatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+    // r16: ONE tokenize pass, widened. The old shape ran the
+    // explode+split twice (bucket counts AND per-doc token totals were
+    // each their own corpus scan) and, on the single-split gate corpus,
+    // single-core; nt ≡ Σ_b c (every token lands in exactly one md5
+    // bucket), so the totals now derive from the already-aggregated
+    // counts frame — a corpus-pass saved at any scale. Par.widen is a
+    // no-op on an already-wide input.
+    val toks = Par.widen(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
     val counts = toks
       .select(col("doc_id"), expr("substring(md5(term), 1, 3)").as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    val nTok = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val nTok = counts.groupBy("doc_id").agg(sum(col("c")).as("nt"))
     counts.join(nTok, "doc_id")
       .select(col("doc_id"), col("b"),
         (col("c").cast("double") / col("nt").cast("double")).as("x"))
