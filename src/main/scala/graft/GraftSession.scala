@@ -94,6 +94,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val customer: DataFrame   = table("customer")
   lazy val supplier: DataFrame   = table("supplier")
   lazy val part: DataFrame       = table("part")
+  // NOT widened here (r16, measured): a blanket Par.widen on the fact
+  // tables helps pure scan→aggregate shapes (q1 1.21 → 0.66 s) but
+  // REGRESSES broadcast-join probes by more (q3 0.80 → 1.13, q5
+  // 0.79 → 1.17 s at sf0.1) — the round-robin exchange costs more
+  // than the parallelism buys when the scan side streams through
+  // broadcast joins. Scan-heavy aggregate entries widen individually
+  // at their own filter output instead (q1, q6).
   lazy val orders: DataFrame     = table("orders")
   lazy val lineitem: DataFrame   = table("lineitem")
   /** events.ts normalized to TimestampType whatever parquet contract the

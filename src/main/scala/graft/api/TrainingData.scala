@@ -65,10 +65,18 @@ object TrainingData {
     * sizes — bounded by max document length in words, never corpus
     * size. 0 (no probes) on an empty frame.
     */
-  private[graft] def survivorProbeThreshold(texts: DataFrame, n: Long): Int = {
+  private[graft] def survivorProbeThreshold(texts: DataFrame, n: Long): Int =
+    survivorProbeThresholdOn(graft.operators.Dedup.shingles(texts), n)
+
+  /** [[survivorProbeThreshold]] over an existing (doc_id, sh) shingle
+    * frame — prepareWeb shares ONE persisted shingle frame between this
+    * derivation and the LSH arm (r16: the derivation was its own full
+    * corpus shingle pass).
+    */
+  private[graft] def survivorProbeThresholdOn(shingled: DataFrame, n: Long): Int = {
     val need = (n + 9L) / 10L
     val wCum = Window.orderBy("nsh")
-    val thrRow = graft.operators.Dedup.shingles(texts)
+    val thrRow = shingled
       .select(size(col("sh")).cast("bigint").as("nsh"))
       .groupBy("nsh").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(wCum))
@@ -370,19 +378,27 @@ object TrainingData {
       // Both arms are exact-gram verified, so the union is hash-path
       // independent (identical under md5 and xxhash64 LSH signatures).
       val exTexts = exact.select(col("doc_id"), col("text"))
+      // ONE persisted shingle frame feeds both the probe-threshold
+      // derivation and the LSH arm (r16): each previously ran its own
+      // full corpus shingle pass — the threshold action below builds
+      // the cache, the signature/verify reads reuse it, and the frame
+      // is released as soon as the pair list is materialized. The
+      // containment probe keeps its own deliberately-UNCACHED streaming
+      // passes (the measured 1000× memory discipline documented in
+      // containmentProbePairs).
+      val exSh = graft.operators.Dedup.shingles(exTexts).persist()
       val probeThr: Int = spark.conf.getOption("spark.graft.probe.maxShingles")
         .map(_.toInt)
         .orElse(if (probeMaxShingles > 0) Some(probeMaxShingles) else None)
-        .getOrElse(survivorProbeThreshold(exTexts, lastCount))
-      val lshPairs =
-        if (oracleHash) graft.operators.Dedup.minhashLsh(exact.select(col("doc_id"), col("text")))
-        else graft.operators.Dedup.minhashLsh64(exact.select(col("doc_id"), col("text")))
+        .getOrElse(survivorProbeThresholdOn(exSh, lastCount))
+      val lshPairs = graft.operators.Dedup.minhashLshOn(exSh, oracleHash)
       val probePairs = graft.operators.Dedup.containmentProbePairs(
           exTexts, maxShingles = probeThr)
         .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       val pairs = lshPairs.select(col("doc_a"), col("doc_b"))
         .union(probePairs).distinct()
+      exSh.unpersist(false)
       // quality rides the corpus as a computed column (r16: the old
       // exact.join(quality, "doc_id") was a corpus⋈corpus SortMergeJoin
       // — a full survivor-relation shuffle on BOTH sides just to attach

@@ -229,6 +229,19 @@ object Dedup extends QueryModule {
     materialized(verified, bands, sh)
   }
 
+  /** [[minhashLsh]] / [[minhashLsh64]] over a CALLER-OWNED persisted
+    * (doc_id, sh) shingle frame — for pipelines that already hold one
+    * (prepareWeb derives its probe threshold from the same frame, so
+    * sharing saves a full corpus shingle pass). The caller persists
+    * and releases `sh`; only the banded intermediate is released here.
+    */
+  def minhashLshOn(sh: DataFrame, oracleHash: Boolean,
+                   maxBucket: Int = MaxBucket): DataFrame = {
+    val bands = if (oracleHash) bandedSignatures(sh) else bandedSignatures64(sh)
+    val verified = verify(candidatesFrom(bands, maxBucket), sh)
+    materialized(verified, bands)
+  }
+
   /** Production-hash variant of `minhashLsh` (xxhash64 signatures, same
     * banding, same bucket cap, same exact-Jaccard verification). The
     * verification criterion is identical — only which candidate pairs
@@ -493,6 +506,12 @@ object Dedup extends QueryModule {
     // plausible pair list it derives from
     val hotB = hotPairs.select("doc_b").distinct().localCheckpoint(true)
     val hotBBounded = hotB.count() <= 4L * 1000 * 1000
+    // NOTE (r16): tried reading this slice from the `relevant`
+    // checkpoint instead of re-deriving the explode — measured 3.3 →
+    // 10.4 s at sf0.1 and reverted: the doc_id semi join below pushes
+    // THROUGH the lazy explode to the docs scan, so this "third pass"
+    // only ever shingles the (tiny) hotB doc set, while a checkpoint
+    // read scans every probe-relevant gram of every doc.
     val bGramsHot = exploded.select(col("doc_id").as("doc_b"), col("g"))
       .join(if (hotBBounded) broadcast(hotB) else hotB, Seq("doc_b"), "left_semi")
     val hotShared = hotPairs.select("doc_a", "doc_b")

@@ -31,7 +31,11 @@ object Relational extends QueryModule {
       "q1_pricing_summary",
       (s, dir) => {
         val l = Tables(s, dir).lineitem
-        l.filter(col("l_shipdate") <= lit("1998-09-02"))
+        // widen the filtered scan before the wide aggregate: the gate
+        // file is one unsplittable row group, so the partial aggregation
+        // (the query's whole cost) would run single-core; measured
+        // 1.21 -> 0.66 s at sf0.1, no-op on a properly split table
+        Par.widen(l.filter(col("l_shipdate") <= lit("1998-09-02")))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             moneySum(col("l_quantity")).as("sum_qty"),
