@@ -111,7 +111,11 @@ object Maintenance extends QueryModule {
     QueryDef(
       "q_table_stats",
       (s, dir) => {
-        val l = Tables(s, dir).lineitem
+        // r16: widened (keyless, q1's pattern) — the multi-countDistinct
+        // plans as an Expand that multiplies every row 5× BEFORE the
+        // first exchange, all single-core on the unsplittable gate file;
+        // column pruning still reaches the scan through the repartition
+        val l = Par.widen(Tables(s, dir).lineitem)
         def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
         // ONE aggregate over one scan (the multi-countDistinct plans as
         // a single Expand-fed hash aggregate, not four jobs)

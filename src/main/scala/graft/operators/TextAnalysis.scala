@@ -688,11 +688,26 @@ object TextAnalysis extends QueryModule {
     * corpus. The oracle entry stays on the exact path.
     */
   private[graft] def ccnetBuckets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // r16 shuffle-shape fix: the surprisal join previously hash-
+    // partitioned `toks` — the CORPUS, exploded to one row per token —
+    // by term, the biggest exchange in the whole entry (and at 100 TB a
+    // corpus-sized shuffle for a lookup against a vocabulary-sized
+    // table). The unigram table now materializes once (it also feeds
+    // the n_total aggregate, which previously re-ran its whole
+    // aggregation subtree) and, under the house 16M-row broadcast
+    // bound, ships to the scan as a broadcast hash join: the token
+    // stream never shuffles, and the per-doc sum's map-side partial
+    // aggregation sends only (doc_id, partial) onward. Past the bound
+    // the original shuffle join is the fallback. The tokenize pass is
+    // widened (single-split gate corpus).
+    val toks = Par.widen(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val freqBounded = freq.count() <= 16L * 1000 * 1000
     val totalDf = freq.agg(sum(col("c")).as("n_total"))
-    val scored = toks.join(freq, "term")
+    val scored = toks.join(if (freqBounded) broadcast(freq) else freq, "term")
       .crossJoin(broadcast(totalDf))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
