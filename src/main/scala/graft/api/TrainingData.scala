@@ -321,13 +321,19 @@ object TrainingData {
       val urlDeduped = stage("url_dedup",
         withCanon.join(urlKeepers, Seq("doc_id"), "left_semi"))
 
-      // published-filter battery, one attrition stage per filter
-      val texts = urlDeduped.select(col("doc_id"), col("text"))
-      val gopherKeep = TextAnalysis.gopherRules(texts)
-        .filter(TextAnalysis.gopherWeakPassCond)
-        .select("doc_id")
+      // published-filter battery, one attrition stage per filter.
+      // Gopher filters in ONE pass (r16): the battery is a pure
+      // projection, so the pass condition rides the stage frame
+      // directly — the old keep-id set + semi join re-scanned the
+      // urlDeduped checkpoint a second time per stage for identical
+      // rows. (C4/FineWeb keep the join shape: their metrics run over
+      // a page-TRANSFORMED text, so the keep decision must map back to
+      // the original rows anyway.)
       val gophered = stage("filter_gopher",
-        urlDeduped.join(gopherKeep, Seq("doc_id"), "left_semi"))
+        TextAnalysis.gopherRules(urlDeduped, carry = Seq("url", "canon_url"),
+            keepText = true)
+          .filter(TextAnalysis.gopherWeakPassCond)
+          .select(col("doc_id"), col("url"), col("text"), col("canon_url")))
 
       // Gopher's OTHER half — the A1.2 repetition battery on the same
       // extracted text (word-n-gram rules; the line/paragraph rules

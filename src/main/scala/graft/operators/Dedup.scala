@@ -496,34 +496,46 @@ object Dedup extends QueryModule {
     // the restriction falls back to a shuffle semi join. For the
     // common fully-uncapped probe, c_hot is null and c_capped
     // already IS |A∩B|.
-    val hotA = probeSh
-      .select(col("doc_id").as("doc_a"), explode(col("sh")).as("g"))
-      .join(probes, Seq("doc_a", "g"), "left_anti")
     val hotPairs = plausible.filter(col("a_capped") < col("nsh"))
-    // checkpointed before the count so the distinct aggregate runs
-    // once (the count for the broadcast decision + the semi-join
-    // input would otherwise each execute it); bounded by the
-    // plausible pair list it derives from
-    val hotB = hotPairs.select("doc_b").distinct().localCheckpoint(true)
-    val hotBBounded = hotB.count() <= 4L * 1000 * 1000
-    // NOTE (r16): tried reading this slice from the `relevant`
-    // checkpoint instead of re-deriving the explode — measured 3.3 →
-    // 10.4 s at sf0.1 and reverted: the doc_id semi join below pushes
-    // THROUGH the lazy explode to the docs scan, so this "third pass"
-    // only ever shingles the (tiny) hotB doc set, while a checkpoint
-    // read scans every probe-relevant gram of every doc.
-    val bGramsHot = exploded.select(col("doc_id").as("doc_b"), col("g"))
-      .join(if (hotBBounded) broadcast(hotB) else hotB, Seq("doc_b"), "left_semi")
-    val hotShared = hotPairs.select("doc_a", "doc_b")
-      .join(hotA, "doc_a")
-      .join(bGramsHot, Seq("doc_b", "g"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_hot"))
-    val out = plausible
-      .join(hotShared, Seq("doc_a", "doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"),
-        round((col("c_capped") + coalesce(col("c_hot"), lit(0L))).cast("double")
-          / col("nsh"), 4).as("containment"))
-      .filter(col("containment") >= tau)
+    // r16: on a healthy corpus NO probe loses grams to the cap, and
+    // the whole residual chain (hotB checkpoint + bounded count + the
+    // three-way membership join) previously executed anyway just to
+    // produce an empty left side. One cheap scan of the plausible
+    // CHECKPOINT decides; when some probe IS capped the chain below is
+    // exactly the old one.
+    val out = if (hotPairs.isEmpty) {
+      plausible.select(col("doc_a"), col("doc_b"),
+          round(col("c_capped").cast("double") / col("nsh"), 4).as("containment"))
+        .filter(col("containment") >= tau)
+    } else {
+      val hotA = probeSh
+        .select(col("doc_id").as("doc_a"), explode(col("sh")).as("g"))
+        .join(probes, Seq("doc_a", "g"), "left_anti")
+      // checkpointed before the count so the distinct aggregate runs
+      // once (the count for the broadcast decision + the semi-join
+      // input would otherwise each execute it); bounded by the
+      // plausible pair list it derives from
+      val hotB = hotPairs.select("doc_b").distinct().localCheckpoint(true)
+      val hotBBounded = hotB.count() <= 4L * 1000 * 1000
+      // NOTE (r16): tried reading this slice from the `relevant`
+      // checkpoint instead of re-deriving the explode — measured 3.3 →
+      // 10.4 s at sf0.1 and reverted: the doc_id semi join below pushes
+      // THROUGH the lazy explode to the docs scan, so this "third pass"
+      // only ever shingles the (tiny) hotB doc set, while a checkpoint
+      // read scans every probe-relevant gram of every doc.
+      val bGramsHot = exploded.select(col("doc_id").as("doc_b"), col("g"))
+        .join(if (hotBBounded) broadcast(hotB) else hotB, Seq("doc_b"), "left_semi")
+      val hotShared = hotPairs.select("doc_a", "doc_b")
+        .join(hotA, "doc_a")
+        .join(bGramsHot, Seq("doc_b", "g"), "left_semi")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_hot"))
+      plausible
+        .join(hotShared, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          round((col("c_capped") + coalesce(col("c_hot"), lit(0L))).cast("double")
+            / col("nsh"), 4).as("containment"))
+        .filter(col("containment") >= tau)
+    }
     materialized(out, probeSh)
     } finally {
       prevInit match {

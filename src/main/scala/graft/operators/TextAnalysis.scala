@@ -85,14 +85,20 @@ object TextAnalysis extends QueryModule {
     * convention (single-space split) used by every t_* entry.
     */
   private[graft] def gopherRules(docs: org.apache.spark.sql.DataFrame,
-                                 carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+                                 carry: Seq[String] = Nil,
+                                 keepText: Boolean = false): org.apache.spark.sql.DataFrame = {
     // `carry` columns pass through untouched (default none, so every
     // existing entry's frame is unchanged) — a STREAMING caller cannot
     // re-join the battery output to its own other projections without
-    // a stream-stream join, so it threads its columns through instead
+    // a stream-stream join, so it threads its columns through instead.
+    // `keepText` additionally passes the text column through (r16:
+    // prepareWeb's gopher stage filters its corpus frame in ONE pass —
+    // battery metrics as a projection, pass condition as a filter —
+    // instead of deriving a keep-id set and re-scanning the stage
+    // checkpoint for a semi join).
     val gopherStop = "('the','be','to','of','and','that','have','with')"
-    val carryCols = carry.map(col)
-    docs.select(col("doc_id") +: col("text") +: carryCols: _*)
+    val carryCols = carry.map(col) ++ (if (keepText) Seq(col("text")) else Nil)
+    docs.select(col("doc_id") +: col("text") +: carry.map(col): _*)
       .select(Seq(
         col("doc_id"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
