@@ -18,8 +18,56 @@ object DedupPipeline {
   /** pairs(doc_a, doc_b) → (doc_id, cluster_id) where cluster_id is the
     * smallest doc_id reachable through the pair graph. Docs not in any
     * pair are omitted (they are their own cluster).
+    *
+    * r16 small-graph fast path: the pair list every caller hands in is
+    * an already-materialized near-dup pair frame that is tiny relative
+    * to its corpus (pairs are the dedup family's REDUCTION; the house
+    * pipelines checkpoint it before clustering). Under the 4M-edge
+    * bound — the same explicit bounded-collect discipline as the
+    * k-means centroid pull and the quality-model weight pull, ~64 MB
+    * of longs against the 8 GiB driver — an exact driver union-find
+    * computes the components in one collect instead of ~3 propagation
+    * iterations × (join + aggregate + checkpoint + convergence scan)
+    * distributed jobs. The result is the EXACT transitive closure
+    * (identical to the recursive-CTE oracle; the iterative path is
+    * equivalent only once converged). Past the bound, the distributed
+    * min-label propagation below is the 100 TB path, unchanged.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgePairs = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+    // the count is a scan of the caller's materialized pair list — a
+    // bounded-decision action, not a recompute
+    if (edgePairs.count() <= 4L * 1000 * 1000) {
+      val es = edgePairs.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the representative is the smallest id
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = parent.keySet().iterator()
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (out.hasNext) { val k = out.next(); rows += ((k, find(k))) }
+      return rows.toSeq.toDF("doc_id", "cluster_id")
+    }
+    clustersDistributed(pairs, maxIters)
+  }
+
+  /** The distributed min-label propagation — the past-the-bound path. */
+  private def clustersDistributed(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()

@@ -308,7 +308,8 @@ object TrainingData {
       // URL dedup: canonicalize doc_id-derived raw variants through the
       // real RFC 3986 normalizer; every 10th doc's variant collides
       // with its predecessor's canonical form, min doc_id survives
-      val canon = docs.select(col("doc_id")).as[Long].map { d =>
+      val canon = graft.operators.Par.widen(docs.select(col("doc_id")),
+          col("doc_id")).as[Long].map { d =>
         val k = d - (if (d % 10 == 7) 1L else 0L)
         val raw = (if (d % 2 == 0) "HTTPS" else "https") +
           s"://SITE${k % 5}.Test" + (if (d % 3 == 0) ":443" else "") +

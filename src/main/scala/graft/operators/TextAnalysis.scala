@@ -484,7 +484,7 @@ object TextAnalysis extends QueryModule {
     import spark.implicits._
     // typed map, not an RDD transform: the identical projection then
     // serves the batch gate AND the streaming twin (st_robots_rules)
-    docs.select(col("doc_id")).as[Long].map { d =>
+    Par.widen(docs.select(col("doc_id")), col("doc_id")).as[Long].map { d =>
       val sb = new StringBuilder
       sb.append("# synthetic robots fixture\n")
       sb.append("User-agent: *\n")
@@ -547,7 +547,7 @@ object TextAnalysis extends QueryModule {
     val spark = docs.sparkSession
     import spark.implicits._
     // typed map (stream-shareable), same discipline as robotsDecisions
-    docs.select(col("doc_id")).as[Long].map { d =>
+    Par.widen(docs.select(col("doc_id")), col("doc_id")).as[Long].map { d =>
       val scheme = if (d % 2 == 0) "HTTP" else "HTTPS"
       // userinfo arm: %41 (unreserved 'A') must decode, %3d (reserved
       // '=') must stay encoded with UPPERCASED hex, and case is kept
@@ -605,7 +605,7 @@ object TextAnalysis extends QueryModule {
     val spark = docs.sparkSession
     import spark.implicits._
     val Vocab = Seq("always", "hourly", "daily", "weekly", "monthly", "yearly")
-    docs.select(col("doc_id")).as[Long].flatMap { d =>
+    Par.widen(docs.select(col("doc_id")), col("doc_id")).as[Long].flatMap { d =>
       val isIndex = d % 7 == 0
       val n = (if (isIndex) d % 3 + 1 else d % 4 + 1).toInt
       val xml = new StringBuilder
@@ -801,7 +801,8 @@ object TextAnalysis extends QueryModule {
   private[graft] def gopherRepetition(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    Par.widen(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val toks = text.split(" ").filter(_.nonEmpty)
@@ -2588,7 +2589,8 @@ object TextAnalysis extends QueryModule {
   private[graft] def htmlExtracted(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    Par.widen(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .map { case (d, text) =>
         val e = graft.functions.HtmlText
           .extract(graft.functions.HtmlText.syntheticHtml(d, text)).get
@@ -2715,7 +2717,8 @@ object TextAnalysis extends QueryModule {
                                 ranks: Map[(String, String), Int]): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    Par.widen(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions { rows =>
         val cache = new java.util.HashMap[String, Long](1 << 12)
         val cacheCap = 1 << 17
