@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{Corpus, Dedup, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Par, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -270,7 +270,16 @@ object TrainingData {
       .exists(_.toBoolean)
     var lastStageEnd = System.nanoTime()
     def stage(name: String, df: DataFrame): DataFrame = {
-      val p = df.localCheckpoint(true)
+      // widen before materializing (r16): stage frames inherit the
+      // first shuffle's AQE-coalesced partition count (~3 on the gate
+      // corpus), so every downstream battery/shingle/hash pass ran at
+      // a fraction of cluster parallelism. Par.widen now reads a
+      // checkpoint leaf's exact partition count, so this no-ops the
+      // moment the pipeline is wide (any real corpus) and the
+      // widening exchange carries only the tiny narrow stage rows
+      // otherwise; hash-partitioning by doc_id also pre-aligns the
+      // stage frame with every downstream doc_id join/aggregate.
+      val p = Par.widen(df, col("doc_id")).localCheckpoint(true)
       lastCount = p.count()
       stages += name -> lastCount
       if (profileStages) {

@@ -41,6 +41,15 @@ object Par {
           case _ => sawUnknown = true
         }
       case _: LocalRelation => splits += 1
+      // localCheckpoint leaves carry their EXACT partition count — the
+      // one leaf class where "narrow" is knowable, not assumable. This
+      // matters for pipelines that checkpoint every stage (prepareWeb):
+      // a tiny gate-corpus stage frame inherits the ~3 AQE-coalesced
+      // partitions of the first shuffle, and without this case every
+      // downstream CPU-heavy widen call no-op'd on it. A checkpointed
+      // 100 TB frame has thousands of partitions and still no-ops.
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        splits += lr.rdd.getNumPartitions
       // EVERY other leaf (InMemoryRelation from persist(), DSv2
       // relations, streaming relations, …) is unknown → assumed wide.
       // Counting them as zero would invert the fail-safe: a persisted
