@@ -21,7 +21,10 @@ object QuickBench {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-            val site = Option(j.properties.getProperty("callSite.short")).getOrElse("?")
+            val site = Option(j.properties.getProperty("spark.job.description"))
+              .orElse(Option(j.properties.getProperty("callSite.short")))
+              .orElse(j.stageInfos.lastOption.map(_.name))
+              .getOrElse("?")
             starts.put(j.jobId, (System.nanoTime(), site))
           }
           override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {

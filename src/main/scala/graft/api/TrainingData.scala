@@ -73,16 +73,30 @@ object TrainingData {
     * derivation and the LSH arm (r16: the derivation was its own full
     * corpus shingle pass).
     */
-  private[graft] def survivorProbeThresholdOn(shingled: DataFrame, n: Long): Int = {
+  private[graft] def survivorProbeThresholdOn(shingled: DataFrame, n: Long): Int =
+    survivorProbeThresholdAndCountOn(shingled, n)._1
+
+  /** [[survivorProbeThresholdOn]] plus the PROBE COUNT the derivation
+    * already knows: the cumulative count AT the threshold row IS
+    * |{docs : nsh ≤ thr}| — exactly the probe-slice count the
+    * containment probe's broadcast/partitioning decisions need, so
+    * prepareWeb passes it down instead of paying a separate count
+    * action over the probe slice (r16). (0, 0) on an empty frame.
+    */
+  private[graft] def survivorProbeThresholdAndCountOn(shingled: DataFrame,
+                                                      n: Long): (Int, Long) = {
     val need = (n + 9L) / 10L
     val wCum = Window.orderBy("nsh")
-    val thrRow = shingled
+    val thrRows = shingled
       .select(size(col("sh")).cast("bigint").as("nsh"))
       .groupBy("nsh").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(wCum))
       .filter(col("cum") >= need)
-      .agg(min("nsh")).head()
-    if (thrRow.isNullAt(0)) 0 else thrRow.getLong(0).toInt
+      .orderBy("nsh")
+      .select(col("nsh"), col("cum"))
+      .head(1)
+    if (thrRows.isEmpty) (0, 0L)
+    else (thrRows(0).getLong(0).toInt, thrRows(0).getLong(1))
   }
 
   /** Run the full preparation over a (doc_id, text, ...) frame.
@@ -354,17 +368,29 @@ object TrainingData {
       val reped = stage("filter_gopher_rep",
         gophered.join(repKeep, Seq("doc_id"), "left_semi"))
 
-      val c4Keep = TextAnalysis.c4Rules(
-          TextAnalysis.c4PageTable(reped.select(col("doc_id"), col("text"))))
-        .filter(col("pass")).select("doc_id")
+      // C4/FineWeb now filter in ONE pass too (r16): their pass
+      // conditions are deterministic row-local functions of
+      // (doc_id, text) — page re-lining included — so the old keep-id
+      // projection + semi join re-scanned the upstream checkpoint a
+      // second time per stage (and at 100 TB re-shuffled a corpus-sized
+      // id set) for a decision the row itself carries. The page text is
+      // lambda-BOUND (aggregate over a 1-element array) rather than
+      // textually substituted, so it is evaluated once per row even
+      // though the pass references it three times; same for the
+      // FineWeb line arrays. The pass fragments are shared with
+      // c4Rules/finewebRules (c4PassExpr/fwPassExpr), so the inlined
+      // stage cannot drift from the oracle-gated standalone entries.
       val c4ed = stage("filter_c4",
-        reped.join(c4Keep, Seq("doc_id"), "left_semi"))
+        reped.filter(expr(
+          s"""aggregate(array(${TextAnalysis.C4PageExprSpark}), false,
+             |  (c4acc, t) -> ${TextAnalysis.c4PassExpr("t")})""".stripMargin)))
 
-      val fwKeep = TextAnalysis.finewebRules(
-          TextAnalysis.fwPageTable(c4ed.select(col("doc_id"), col("text"))))
-        .filter(col("pass")).select("doc_id")
       val fwed = stage("filter_fineweb",
-        c4ed.join(fwKeep, Seq("doc_id"), "left_semi"))
+        c4ed.filter(expr(
+          s"""aggregate(array(${TextAnalysis.FwPageExprSpark}), false,
+             |  (fwacc0, t) -> aggregate(array(split(t, '\\n')), false,
+             |    (fwacc1, ls) -> aggregate(array(array_sort(ls)), false,
+             |      (fwacc2, sl) -> ${TextAnalysis.fwPassExpr("ls", "sl")})))""".stripMargin)))
 
       // exact dedup on the extracted text, min doc_id survives
       val exKeepers = fwed.groupBy(md5(col("text")).as("h"))
@@ -402,14 +428,35 @@ object TrainingData {
       // containment probe keeps its own deliberately-UNCACHED streaming
       // passes (the measured 1000× memory discipline documented in
       // containmentProbePairs).
+      // job labels (guide-§1 attribution): each eager sub-step of the
+      // near-dup stage sets a description so its jobs are attributable
+      // in the UI/listener — measurement metadata only
+      def labeled[T](desc: String)(f: => T): T = {
+        spark.sparkContext.setJobDescription(s"neardup:$desc")
+        try f finally spark.sparkContext.setJobDescription(null)
+      }
       val exSh = graft.operators.Dedup.shingles(exTexts).persist()
-      val probeThr: Int = spark.conf.getOption("spark.graft.probe.maxShingles")
-        .map(_.toInt)
-        .orElse(if (probeMaxShingles > 0) Some(probeMaxShingles) else None)
-        .getOrElse(survivorProbeThresholdOn(exSh, lastCount))
-      val lshPairs = graft.operators.Dedup.minhashLshOn(exSh, oracleHash)
-      val probePairs = graft.operators.Dedup.containmentProbePairs(
-          exTexts, maxShingles = probeThr)
+      // (threshold, probe-slice count) in ONE derivation: the cumulative
+      // count at the threshold row IS the probe count the probe's
+      // bound/partitioning decisions need (r16 — previously a separate
+      // count action over the probe slice). A conf/argument override has
+      // no derivation to read it from, so the probe counts for itself.
+      val (probeThr: Int, probeCount: Long) =
+        spark.conf.getOption("spark.graft.probe.maxShingles")
+          .map(_.toInt)
+          .orElse(if (probeMaxShingles > 0) Some(probeMaxShingles) else None)
+          .map(t => (t, -1L))
+          .getOrElse(labeled("probe_thr") {
+            survivorProbeThresholdAndCountOn(exSh, lastCount) })
+      val lshPairs = labeled("lsh") {
+        graft.operators.Dedup.minhashLshOn(exSh, oracleHash) }
+      // the probe shares the SAME persisted frame (r16): it previously
+      // re-shingled the corpus on its own three streaming passes (probe
+      // slice, gram restriction, verify slice) even though the identical
+      // arrays sat in the block store for the two arms above
+      val probePairs = labeled("probe") {
+        graft.operators.Dedup.containmentProbePairsOn(
+            exSh, maxShingles = probeThr, knownProbeCount = probeCount) }
         .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       val pairs = lshPairs.select(col("doc_a"), col("doc_b"))
@@ -422,8 +469,8 @@ object TrainingData {
       // ranking computes the same expression member-restricted
       // (dedupKeepBestBy: broadcast semi join below the projection)
       val withQ = exact.withColumn("quality", TextAnalysis.qualityCol)
-      val deduped = stage("neardup_keepbest",
-        DedupPipeline.dedupKeepBestBy(withQ, pairs, exact, TextAnalysis.qualityCol))
+      val deduped = stage("neardup_keepbest", labeled("keepbest") {
+        DedupPipeline.dedupKeepBestBy(withQ, pairs, exact, TextAnalysis.qualityCol) })
 
       // exact-substring coverage arm — d_substring_dedup deployed as a
       // filter stage: per near-dup SURVIVOR, the duplicated-span

@@ -352,7 +352,7 @@ object Dedup extends QueryModule {
     */
   def containmentProbePairs(docs: DataFrame, tau: Double = 0.5,
                             maxShingles: Int = 20,
-                            maxBucket: Int = MaxBucket): DataFrame = {
+                            maxBucket: Int = MaxBucket): DataFrame =
     // cache ONLY the probe slice — bounded by the short-doc contract.
     // Caching the corpus-side shingles in ANY form was measured to kill
     // the 8 GiB single-JVM heap at 1000×: the exploded row form is ~3×
@@ -364,7 +364,24 @@ object Dedup extends QueryModule {
     // immediately), which is linear scan work that needs no memory at
     // any scale; shingling here is a zip_with over the token array, not
     // the md5 chain the LSH family caches to avoid recomputing.
-    val sh = shingles(docs)
+    containmentProbePairsOn(shingles(docs), tau, maxShingles, maxBucket)
+
+  /** [[containmentProbePairs]] over a CALLER-OWNED (doc_id, sh) shingle
+    * frame — for pipelines that already hold a PERSISTED one (prepareWeb
+    * shares its exSh between the probe-threshold derivation, the LSH
+    * arm, and this probe; r16: the probe re-shingled the corpus on its
+    * own three streaming passes even though the identical frame sat in
+    * the block store). The standalone d_containment_probe entry keeps
+    * the uncached streaming form above: its 1000×-sweep memory
+    * discipline (scaladoc) still holds when NO caller persists the
+    * corpus shingles. Semantics are identical either way — `sh` here is
+    * exactly `shingles(docs)`, lazy or cached. The caller persists and
+    * releases `sh`; only the probe slice is released here.
+    */
+  def containmentProbePairsOn(sh: DataFrame, tau: Double = 0.5,
+                              maxShingles: Int = 20,
+                              maxBucket: Int = MaxBucket,
+                              knownProbeCount: Long = -1L): DataFrame = {
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val probeSh = sh.filter(size(col("sh")) <= maxShingles).persist()
     // restrict the corpus to the PROBE GRAM SET before anything wide:
@@ -386,7 +403,11 @@ object Dedup extends QueryModule {
     // restriction cannot shrink anything, so the plain exploded frame
     // flows to the (then inherently corpus-wide) index build instead
     // of a corpus-sized broadcast.
-    val nProbes = probeSh.count()
+    // the count is only a bound/partitioning input (never semantics);
+    // callers whose threshold derivation already knows the probe-slice
+    // cardinality pass it down (prepareWeb: the cumulative count at the
+    // derived threshold) instead of paying a count action here
+    val nProbes = if (knownProbeCount >= 0) knownProbeCount else probeSh.count()
     // Per-task shuffle state is the 1000× single-JVM ceiling: the
     // candidate join + PPJoin count aggregate sort/aggregate the
     // restricted exploded corpus, and at the default 32 shuffle
@@ -411,7 +432,7 @@ object Dedup extends QueryModule {
     // sort state stays task-sized; on a real cluster per-executor
     // regions make the default fine, which is why this is scoped to
     // the operator instead of the session.
-    val spark = docs.sparkSession
+    val spark = sh.sparkSession
     val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val advKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prevInit = spark.conf.getOption(initKey)

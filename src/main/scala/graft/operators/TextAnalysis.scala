@@ -220,21 +220,40 @@ object TextAnalysis extends QueryModule {
     * expressions, stateless per-row, no shuffle before the sink —
     * shared verbatim by the streaming twin (st_c4_rules).
     */
-  private[graft] def c4Rules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // kept lines per C4's line rules; '\n' is the same regex-newline
-    // split every line rule in this file uses
-    val kept = """filter(split(text, '\\n'), l ->
+  /** Kept lines per C4's line rules over a text expression `t`; '\n' is
+    * the same regex-newline split every line rule in this file uses.
+    * Parameterized by the text REFERENCE so [[c4Rules]] (column `text`)
+    * and the inline pipeline filter ([[c4PassExpr]], lambda-bound page
+    * variable) share one definition — the drift guard for the stage
+    * inlining.
+    */
+  private def c4KeptExpr(t: String): String =
+    s"""filter(split($t, '\\n'), l ->
         (endswith(l, '.') OR endswith(l, '!') OR endswith(l, '?') OR endswith(l, '"'))
         AND size(split(l, ' ')) >= 5
         AND NOT contains(lower(l), 'javascript'))"""
+
+  /** Sentence-terminator count over the kept lines of `t` (the
+    * pass_sentences metric's input). */
+  private def c4SentencesExpr(t: String): String =
+    s"""CAST(aggregate(${c4KeptExpr(t)}, CAST(0 AS BIGINT),
+                 (acc, l) -> acc + length(l) - length(translate(l, '.!?', ''))) AS BIGINT)"""
+
+  /** The full C4 page-level pass conjunction over a text reference `t` —
+    * exactly [[c4Rules]]' `pass` column (pass_sentences AND pass_lorem
+    * AND pass_brace), as one boolean expression. Used by prepareWeb's
+    * inlined filter_c4 stage.
+    */
+  private[graft] def c4PassExpr(t: String): String =
+    s"(${c4SentencesExpr(t)} >= 3) AND NOT contains(lower($t), 'lorem ipsum') AND NOT contains($t, '{')"
+
+  private[graft] def c4Rules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     docs.select(col("doc_id"), col("text"))
       .select(
         col("doc_id"),
         expr("CAST(size(split(text, '\\n')) AS BIGINT)").as("n_lines"),
-        expr(s"CAST(size($kept) AS BIGINT)").as("n_kept"),
-        expr(s"""CAST(aggregate($kept, CAST(0 AS BIGINT),
-                 (acc, l) -> acc + length(l) - length(translate(l, '.!?', ''))) AS BIGINT)""")
-          .as("n_sentences"),
+        expr(s"CAST(size(${c4KeptExpr("text")}) AS BIGINT)").as("n_kept"),
+        expr(c4SentencesExpr("text")).as("n_sentences"),
         expr("contains(lower(text), 'lorem ipsum')").as("has_lorem"),
         expr("contains(text, '{')").as("has_brace"))
       .select(
@@ -260,7 +279,14 @@ object TextAnalysis extends QueryModule {
     * in [[C4PageSqlExpr]] for the DuckDB side — the closed-form fixture
     * convention the multimodal entries use.
     */
-  private[graft] def c4PageTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def c4PageTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), expr(C4PageExprSpark).as("text"))
+
+  /** The Spark-side page expression of [[c4PageTable]], exposed so
+    * prepareWeb's inlined filter_c4 stage can evaluate page + pass as
+    * one row-local filter over (doc_id, text).
+    */
+  private[graft] val C4PageExprSpark: String = {
     def term(i: Int) =
       s"CASE CAST((doc_id + $i) % 4 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '...' WHEN 2 THEN '?' ELSE '' END"
     def line(i: Int) = {
@@ -270,10 +296,9 @@ object TextAnalysis extends QueryModule {
       val js = if (i == 1) " || CASE WHEN doc_id % 7 = 0 THEN ' javascript' ELSE '' END" else ""
       s"$body$js || ${term(i)}"
     }
-    val page = (0 until 5).map(line).mkString("concat_ws('\\n', ", ", ", ")") +
+    (0 until 5).map(line).mkString("concat_ws('\\n', ", ", ", ")") +
       " || CASE WHEN doc_id % 11 = 0 THEN '\\nlorem ipsum' ELSE '' END" +
       " || CASE WHEN doc_id % 13 = 0 THEN '\\n{' ELSE '' END"
-    docs.select(col("doc_id"), expr(page).as("text"))
   }
 
   /** DuckDB twin of [[c4PageTable]] — one SELECT-able expression
@@ -360,6 +385,39 @@ object TextAnalysis extends QueryModule {
     * Rule thresholds compare the UNROUNDED ratios; the 4dp rounding is
     * display-only, as in gopherRules.
     */
+  /** FineWeb metric fragments over a line-array reference `ls` and its
+    * sorted twin `sl` — parameterized so [[finewebRules]] (columns
+    * lines/slines) and the inline pipeline filter ([[fwPassExpr]],
+    * lambda-bound variables) share one definition per rule (the
+    * filter_c4 drift-guard convention).
+    */
+  private def fwNPunctExpr(ls: String): String =
+    s"""CAST(size(filter($ls, l ->
+            endswith(l, '.') OR endswith(l, '!') OR endswith(l, '?') OR endswith(l, '"')))
+            AS BIGINT)"""
+  private def fwNShortExpr(ls: String): String =
+    s"CAST(size(filter($ls, l -> length(l) < 30)) AS BIGINT)"
+  // element_at is 1-based and transform's index 0-based, so
+  // element_at(sl, i) IS the predecessor of position i
+  private def fwDupCharsExpr(sl: String): String =
+    s"""CAST(aggregate(transform($sl, (l, i) ->
+            IF(i > 0 AND l = element_at($sl, i), CAST(length(l) AS BIGINT), CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"""
+  private def fwLineCharsExpr(ls: String): String =
+    s"CAST(aggregate($ls, CAST(0 AS BIGINT), (a, l) -> a + CAST(length(l) AS BIGINT)) AS BIGINT)"
+
+  /** The full FineWeb page-level pass conjunction over a line-array
+    * reference `ls` and its sorted twin `sl` — exactly [[finewebRules]]'
+    * `pass` column (the three rules on the UNROUNDED ratios), as one
+    * boolean expression. Used by prepareWeb's inlined filter_fineweb
+    * stage.
+    */
+  private[graft] def fwPassExpr(ls: String, sl: String): String =
+    s"""(CAST(${fwNPunctExpr(ls)} AS DOUBLE) / CAST(size($ls) AS BIGINT) > 0.12)
+       AND (CAST(${fwNShortExpr(ls)} AS DOUBLE) / CAST(size($ls) AS BIGINT) < 0.67)
+       AND (CAST(${fwDupCharsExpr(sl)} AS DOUBLE)
+            / greatest(${fwLineCharsExpr(ls)}, CAST(1 AS BIGINT)) < 0.1)"""
+
   private[graft] def finewebRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     docs.select(col("doc_id"), col("text"))
       .select(col("doc_id"),
@@ -368,17 +426,10 @@ object TextAnalysis extends QueryModule {
       .select(
         col("doc_id"),
         expr("CAST(size(lines) AS BIGINT)").as("n_lines"),
-        expr("""CAST(size(filter(lines, l ->
-            endswith(l, '.') OR endswith(l, '!') OR endswith(l, '?') OR endswith(l, '"')))
-            AS BIGINT)""").as("n_punct"),
-        expr("CAST(size(filter(lines, l -> length(l) < 30)) AS BIGINT)").as("n_short"),
-        // element_at is 1-based and transform's index 0-based, so
-        // element_at(slines, i) IS the predecessor of position i
-        expr("""CAST(aggregate(transform(slines, (l, i) ->
-            IF(i > 0 AND l = element_at(slines, i), CAST(length(l) AS BIGINT), CAST(0 AS BIGINT))),
-            CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)""").as("dup_chars"),
-        expr("CAST(aggregate(lines, CAST(0 AS BIGINT), (a, l) -> a + CAST(length(l) AS BIGINT)) AS BIGINT)")
-          .as("line_chars"))
+        expr(fwNPunctExpr("lines")).as("n_punct"),
+        expr(fwNShortExpr("lines")).as("n_short"),
+        expr(fwDupCharsExpr("slines")).as("dup_chars"),
+        expr(fwLineCharsExpr("lines")).as("line_chars"))
       .select(
         col("doc_id"), col("n_lines"), col("dup_chars"), col("line_chars"),
         round(col("n_punct").cast("double") / col("n_lines"), 4).as("punct_ratio"),
@@ -403,16 +454,22 @@ object TextAnalysis extends QueryModule {
     * every 3rd doc appends a verbatim copy of line 0 (the
     * duplicated-line fail arm). Token for token in [[FwPageSqlExpr]].
     */
-  private[graft] def fwPageTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def fwPageTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), expr(FwPageExprSpark).as("text"))
+
+  /** The Spark-side page expression of [[fwPageTable]], exposed for
+    * prepareWeb's inlined filter_fineweb stage (the C4PageExprSpark
+    * convention).
+    */
+  private[graft] val FwPageExprSpark: String = {
     def term(i: Int) =
       s"CASE WHEN doc_id % 10 = 0 THEN '' WHEN CAST((doc_id + $i) % 3 AS INT) = 0 THEN '.' WHEN CAST((doc_id + $i) % 3 AS INT) = 1 THEN '?' ELSE '' END"
     def len(i: Int) =
       s"CASE WHEN doc_id % 9 = 0 THEN 2 ${if (i == 4) "WHEN doc_id % 4 = 0 THEN 2 " else ""}ELSE 6 END"
     def line(i: Int) =
       s"array_join(slice(split(text, ' '), ${6 * i + 1}, ${len(i)}), ' ') || ${term(i)}"
-    val page = (0 until 6).map(line).mkString("concat_ws('\\n', ", ", ", ")") +
+    (0 until 6).map(line).mkString("concat_ws('\\n', ", ", ", ")") +
       s" || CASE WHEN doc_id % 3 = 0 THEN '\\n' || ${line(0)} ELSE '' END"
-    docs.select(col("doc_id"), expr(page).as("text"))
   }
 
   /** DuckDB twin of [[fwPageTable]] — list_slice is begin/end-inclusive
@@ -713,12 +770,22 @@ object TextAnalysis extends QueryModule {
       .localCheckpoint(true)
     val freqBounded = freq.count() <= 16L * 1000 * 1000
     val totalDf = freq.agg(sum(col("c")).as("n_total"))
+    // eagerly materialized (r16): `scored` feeds the tercile-cuts
+    // aggregate AND the final bucketed projection — without the cut the
+    // whole tokenize + freq-join + per-doc aggregate chain executes
+    // twice per action (measured: two full parquet-scan→explode→join
+    // subtrees in t_ccnet_buckets' plan; the freq checkpoint above only
+    // cuts lineage BELOW freq). Same discipline as prepareWeb's
+    // model-arm score frame; (doc_id, n_tokens, surprisal) is the
+    // corpus at doc cardinality, 3 narrow columns — the standard
+    // doc-level materialization every dedup stage already pays.
     val scored = toks.join(if (freqBounded) broadcast(freq) else freq, "term")
       .crossJoin(broadcast(totalDf))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
            round(sum(-log2(col("c").cast("double") / col("n_total").cast("double")))
              / count(lit(1)), 4).as("surprisal"))
+      .localCheckpoint(true)
     val approx = docs.sparkSession.conf
       .getOption("spark.graft.ccnet.approxCuts").exists(_.toBoolean)
     val cuts =
