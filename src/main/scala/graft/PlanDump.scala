@@ -22,10 +22,16 @@ object PlanDump {
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_PLAN_DIR", "plans/r16"))
     java.nio.file.Files.createDirectories(outDir)
+    // GRAFT_PLAN_LAZY=1: build plans with Materialize disabled (the
+    // PlanAuditSpec mode), so eagerly-checkpointing pipeline entries
+    // show their FULL lazy plan instead of a checkpoint scan
+    val lazyMode = sys.env.get("GRAFT_PLAN_LAZY").contains("1")
     val spark = GraftSession.build("graft-plandump")
     val queries = SparkEntry.queries
     for (n <- names) {
-      val df = queries(n)(spark, sfDir)
+      val df =
+        if (lazyMode) graft.operators.Materialize.lazily(queries(n)(spark, sfDir))
+        else queries(n)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(outDir.resolve(s"${n}_$tag.txt"),

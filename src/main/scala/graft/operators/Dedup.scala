@@ -131,12 +131,26 @@ object Dedup extends QueryModule {
       .select(col("doc_id"),
               concat((0 until 4).map(s =>
                 md5(concat(lit(s"$s|"), col("x")))): _*).as("y"))
+    // min NUMERICALLY, not over the hex strings (r16): 16 string-min
+    // buffers are not hash-aggregate-compatible, so the old
+    // min(substring(y, ...)) forced a Sort + SortAggregate over the
+    // ENTIRE exploded hashed corpus (the plan's dominant operator —
+    // the xxhash64 twin never paid it). Fixed-length lowercase-hex
+    // order IS numeric order, so min(conv(chunk, 16) AS BIGINT)
+    // selects the identical minhash, runs as a map-side-combining
+    // HashAggregate with fixed-width buffers, and the band hash below
+    // reconstructs the exact original chunk via lower(lpad(hex(v)))
+    // — a lossless inverse, so signatures, bands, and the candidate
+    // set are byte-identical to the old form (and to the DuckDB
+    // oracle's md5 chain).
     val minCols = (0 until Bands * Rows).map { i =>
-      min(substring(col("y"), 1 + 8 * i, 8)).as(s"h$i")
+      min(expr(s"CAST(conv(substring(y, ${1 + 8 * i}, 8), 16, 10) AS BIGINT)"))
+        .as(s"h$i")
     }
     val mins = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until Bands).map { j =>
-      md5(concat((0 until Rows).map(k => col(s"h${j * Rows + k}")): _*))
+      md5(concat((0 until Rows).map(k =>
+        expr(s"lower(lpad(hex(h${j * Rows + k}), 8, '0'))")): _*))
     }
     mins.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("j", "mh")))
       .persist()
