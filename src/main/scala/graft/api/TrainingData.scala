@@ -361,12 +361,22 @@ object TrainingData {
 
       // Gopher's OTHER half — the A1.2 repetition battery on the same
       // extracted text (word-n-gram rules; the line/paragraph rules
-      // live in the FineWeb stage's duplicate-line cap)
-      val repKeep = TextAnalysis.gopherRepetition(
-          gophered.select(col("doc_id"), col("text")))
-        .filter(col("pass")).select("doc_id")
-      val reped = stage("filter_gopher_rep",
-        gophered.join(repKeep, Seq("doc_id"), "left_semi"))
+      // live in the FineWeb stage's duplicate-line cap). Inlined as a
+      // typed-filter ONE pass (r16, the filter_c4 treatment): the pass
+      // is a row-local function of (doc_id, text), so the old keep-id
+      // map + semi join re-scanned the gophered checkpoint a second
+      // time (and re-shuffled an id set at scale) for a decision the
+      // row carries. Scorer and pass rule are shared with the
+      // oracle-gated gopherRepetition entry (gopherRepScore /
+      // gopherRepPassOf), so the stage cannot drift from it.
+      val reped = stage("filter_gopher_rep", {
+        val idIdx = gophered.schema.fieldIndex("doc_id")
+        val tIdx = gophered.schema.fieldIndex("text")
+        gophered.filter { r: org.apache.spark.sql.Row =>
+          TextAnalysis.gopherRepPassOf(
+            TextAnalysis.gopherRepScore(r.getLong(idIdx), r.getString(tIdx)))
+        }
+      })
 
       // C4/FineWeb now filter in ONE pass too (r16): their pass
       // conditions are deterministic row-local functions of

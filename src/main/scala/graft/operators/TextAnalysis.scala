@@ -865,13 +865,12 @@ object TextAnalysis extends QueryModule {
     * which is the cheap formulation for a single-node gate but would
     * shuffle the corpus nine times at scale.
     */
-  private[graft] def gopherRepetition(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Par.widen(docs.select(col("doc_id"), col("text")), col("doc_id"))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, text) =>
+  /** The per-document A1.2 scorer — ONE definition shared by
+    * [[gopherRepetition]]'s typed map and prepareWeb's inlined
+    * filter_gopher_rep stage predicate ([[gopherRepPassOf]]), so the
+    * inline filter cannot drift from the oracle-gated entry.
+    */
+  private[graft] def gopherRepScore(id: Long, text: String): GopherRep = {
           val toks = text.split(" ").filter(_.nonEmpty)
           val m = toks.length
           val totalChars = toks.iterator.map(_.length.toLong).sum
@@ -929,8 +928,31 @@ object TextAnalysis extends QueryModule {
             topFrac(2), topFrac(3), topFrac(4),
             dupFrac(5), dupFrac(6), dupFrac(7),
             dupFrac(8), dupFrac(9), dupFrac(10))
-        }
-      }
+  }
+
+  /** The A1.2 `pass` conjunction over a scored doc — EXACTLY the frame
+    * version's `round(frac, 4) <= threshold` per rule: Spark SQL's
+    * round on DOUBLE is BigDecimal HALF_UP (the fitQualityWeights
+    * cross-engine convention), reproduced here bit-for-bit.
+    */
+  private[graft] def gopherRepPassOf(g: GopherRep): Boolean = {
+    def r4(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fracs = Map(
+      "top2_frac" -> g.top2_frac, "top3_frac" -> g.top3_frac,
+      "top4_frac" -> g.top4_frac, "dup5_frac" -> g.dup5_frac,
+      "dup6_frac" -> g.dup6_frac, "dup7_frac" -> g.dup7_frac,
+      "dup8_frac" -> g.dup8_frac, "dup9_frac" -> g.dup9_frac,
+      "dup10_frac" -> g.dup10_frac)
+    GopherRepCols.forall { case (c, thr) => r4(fracs(c)) <= thr }
+  }
+
+  private[graft] def gopherRepetition(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Par.widen(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => gopherRepScore(id, text) })
       .toDF()
       .select(
         Seq(col("doc_id"), col("n_tokens"), col("total_chars")) ++
