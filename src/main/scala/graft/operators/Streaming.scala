@@ -12,6 +12,32 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Streaming extends QueryModule {
 
+  /** The eval/benchmark stride-1 gram set pulled to the driver for the
+    * streaming decontamination kernels (scrub + drop) — an EXPLICIT
+    * bounded decision (r17, the house discipline every other
+    * driver-side pull carries): the stateless per-partition kernel
+    * consumes a Scala set riding the closure, so there is no
+    * distributed fallback — past the 4M-gram bound (the dedup family's
+    * string-gram broadcast tier, Dedup.contaminatedPositions) the pull
+    * REFUSES loudly instead of silently OOMing the 8 GiB driver. Eval
+    * sets are benchmarks, not corpora, so the bound is generous; a
+    * genuinely larger eval set belongs on the batch anti-join path.
+    * The distinct frame is checkpointed once so the bound count and
+    * the collect read one materialization.
+    */
+  private def evalGramSet(d: org.apache.spark.sql.DataFrame): Set[String] = {
+    import d.sparkSession.implicits._
+    val grams = d.filter(col("doc_id") % 97 === 0)
+      .filter(length(col("text")) >= 40)
+      .select(explode(expr(graft.operators.Dedup.strideGramArrayExpr(40))).as("gram"))
+      .distinct().localCheckpoint(true)
+    val n = grams.count()
+    require(n <= 4L * 1000 * 1000,
+      s"eval gram set ($n grams) exceeds the 4M driver-set bound " +
+        "(SCALE.md: streaming decontamination) — scrub on the batch path")
+    grams.as[String].collect().toSet
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef(
       "st_windowed_agg",
@@ -507,13 +533,8 @@ object Streaming extends QueryModule {
     QueryDef(
       "st_decontaminate_scrub",
       (s, dir) => {
-        import s.implicits._
         val name = s"st_scrub_${System.nanoTime()}"
-        val d = Tables(s, dir).documents
-        val evalGrams = d.filter(col("doc_id") % 97 === 0)
-          .filter(length(col("text")) >= 40)
-          .select(explode(expr(graft.operators.Dedup.strideGramArrayExpr(40))).as("gram"))
-          .distinct().as[String].collect().toSet
+        val evalGrams = evalGramSet(Tables(s, dir).documents)
         val q = graft.streaming.CorpusStreaming
           .decontaminateScrub(
             graft.streaming.CorpusStreaming.readDocumentStream(s, dir), evalGrams)
@@ -552,13 +573,8 @@ object Streaming extends QueryModule {
     QueryDef(
       "st_decontaminate_drop",
       (s, dir) => {
-        import s.implicits._
         val name = s"st_dcdrop_${System.nanoTime()}"
-        val d = Tables(s, dir).documents
-        val evalGrams = d.filter(col("doc_id") % 97 === 0)
-          .filter(length(col("text")) >= 40)
-          .select(explode(expr(graft.operators.Dedup.strideGramArrayExpr(40))).as("gram"))
-          .distinct().as[String].collect().toSet
+        val evalGrams = evalGramSet(Tables(s, dir).documents)
         val q = graft.streaming.CorpusStreaming
           .decontaminateDrop(
             graft.streaming.CorpusStreaming.readDocumentStream(s, dir), evalGrams)
@@ -739,8 +755,13 @@ object Streaming extends QueryModule {
       "st_exif_meta",
       (s, dir) => {
         val drop = s"/tmp/graft_media_drop/${new java.io.File(dir).getName}"
+        val t = Tables(s, dir)
+        // expectedRows: exifTable is one row per document, and a plain
+        // parquet count prunes to row-group metadata — the RDD-backed
+        // media frame would pay full payload generation just to count
         graft.streaming.MediaIntake.materializeDropDir(
-          graft.operators.Multimodal.exifTable(Tables(s, dir)), drop)
+          graft.operators.Multimodal.exifTable(t), drop,
+          expectedRows = t.documents.count())
         val name = s"st_exif_${System.nanoTime()}"
         val q = graft.streaming.MediaIntake.exifStream(s, drop)
           .writeStream.format("memory").queryName(name)
@@ -817,8 +838,10 @@ object Streaming extends QueryModule {
       "st_tiff_pixels",
       (s, dir) => {
         val drop = s"/tmp/graft_tiff_drop/${new java.io.File(dir).getName}"
+        val t = Tables(s, dir)
         graft.streaming.MediaIntake.materializeDropDir(
-          graft.operators.Multimodal.tiffTable(Tables(s, dir)), drop, ext = "tiff")
+          graft.operators.Multimodal.tiffTable(t), drop, ext = "tiff",
+          expectedRows = t.documents.count())
         val name = s"st_tiff_${System.nanoTime()}"
         val q = graft.streaming.MediaIntake.tiffStream(s, drop)
           .writeStream.format("memory").queryName(name)
@@ -838,8 +861,10 @@ object Streaming extends QueryModule {
       "st_ogg_headers",
       (s, dir) => {
         val drop = s"/tmp/graft_ogg_drop/${new java.io.File(dir).getName}"
+        val t = Tables(s, dir)
         graft.streaming.MediaIntake.materializeDropDir(
-          graft.operators.Multimodal.oggTable(Tables(s, dir)), drop, ext = "ogg")
+          graft.operators.Multimodal.oggTable(t), drop, ext = "ogg",
+          expectedRows = t.documents.count())
         val name = s"st_ogg_${System.nanoTime()}"
         val q = graft.streaming.MediaIntake.oggStream(s, drop)
           .writeStream.format("memory").queryName(name)

@@ -33,9 +33,17 @@ object MediaIntake {
     * executor-side, so no driver collect — reused across runs via a
     * row-count marker (payloads are deterministic functions of doc_id,
     * so count identity means byte identity).
+    *
+    * `expectedRows` (r17): the marker count, when the caller already
+    * knows it from a metadata-cheap source (the media frames here are
+    * one row per document, so `documents.count()` is a parquet
+    * row-group metadata read) — media frames are RDD-backed, so
+    * `media.count()` cannot prune and pays the FULL payload
+    * generation once for the count and again for the writes.
     */
-  def materializeDropDir(media: DataFrame, dir: String, ext: String = "jpg"): Unit = {
-    val n = media.count()
+  def materializeDropDir(media: DataFrame, dir: String, ext: String = "jpg",
+                         expectedRows: Long = -1L): Unit = {
+    val n = if (expectedRows >= 0) expectedRows else media.count()
     val root = new java.io.File(dir)
     val marker = new java.io.File(root, s"_READY_$n")
     if (marker.exists()) return
