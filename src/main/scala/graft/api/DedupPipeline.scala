@@ -36,38 +36,100 @@ object DedupPipeline {
   def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edgePairs = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)]
-    // the count is a scan of the caller's materialized pair list — a
+    // Fast-path eligibility: integral ids only. cast("long") on a
+    // string-id pair frame yields nulls and a runtime encoder failure
+    // at collect, where the distributed propagation is id-type-agnostic
+    // (min/join work on any ordered type) — so non-integral callers
+    // fall through instead of crashing (r17, advisor finding).
+    val integralIds = pairs.select(col("doc_a"), col("doc_b")).schema.fields
+      .forall(_.dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })
+    if (!integralIds) return clustersDistributed(pairs, maxIters)
+    // Single-derivation contract (r17): clusters() runs two actions on
+    // the pair frame (the bounded-decision count, then the collect or
+    // the propagation). Every house caller hands in an
+    // already-checkpointed pair list, but the public API did not
+    // enforce that — an un-materialized caller (e.g. a lazy
+    // union().distinct() of two pair arms) re-ran its whole pair
+    // derivation per action. Materialize the 2-long-column projection
+    // once unless the input is already a leaf; ClustersSpec pins the
+    // one-evaluation property.
+    val projected = pairs.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"))
+    val edges =
+      if (pairs.queryExecution.optimizedPlan
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]) projected
+      else projected.localCheckpoint(true)
+    val edgePairs = edges.as[(Long, Long)]
+    // the count is a scan of the materialized pair list — a
     // bounded-decision action, not a recompute
     if (edgePairs.count() <= 4L * 1000 * 1000) {
       val es = edgePairs.collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x
-        while (parent.getOrDefault(c, c) != c) {
-          val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+      // Primitive union-find (r17, advisor finding): the old
+      // java.util.HashMap[Long, Long] held up to 8M BOXED entries
+      // (~0.5-1 GB real footprint at the bound) on the 8 GiB driver.
+      // Remap node ids to dense ints via one sorted distinct array
+      // (binary search), run union-find on an int parent array:
+      // ~96 MB at the bound, no boxing. Tuple2[Long, Long] is
+      // @specialized, so the collected edge array itself is unboxed
+      // fields (transient ~32 B/edge).
+      val nodes = {
+        val ids = new Array[Long](es.length * 2)
+        var i = 0
+        while (i < es.length) {
+          ids(2 * i) = es(i)._1; ids(2 * i + 1) = es(i)._2; i += 1
         }
+        java.util.Arrays.sort(ids)
+        // dedup in place
+        var n = 0
+        var j = 0
+        while (j < ids.length) {
+          if (n == 0 || ids(n - 1) != ids(j)) { ids(n) = ids(j); n += 1 }
+          j += 1
+        }
+        java.util.Arrays.copyOf(ids, n)
+      }
+      val parent = Array.tabulate(nodes.length)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN root so the representative is the smallest id
-        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      var i = 0
+      while (i < es.length) {
+        val ra = find(java.util.Arrays.binarySearch(nodes, es(i)._1))
+        val rb = find(java.util.Arrays.binarySearch(nodes, es(i)._2))
+        // union by MIN root: node ids are sorted, so the smaller INDEX
+        // is the smaller id and the representative stays the smallest
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        i += 1
       }
-      val out = parent.keySet().iterator()
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      while (out.hasNext) { val k = out.next(); rows += ((k, find(k))) }
-      return rows.toSeq.toDF("doc_id", "cluster_id")
+      val rows = new Array[(Long, Long)](nodes.length)
+      i = 0
+      while (i < nodes.length) { rows(i) = (nodes(i), nodes(find(i))); i += 1 }
+      // parallelize instead of a single-partition LocalRelation (r17):
+      // an up-to-8M-row local result re-entering the plan as ONE
+      // partition serialized into the plan tree made every downstream
+      // join/window over it single-task (and bloated Catalyst's tree);
+      // an RDD-backed frame enters at cluster parallelism.
+      return spark.createDataset(spark.sparkContext.parallelize(rows.toIndexedSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + rows.length / 10000))))
+        .toDF("doc_id", "cluster_id")
     }
-    clustersDistributed(pairs, maxIters)
+    clustersDistributed(edges, maxIters)
   }
 
-  /** The distributed min-label propagation — the past-the-bound path. */
-  private def clustersDistributed(pairs: DataFrame, maxIters: Int): DataFrame = {
+  /** The distributed min-label propagation — the past-the-bound path.
+    * private[graft] so the parity spec can pit it against the driver
+    * union-find on identical numeric ids.
+    */
+  private[graft] def clustersDistributed(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()

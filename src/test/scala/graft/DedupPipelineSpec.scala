@@ -16,6 +16,45 @@ class DedupPipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusters: un-materialized pair frame derives once (r17 single-derivation contract)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("pair-derivations")
+    // a NON-leaf pair frame whose derivation is observable per row
+    val pairs = spark.range(0, 100).as[Long]
+      .map { i => acc.add(1); (i, i + 1) }.toDF("doc_a", "doc_b")
+    val cl = DedupPipeline.clusters(pairs)
+    assert(cl.count() == 101) // 0..100 all chain into one component
+    // clusters() runs a bound-count AND a collect; without the internal
+    // materialization the map above would run 2x (200 adds)
+    assert(acc.value == 100, s"pair derivation ran ${acc.value / 100.0}x")
+  }
+
+  test("clusters: string ids fall back to the distributed path instead of null-casting") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val cl = DedupPipeline.clusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cl == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("clusters: fast path equals distributed propagation on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random edges over 400 nodes (fixed LCG), so
+    // the primitive union-find is checked against the iterative path on
+    // a non-trivial component structure
+    val es = (1 to 300).map { i =>
+      val a = (i * 1103515245L + 12345L) % 400
+      val b = (i * 69069L + 1L) % 400
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val pairs = es.toDF("doc_a", "doc_b").localCheckpoint(true)
+    val fast = DedupPipeline.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = DedupPipeline.clustersDistributed(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+  }
+
   test("dedup keeps one representative per near-dup cluster on the corpus") {
     val docs = Tables(spark, sfDir).documents
     val pairs = SparkEntry.queries("d_minhash_lsh")(spark, sfDir)
