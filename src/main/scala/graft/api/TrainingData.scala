@@ -471,7 +471,6 @@ object TrainingData {
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       val pairs = lshPairs.select(col("doc_a"), col("doc_b"))
         .union(probePairs).distinct()
-      exSh.unpersist(false)
       // quality rides the corpus as a computed column (r16: the old
       // exact.join(quality, "doc_id") was a corpus⋈corpus SortMergeJoin
       // — a full survivor-relation shuffle on BOTH sides just to attach
@@ -481,6 +480,13 @@ object TrainingData {
       val withQ = exact.withColumn("quality", TextAnalysis.qualityCol)
       val deduped = stage("neardup_keepbest", labeled("keepbest") {
         DedupPipeline.dedupKeepBestBy(withQ, pairs, exact, TextAnalysis.qualityCol) })
+      // released only AFTER the keep-best stage action (r17, advisor
+      // finding): under Materialize.lazily the pair arms are NOT eagerly
+      // materialized, so an earlier unpersist dropped the shingle cache
+      // before `pairs` was first consumed and the plan-audit sweep paid
+      // a full shingle recompute. Under normal (eager) operation the
+      // arms materialized above and the later release changes nothing.
+      exSh.unpersist(false)
 
       // exact-substring coverage arm — d_substring_dedup deployed as a
       // filter stage: per near-dup SURVIVOR, the duplicated-span

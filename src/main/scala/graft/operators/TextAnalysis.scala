@@ -768,7 +768,20 @@ object TextAnalysis extends QueryModule {
       .filter(col("term") =!= "")
     val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val freqBounded = freq.count() <= 16L * 1000 * 1000
+    // bytes-estimated broadcast bound (r17, advisor finding): freq rows
+    // carry term STRINGS, so the 16M-ROW bound its long-only Dedup
+    // precedents use would admit a multi-GB hashed relation into the
+    // single 8 GiB JVM on a long-tailed vocabulary. Estimate the built
+    // relation (~48 B/row of hash-table + row overhead, 2 B/char
+    // UTF-16) from one cheap aggregate over the checkpoint leaf —
+    // replacing the old count() action, not adding one — and bound at
+    // 512 MB alongside the row cap. Plan-only decision: past either
+    // bound the shuffle join computes the identical rows.
+    val fs = freq.agg(count(lit(1)).as("n"), sum(length(col("term"))).as("chars")).head()
+    val freqRows = fs.getLong(0)
+    val freqChars = if (fs.isNullAt(1)) 0L else fs.getLong(1)
+    val freqBounded = freqRows <= 16L * 1000 * 1000 &&
+      freqRows * 48L + freqChars * 2L <= 512L * 1024 * 1024
     val totalDf = freq.agg(sum(col("c")).as("n_total"))
     // eagerly materialized (r16): `scored` feeds the tercile-cuts
     // aggregate AND the final bucketed projection — without the cut the
