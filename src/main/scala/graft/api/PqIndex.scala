@@ -64,8 +64,20 @@ object PqIndex {
     */
   def codebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     val P62 = "4611686018427387904.0" // 2^62
-    val subv = subvectors(embeddings.select(col("vec_id"), col("embedding")),
-      "embedding", dim, m)
+    // eager localCheckpoint of the training subvectors (r17): each
+    // Lloyd iteration reads subv TWICE (nearest-code assignment + the
+    // update join), so without materialization the scan + slice-explode
+    // recomputes 2·iters times AND every iteration re-plans the full
+    // lineage — the standard cache-the-training-set shape for iterative
+    // k-means. Fixed-point updates are summation-order-free, so the
+    // materialized partitioning cannot change the codebooks.
+    // ...and widened first (the stage() pattern): a single-split gate
+    // scan would pin every Lloyd pass to one core; hashing by
+    // (vec_id, j) pre-aligns the per-(vector, subspace) assignment
+    // aggregate. No-op on an already-wide input.
+    val subv = graft.operators.Par.widen(
+      subvectors(embeddings.select(col("vec_id"), col("embedding")),
+        "embedding", dim, m), col("vec_id"), col("j")).localCheckpoint(true)
     var cb = subv.filter(col("vec_id") < ksub)
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("centroid"))
     (0 until iters).foreach { _ =>

@@ -204,26 +204,35 @@ object Similarity extends QueryModule {
     */
   private[graft] def kmeansCentroids(vecs: DataFrame, k: Int = 8,
                                      iters: Int = 3): Seq[(Int, Seq[Double])] = {
-    val v = vecs.select(col("vec_id"), col("embedding")).persist()
-    try kmeansCentroidsOn(v, k, iters) finally v.unpersist(false)
+    // eager localCheckpoint, not persist (r17): each Lloyd step plans
+    // its assignment + fixed-point update over this frame twice, and a
+    // persisted frame still re-plans the full input lineage per step —
+    // pure driver latency between the bounded k·dim collects. The
+    // fixed-point DECIMAL sums are summation-order-free, so the
+    // materialized partitioning cannot change the fit; blocks release
+    // via the context cleaner when the frame drops.
+    // widened before materializing (the prepareWeb stage() pattern): a
+    // single-split gate scan would otherwise pin every Lloyd pass to
+    // one core; no-op on an already-wide input.
+    kmeansCentroidsOn(
+      Par.widen(vecs.select(col("vec_id"), col("embedding")), col("vec_id"))
+        .localCheckpoint(true), k, iters)
   }
 
   private[graft] def kmeansClusters(vecs: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val v = vecs.select(col("vec_id"), col("embedding")).persist()
-    // unpersist on a thrown fit (the per-iteration collects run eagerly
-    // here); the success path's cache is released by Materialize after
-    // the final assignment materializes — on BOTH its paths, so
-    // plan-audit sweeps don't accumulate cache registrations. Known and
-    // accepted: under Materialize.lazily the fit's bounded collects
-    // still EXECUTE (the returned plan embeds the fitted centroids as
-    // literals — there is no plan to audit without them), so a sweep
-    // over the two k-means entries runs the fit once each.
-    val cents =
-      try kmeansCentroidsOn(v, k, iters)
-      catch { case e: Throwable => v.unpersist(false); throw e }
+    // localCheckpoint leaf, not persist (r17, see kmeansCentroids):
+    // no cache registration to release, so plan-audit sweeps cannot
+    // accumulate CacheManager marks either. Known and accepted: under
+    // Materialize.lazily the fit's bounded collects still EXECUTE (the
+    // returned plan embeds the fitted centroids as literals — there is
+    // no plan to audit without them), so a sweep over the two k-means
+    // entries runs the fit once each.
+    val v = Par.widen(vecs.select(col("vec_id"), col("embedding")), col("vec_id"))
+      .localCheckpoint(true)
+    val cents = kmeansCentroidsOn(v, k, iters)
     val out = kmeansAssignBatch(v, cents)
       .select(col("vec_id"), col("cid").as("cluster"), round(col("dist"), 6).as("dist"))
-    Materialize(out, v)
+    Materialize(out)
   }
 
   /** DuckDB twin of [[kmeansClusters]] (k=8, iters=3) as composable

@@ -1220,7 +1220,16 @@ object TextAnalysis extends QueryModule {
     */
   private def qualityModelTrainingFrame(docs: org.apache.spark.sql.DataFrame,
                                         labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    qualityModelFeatures(docs).join(labels, "doc_id").persist()
+    // eager localCheckpoint, not persist (r17): each GD step's gradient
+    // query references this frame TWICE (margins subquery + gradient
+    // join), and a persisted frame still re-plans its FULL lineage
+    // (tokenize + md5 buckets + label battery) per step — the measured
+    // ~1.2 s of driver latency between the bounded weight collects. A
+    // checkpoint leaf plans in milliseconds. Data and partitioning are
+    // identical to what persist materialized (same physical plan runs
+    // once), so the 12-dp per-step rounding contract sees the same
+    // sums; blocks release via the context cleaner when the frame drops.
+    qualityModelFeatures(docs).join(labels, "doc_id").localCheckpoint(true)
 
   /** Fit the quality-model weights over a (doc_id, text) corpus —
     * the offline half of the deployment split: prepareWeb's model arm
@@ -1241,8 +1250,9 @@ object TextAnalysis extends QueryModule {
                                                    labels: org.apache.spark.sql.DataFrame,
                                                    steps: Int = 3,
                                                    lr: Double = QualityModelLr): Map[String, Double] = {
-    val fl = qualityModelTrainingFrame(docs, labels)
-    try fitQualityWeights(fl, docs, steps, lr) finally fl.unpersist(false)
+    // no unpersist: the training frame is a localCheckpoint leaf now —
+    // its blocks are context-cleaned when the frame drops
+    fitQualityWeights(qualityModelTrainingFrame(docs, labels), docs, steps, lr)
   }
 
   /** Score a (doc_id, text) frame against fitted weights →
