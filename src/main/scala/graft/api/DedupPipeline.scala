@@ -62,7 +62,9 @@ object DedupPipeline {
     val edges =
       if (pairs.queryExecution.optimizedPlan
             .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]) projected
-      else projected.localCheckpoint(true)
+      // lazy: the bound count below materializes the checkpoint in the
+      // same job (first action on a checkpoint-marked RDD)
+      else projected.localCheckpoint(false)
     val edgePairs = edges.as[(Long, Long)]
     // the count is a scan of the materialized pair list — a
     // bounded-decision action, not a recompute

@@ -169,8 +169,8 @@ object TrainingData {
                     .cast("bigint"))))
             .drop("bucket", "train_tokens")
           // one materialization for callers + counts, surviving the
-          // stage-cache release below
-          val out = packed.localCheckpoint()
+          // stage-cache release below (lazy: the count materializes it)
+          val out = packed.localCheckpoint(false)
           stages += "final" -> out.count()
           Prepared(out, pairs, stages.result())
         } finally deduped.unpersist(false)
@@ -293,7 +293,15 @@ object TrainingData {
       // widening exchange carries only the tiny narrow stage rows
       // otherwise; hash-partitioning by doc_id also pre-aligns the
       // stage frame with every downstream doc_id join/aggregate.
-      val p = Par.widen(df, col("doc_id")).localCheckpoint(true)
+      // LAZY localCheckpoint + count (r17): the count action itself
+      // materializes the checkpoint blocks (first action on a
+      // checkpoint-marked RDD caches and truncates), so each stage pays
+      // ONE job where eager-checkpoint-then-count paid two — the
+      // count-materialization fusion r16 left as "needs non-public
+      // API", available on the public API after all. Attribution is
+      // unchanged: the materialization still happens inside this
+      // stage's count.
+      val p = Par.widen(df, col("doc_id")).localCheckpoint(false)
       lastCount = p.count()
       stages += name -> lastCount
       if (profileStages) {
@@ -541,14 +549,16 @@ object TrainingData {
             .join(gophered.select(col("doc_id"), lit(1.0).as("y")),
               Seq("doc_id"), "left")
             .select(col("doc_id"), coalesce(col("y"), lit(0.0)).as("y"))
-          val weights = TextAnalysis.qualityModelWeightsWithLabels(
-            urlDeduped.select(col("doc_id"), col("text")), labels)
-          // eagerly materialized: the score frame feeds the threshold
-          // aggregate AND the keep filter — without the cut the whole
-          // scoring pass (features + broadcast-weight aggregate over
-          // the survivors) runs twice
-          val scored = TextAnalysis.qualityModelScores(
-            ccKept.select(col("doc_id"), col("text")), weights)
+          // fused fit+score (r17): the survivors' feature rows sit
+          // verbatim in the training checkpoint (stages only filter by
+          // doc_id), so scoring reads them via one id semi join instead
+          // of re-tokenizing the survivor corpus — see
+          // qualityModelFitScoreSubset. Eagerly materialized: the score
+          // frame feeds the threshold aggregate AND the keep filter —
+          // without the cut the scoring aggregate runs twice.
+          val scored = TextAnalysis.qualityModelFitScoreSubset(
+            urlDeduped.select(col("doc_id"), col("text")), labels,
+            ccKept.select(col("doc_id")), lastCount)
             .localCheckpoint(true)
           // keep floor: the survivors' bottom score decile, derived by
           // the SAME integer-rank arithmetic as the probe threshold —
@@ -625,7 +635,7 @@ object TrainingData {
               ((sum("train_tokens").over(w) - col("pack_tokens")) / binTokens)
                 .cast("bigint"))))
         .drop("pack_bucket", "train_tokens", "pack_tokens")
-      val out = packed.localCheckpoint()
+      val out = packed.localCheckpoint(false) // materialized by the count (see stage())
       stages += "final" -> out.count()
       if (profileStages)
         println(f"GRAFT_WEB_STAGE final              ${(System.nanoTime() - lastStageEnd) / 1e9}%8.2f s")

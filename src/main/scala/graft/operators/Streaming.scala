@@ -30,7 +30,8 @@ object Streaming extends QueryModule {
     val grams = d.filter(col("doc_id") % 97 === 0)
       .filter(length(col("text")) >= 40)
       .select(explode(expr(graft.operators.Dedup.strideGramArrayExpr(40))).as("gram"))
-      .distinct().localCheckpoint(true)
+      // lazy: the bound count materializes the checkpoint in one job
+      .distinct().localCheckpoint(false)
     val n = grams.count()
     require(n <= 4L * 1000 * 1000,
       s"eval gram set ($n grams) exceeds the 4M driver-set bound " +

@@ -1273,6 +1273,36 @@ object TextAnalysis extends QueryModule {
         round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("score"))
   }
 
+  /** prepareWeb's model arm, fused (r17): fit on (docs, labels) and
+    * score a doc_id SUBSET of the SAME corpus straight from the
+    * already-checkpointed training frame. qualityModelScores would
+    * re-derive the feature frame (tokenize + md5 buckets + two
+    * aggregates) for the survivors even though their (doc_id, b, x)
+    * rows sit verbatim in the training checkpoint — features are
+    * per-doc deterministic and the survivor set is a subset of the
+    * training corpus, so one id semi join replaces the whole second
+    * feature derivation. The semi join broadcasts under the house
+    * 16M-row id bound (`nScoreIds`, the caller's already-known stage
+    * count) and shuffles past it. Same output contract as
+    * qualityModelScores (round-6 sigmoid scores).
+    */
+  private[graft] def qualityModelFitScoreSubset(docs: org.apache.spark.sql.DataFrame,
+                                                labels: org.apache.spark.sql.DataFrame,
+                                                scoreIds: org.apache.spark.sql.DataFrame,
+                                                nScoreIds: Long): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fl = qualityModelTrainingFrame(docs, labels)
+    val w = fitQualityWeights(fl, docs, steps = 3, lr = QualityModelLr)
+    val ids = scoreIds.select(col("doc_id"))
+    fl.join(if (nScoreIds >= 0 && nScoreIds <= 16L * 1000 * 1000) broadcast(ids) else ids,
+        Seq("doc_id"), "left_semi")
+      .join(broadcast(w.toSeq.toDF("b", "wv")), "b")
+      .groupBy("doc_id").agg(sum(col("wv") * col("x")).as("m"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("score"))
+  }
+
   private[graft] def qualityModel(docs: org.apache.spark.sql.DataFrame,
                                   steps: Int = 3,
                                   lr: Double = QualityModelLr): org.apache.spark.sql.DataFrame = {
