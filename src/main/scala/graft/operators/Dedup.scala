@@ -550,7 +550,7 @@ object Dedup extends QueryModule {
       // once (the count for the broadcast decision + the semi-join
       // input would otherwise each execute it); bounded by the
       // plausible pair list it derives from
-      val hotB = hotPairs.select("doc_b").distinct().localCheckpoint(true)
+      val hotB = hotPairs.select("doc_b").distinct().localCheckpoint(false)
       val hotBBounded = hotB.count() <= 4L * 1000 * 1000
       // NOTE (r16): tried reading this slice from the `relevant`
       // checkpoint instead of re-deriving the explode — measured 3.3 →
@@ -677,7 +677,7 @@ object Dedup extends QueryModule {
     // per-doc position list is bounded by document length — the same
     // doc-local state class as lineDedup's reassembly
     val spans = marked.groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the bound aggregate below
     // explicit bounded-broadcast decision (candPos' discipline, same 4M
     // bound): the span-list side is bounded by duplication/contamination
     // volume, not corpus size — while bounded it broadcasts, so the
@@ -723,13 +723,13 @@ object Dedup extends QueryModule {
     // checkpointed: read by the broadcast-bound decision AND the semi
     // join; the set is bounded by duplication volume, not corpus size
     val dupH = hashed.groupBy("gh").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("gh").localCheckpoint(true)
+      .filter(col("c") >= 2).select("gh").localCheckpoint(false)
     val dupHBounded = dupH.count() <= 4L * 1000 * 1000
     // candidate POSITIONS only (two numbers a row); checkpointed for
     // the broadcast decision + the text join below
     val candPos = hashed
       .join(if (dupHBounded) broadcast(dupH) else dupH, Seq("gh"), "left_semi")
-      .select("doc_id", "pos").localCheckpoint(true)
+      .select("doc_id", "pos").localCheckpoint(false)
     val candPosBounded = candPos.count() <= 4L * 1000 * 1000
     // re-derive actual grams ONLY for the duplicated slice; while the
     // slice is bounded it broadcasts, so the corpus text never shuffles
@@ -830,20 +830,20 @@ object Dedup extends QueryModule {
     // checkpointed: read by the hash derivation AND the exact confirm
     val evalGrams = evalDocs.filter(length(col("text")) >= L)
       .select(explode(expr(strideGramArrayExpr(L))).as("gram")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the bound count (one job)
     val evalGramsBounded = evalGrams.count() <= 4L * 1000 * 1000
     // each eval gram is exactly L code points, so the kernel emits
     // exactly one hash per gram — the same polynomial the corpus-side
     // windows hash to, so equal grams meet in the semi join
     val evalH = evalGrams
       .select(expr(s"element_at(rolling_gram_hash(gram, $L), 1)").as("gh"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val evalHBounded = evalH.count() <= 16L * 1000 * 1000
     val candPos = docs.filter(length(col("text")) >= L)
       .select(col("doc_id"),
         posexplode(expr(s"rolling_gram_hash(text, $L)")).as(Seq("pos", "gh")))
       .join(if (evalHBounded) broadcast(evalH) else evalH, Seq("gh"), "left_semi")
-      .select("doc_id", "pos").localCheckpoint(true)
+      .select("doc_id", "pos").localCheckpoint(false)
     val candPosBounded = candPos.count() <= 4L * 1000 * 1000
     // confirm source: while candPos broadcasts, the corpus text never
     // moves. Past the bound the inner join's shuffle arm would
@@ -859,7 +859,7 @@ object Dedup extends QueryModule {
         docs.select(col("doc_id"), col("text"))
           .join(broadcast(candPos), Seq("doc_id"))
       else {
-        val candIds = candPos.select("doc_id").distinct().localCheckpoint(true)
+        val candIds = candPos.select("doc_id").distinct().localCheckpoint(false)
         val candIdsBounded = candIds.count() <= 16L * 1000 * 1000
         docs.select(col("doc_id"), col("text"))
           .join(if (candIdsBounded) broadcast(candIds) else candIds,
@@ -1384,7 +1384,7 @@ object Dedup extends QueryModule {
         // broadcast, which previously re-ran the whole distinct
         // subtree (sweep: 8.5 → ~1.5 s at sf0.1)
         val ref = Par.widen(d.filter(col("doc_id") % 10 < 3), col("doc_id"))
-          .select(fp.as("fp")).distinct().localCheckpoint(true)
+          .select(fp.as("fp")).distinct().localCheckpoint(false)
         val bits = graft.functions.BloomFilter.build(ref, col("fp"), numWords = 2048, k = 5)
         Par.widen(d.filter(col("doc_id") % 10 >= 3), col("doc_id"))
           .select(col("doc_id"), fp.as("fp"))

@@ -767,7 +767,8 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      // lazy: the bytes-bound aggregate below materializes it (one job)
+      .localCheckpoint(false)
     // bytes-estimated broadcast bound (r17, advisor finding): freq rows
     // carry term STRINGS, so the 16M-ROW bound its long-only Dedup
     // precedents use would admit a multi-GB hashed relation into the
@@ -791,14 +792,15 @@ object TextAnalysis extends QueryModule {
     // cuts lineage BELOW freq). Same discipline as prepareWeb's
     // model-arm score frame; (doc_id, n_tokens, surprisal) is the
     // corpus at doc cardinality, 3 narrow columns — the standard
-    // doc-level materialization every dedup stage already pays.
+    // doc-level materialization every dedup stage already pays. Lazy:
+    // the cuts aggregate below is a full scan and materializes it.
     val scored = toks.join(if (freqBounded) broadcast(freq) else freq, "term")
       .crossJoin(broadcast(totalDf))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
            round(sum(-log2(col("c").cast("double") / col("n_total").cast("double")))
              / count(lit(1)), 4).as("surprisal"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val approx = docs.sparkSession.conf
       .getOption("spark.graft.ccnet.approxCuts").exists(_.toBoolean)
     val cuts =
@@ -1229,7 +1231,9 @@ object TextAnalysis extends QueryModule {
     // identical to what persist materialized (same physical plan runs
     // once), so the 12-dp per-step rounding contract sees the same
     // sums; blocks release via the context cleaner when the frame drops.
-    qualityModelFeatures(docs).join(labels, "doc_id").localCheckpoint(true)
+    // Lazy: the first GD step's full-scan gradient collect materializes
+    // it — one job fewer than eager-then-read.
+    qualityModelFeatures(docs).join(labels, "doc_id").localCheckpoint(false)
 
   /** Fit the quality-model weights over a (doc_id, text) corpus —
     * the offline half of the deployment split: prepareWeb's model arm
