@@ -64,20 +64,17 @@ object PqIndex {
     */
   def codebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     val P62 = "4611686018427387904.0" // 2^62
-    // eager localCheckpoint of the training subvectors (r17): each
-    // Lloyd iteration reads subv TWICE (nearest-code assignment + the
-    // update join), so without materialization the scan + slice-explode
-    // recomputes 2·iters times AND every iteration re-plans the full
-    // lineage — the standard cache-the-training-set shape for iterative
-    // k-means. Fixed-point updates are summation-order-free, so the
-    // materialized partitioning cannot change the codebooks.
-    // ...and widened first (the stage() pattern): a single-split gate
-    // scan would pin every Lloyd pass to one core; hashing by
-    // (vec_id, j) pre-aligns the per-(vector, subspace) assignment
-    // aggregate. No-op on an already-wide input.
-    val subv = graft.operators.Par.widen(
-      subvectors(embeddings.select(col("vec_id"), col("embedding")),
-        "embedding", dim, m), col("vec_id"), col("j")).localCheckpoint(true)
+    // NOTE (r17): tried the iterative-fit checkpoint pattern here
+    // (Par.widen by (vec_id, j) + eager localCheckpoint of subv, the
+    // shape that pays off for kmeansCentroids) — measured a consistent
+    // REGRESSION at sf0.1 across two alternated matched-load A/Bs:
+    // s_pq_topk 3.92→4.49 s, s_ivfpq_topk 5.14→6.23 s (mins).
+    // The subvector explode is a cheap pipelined projection over a tiny
+    // scan; materializing n_vecs·m array rows costs more than the
+    // 2·iters recomputes save, and per-iteration replanning is already
+    // cut by the cb lineage checkpoint below. Don't retry.
+    val subv = subvectors(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", dim, m)
     var cb = subv.filter(col("vec_id") < ksub)
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sub").as("centroid"))
     (0 until iters).foreach { _ =>
