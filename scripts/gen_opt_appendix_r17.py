@@ -43,7 +43,7 @@ mark(["t_ccnet_buckets"],
 mark(["d_dedup_clusters", "d_keep_best", "d_link_authority",
       "d_semantic_dedup", "d_training_prepare"],
      "r17: clusters() primitive union-find/id-gate/single-derivation (doc §5)")
-mark(["t_quality_model", "t_quality_buckets", "st_quality_model"],
+mark(["t_quality_model", "st_quality_model"],
      "r17: GD training frame = checkpoint leaf, plan 306->66 lines (doc §6)")
 mark(["s_kmeans_clusters", "s_ivf_topk", "d_embedding_neardup_ivf"],
      "r17: k-means fit input widened+checkpointed, 1.55x A/B (doc §7)")
