@@ -559,7 +559,10 @@ object TrainingData {
           val scored = TextAnalysis.qualityModelFitScoreSubset(
             urlDeduped.select(col("doc_id"), col("text")), labels,
             ccKept.select(col("doc_id")), lastCount)
-            .localCheckpoint(true)
+            // lazy (r17, the stage() fusion): the threshold aggregate
+            // below is the first action and a FULL scan, so it
+            // materializes the checkpoint itself — one job, not two
+            .localCheckpoint(false)
           // keep floor: the survivors' bottom score decile, derived by
           // the SAME integer-rank arithmetic as the probe threshold —
           // never a float quantile's interpolation cross-engine. The
